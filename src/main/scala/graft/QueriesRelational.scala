@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Checksum, Reconcile}
+import graft.streaming.IncrementalSync
+import graft.types.TaggedJson
+
+/** Relational / replication-semantics queries (SURVEY.md §2.1–§2.10),
+  * each with a DuckDB oracle. Shared determinism rules in SparkEntry.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S6/S15 full scan: the snapshot copy path reads whole tables.
+    "q_full_scan" -> ((s, dir) => t(s, dir, "region")),
+
+    // P1 column projection — pruned at the parquet scan (ReadSchema).
+    "q_projection" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
+    // P4 row predicate (user SQL), pushed down to the scan.
+    "q_predicate" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") < lit("1999-01-01 00:00:00").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // P5 time-window predicate, anchored to max(ts) so the oracle is
+    // deterministic (the production rule uses NOW(), table_rules.rs:158-166).
+    "q_time_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.createOrReplaceTempView("ev_tw")
+      s.sql("""SELECT event_id, event_type, value FROM ev_tw
+              |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM ev_tw)""".stripMargin)
+    }),
+
+    // P6 schema-only rule: DDL copied, data skipped (empty result, full schema).
+    "q_schema_only" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus").limit(0)),
+
+    // A1/A2/A3: count, exact count-distinct (uniqueness check
+    // sqlite/converter.rs:278-297), max watermark.
+    "q_count_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        max(col("l_orderkey")).as("max_key"))),
+
+    // T1 incremental change scan: rows past the watermark + new high-water
+    // mark (xmin/reader.rs:122-163). Fixed watermark for the oracle.
+    "q_incremental_scan" -> ((s, dir) => {
+      val (changes, _) = IncrementalSync.readChanges(Tables.events(s, dir), "event_id", 5000L)
+      changes.agg(
+        count(lit(1)).as("n_changes"),
+        max(col("event_id")).as("new_watermark"))
+    }),
+
+    // J1/J2 anti-join reconciliation: "customers" with no "orders" = orphaned
+    // target rows; PKs text-cast on both sides (reconciler.rs:469-475).
+    "q_anti_join" -> ((s, dir) =>
+      Reconcile.orphanedKeys(
+        source = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        target = t(s, dir, "customer"),
+        pkCols = Seq("c_custkey"))),
+
+    // Semi-join (EXISTS): parts that ever shipped.
+    "q_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      t(s, dir, "part")
+        .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+    }),
+
+    // J4-style multi-join + aggregation: revenue per nation. nation/region
+    // are broadcast (small dims); the orders⋈customer shuffle is keyed once.
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast(dec)).cast(DecimalType(38, 2)).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // W1 row_number over a total order (checksum.rs:82). Window over a
+    // unique key → deterministic.
+    "q_rownumber" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          row_number().over(Window.orderBy(col("p_partkey"))).as("rn"))
+        .filter(col("rn") <= 50)),
+
+    // O1/S11/S16 keyset pagination: one page of the batched reader.
+    "q_keyset_page" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") > 1000)
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // Top-k with deterministic tiebreak — executed as per-partition
+    // top-k + merge (TakeOrderedAndProject), not a full sort.
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // A4 ordered table checksum (verify path, checksum.rs:33-111).
+    "q_checksum" -> ((s, dir) =>
+      Checksum.orderedChecksum(t(s, dir, "nation"))),
+
+    // A4 scalable variant: order-insensitive sum-of-hashes — not
+    // oracle-expressible (xxhash64 is Spark-specific) → oracle checks
+    // the row_count column only via q_checksum; bench uses this one.
+    // (kept out of the oracle map)
+
+    // T7 `_latest` materialization: newest event per user
+    // (sync_sqlite.rs:166-202) — max_by aggregation, not a window.
+    "q_latest_dedup" -> ((s, dir) =>
+      IncrementalSync.latestByKey(
+        Tables.events(s, dir).select("user_id", "event_id", "event_type", "value"),
+        keyCols = Seq("user_id"), cursorCol = "event_id")
+        .select("user_id", "event_id", "event_type", "value")),
+
+    // K2/§1.3 JSONB-model encode: (id, tagged-JSON data, _source_type).
+    "q_jsonb_encode" -> ((s, dir) =>
+      TaggedJson.toJsonbModel(t(s, dir, "nation"), col("n_nationkey"), "sqlite")),
+
+    // P7 config fingerprint semantics: order-insensitive SHA-256 over the
+    // distinct source set (filters.rs:81-108 uses sorted components).
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        sha2(to_binary(array_join(sort_array(collect_set(col("source"))), ","),
+                       lit("utf-8")), 256).as("fp"),
+        count_distinct(col("source")).as("n_sources")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_full_scan" -> "SELECT * FROM region",
+
+    "q_projection" -> "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
+    "q_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)""".stripMargin,
+
+    "q_schema_only" -> "SELECT o_orderkey, o_orderstatus FROM orders WHERE 1=0",
+
+    "q_count_stats" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+        | max(l_orderkey) AS max_key FROM lineitem""".stripMargin,
+
+    "q_incremental_scan" ->
+      """SELECT count(*) AS n_changes, max(event_id) AS new_watermark
+        |FROM events WHERE event_id > 5000""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_rownumber" ->
+      """SELECT p_partkey, rn FROM (
+        | SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) AS rn FROM part)
+        |WHERE rn <= 50""".stripMargin,
+
+    "q_keyset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_checksum" ->
+      """SELECT CASE WHEN count(*) = 0 THEN 'empty'
+        |  ELSE md5(string_agg(row_data, '' ORDER BY row_data)) END AS checksum,
+        | count(*) AS row_count
+        |FROM (SELECT concat_ws('|',
+        |   coalesce(CAST(n_nationkey AS VARCHAR), ''),
+        |   coalesce(n_name, ''),
+        |   coalesce(CAST(n_regionkey AS VARCHAR), '')) AS row_data FROM nation)""".stripMargin,
+
+    "q_latest_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_jsonb_encode" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
+        | '{"n_nationkey":' || CAST(n_nationkey AS VARCHAR) ||
+        | ',"n_name":"' || n_name ||
+        | '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS data,
+        | 'sqlite' AS _source_type
+        |FROM nation""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT sha256(string_agg(source, ',' ORDER BY source)) AS fp,
+        | count(*) AS n_sources
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
+  )
+}

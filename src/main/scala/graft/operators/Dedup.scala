@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * fuzzy:
+  *
+  *   - exact: hash-groupBy on content (or normalized content);
+  *   - MinHash + LSH: shingle → k minhashes → band → bucket-join —
+  *     candidate pairs only ever meet inside a bucket, so the shuffle is
+  *     O(docs·bands), never O(docs²);
+  *   - SimHash: 64-bit near-dup signature (Hamming-adjacent docs collide
+  *     on rotated prefixes);
+  *   - n-gram Jaccard: exact similarity for candidate verification.
+  *
+  * Design for 100 TB: every pipeline here is "explode → hash-aggregate →
+  * self-join on a small key" — the quadratic pair space is always cut by
+  * banding/bucketing BEFORE any join, and joins shuffle only (id, sig)
+  * pairs, never document text.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical `key` value.
+    * One hash aggregation, map-side combinable. */
+  def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.withColumn("__k", key)
+      .groupBy(col("__k"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__k")
+
+  /** Character k-shingles of normalized text, as an array column.
+    * sequence+transform (codegen) rather than a UDF. Texts shorter than k
+    * yield their whole text as the single shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+        i => norm.substr(i, lit(k))))
+  }
+
+  /** Word n-grams of normalized text. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
+        x => x.isNotNull))
+  }
+
+  /** One minhash value: min over shingles of a seeded 64-bit hash.
+    * Seeding by concatenating the seed keeps it expressible in plain SQL
+    * (the oracle uses the same construction). */
+  def minhash(ngrams: Column, seed: Int): Column =
+    array_min(transform(ngrams, g => xxhash64(concat(lit(s"$seed:"), g))))
+
+  /** k minhash signature values as one array column. */
+  def minhashSignature(ngrams: Column, k: Int): Column =
+    array((0 until k).map(minhash(ngrams, _)): _*)
+
+  /** MinHash-LSH candidate pairs: k minhashes split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band signature become a candidate
+    * pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * The band explode keeps each join key's payload to (band_idx,
+    * band_hash) — the join never sees text, and same-band buckets are the
+    * only place pairs materialize. */
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"), minhashSignature(wordNgrams(text, ngramN), k).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
+        .as(Seq("band", "bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word tokens: bit i of the signature is the sign
+    * of Σ_tokens (hash(token) bit i ? +1 : -1). Expressed as 64 shifted
+    * bit-sums over exploded tokens — pure aggregates, shuffle keyed by
+    * doc id only. */
+  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")).as("tok"))
+    val h = toks.withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sums = h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigCol = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("id"), sigCol.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (or all
+    * pairs of a small frame): |A∩B| / |A∪B| over word n-gram sets.
+    * Used to verify LSH candidates — the expensive exact step runs only
+    * on the candidate set, not the cross product. */
+  def ngramJaccard(df: DataFrame, idCol: String, text: Column, n: Int,
+                   candidates: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), wordNgrams(text, n).as("g"))
+    candidates
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), Seq("id_a"))
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            greatest(size(array_union(col("ga"), col("gb"))), lit(1)),
+          6).as("jaccard"))
+  }
+}

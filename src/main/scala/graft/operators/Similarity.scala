@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), for training-data pipelines:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k against a single query
+  *     vector: one broadcast-free map + one top-k reduce. The baseline.
+  *   - [[lshBucketedTopK]] — sign-random-projection LSH: vectors hash to
+  *     buckets by the sign pattern of h fixed pseudo-random hyperplanes;
+  *     only the query's bucket (± neighbors by Hamming radius 0) is
+  *     scanned. The scale path: bucket pruning turns a 100 TB scan into a
+  *     bucket-sized one, at recall < 1.
+  *   - [[pairwiseCosineCandidates]] — embedding-cosine near-duplicate
+  *     detection via the same bucketing (dedup by cosine ≥ τ).
+  *
+  * Dot products use `zip_with` + `aggregate` (pure Catalyst expressions,
+  * codegen'd — no UDF). Norms are computed once per vector, not per pair.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a Column expression over two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against `queryVec` (a literal vector).
+    * The per-row cosine is a narrow map; the top-k is a sort-limit that
+    * Spark executes as per-partition top-k + merge (TakeOrderedAndProject)
+    * — no full sort, no full shuffle. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Array[Float], k: Int): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    df.select(
+        col(idCol),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed xxhash-derived value in [-0.5, 0.5). Same construction is
+    * expressible in the SQL oracle. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(concat_ws(":", lit(plane), dim)), lit(1000000)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-random-projection bucket id for a vector: h sign bits packed
+    * into a long. */
+  def srpBucket(vec: Column, hPlanes: Int): Column = {
+    val bits = (0 until hPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+                 (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: scan only vectors in the query's SRP bucket. Recall is
+    * tunable via hPlanes (fewer planes → bigger buckets → higher recall). */
+  def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+                      queryVec: Array[Float], k: Int, hPlanes: Int = 4): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val qBucket = srpBucket(q, hPlanes)
+    df.withColumn("__bucket", srpBucket(col(vecCol), hPlanes))
+      .filter(col("__bucket") === qBucket)
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, restricted to
+    * same-SRP-bucket candidates (id_a < id_b). The bucket equi-join is
+    * the only shuffle; norms are precomputed per side. */
+  def pairwiseCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, hPlanes: Int = 4): DataFrame = {
+    val withB = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), hPlanes).as("bucket"),
+      norm(col(vecCol)).as("nrm"))
+    val a = withB.as("a")
+    val b = withB.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

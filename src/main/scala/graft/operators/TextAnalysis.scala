@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword heuristic), quality scoring (length / punctuation
+  * / stopword ratios), token counting (whitespace + BPE-ish regex), and
+  * document fingerprinting.
+  *
+  * All pure Column trees over the `documents` table — narrow map-only
+  * transforms that stay inside whole-stage codegen and need no shuffle, so
+  * they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword marker sets for the n-gram/stopword
+    * language-ID heuristic. Word-boundary regex counting. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  /** Word-boundary occurrence count — zero-width `\b` anchors avoid the
+    * consumed-separator undercount of whitespace-delimited patterns
+    * ("the the" must count 2). */
+  private def countMatches(c: Column, word: String): Column =
+    size(split(c, s"\\b${java.util.regex.Pattern.quote(word)}\\b", -1)) - 1
+
+  /** Score one language: number of marker-word occurrences. */
+  def langScore(text: Column, lang: String): Column =
+    langMarkers(lang).map(w => countMatches(text, w))
+      .reduce(_ + _)
+
+  /** Predicted language = argmax over marker scores; ties break to the
+    * first language in alphabetical order (deterministic when-chain, so
+    * the same CASE chain is expressible in the SQL oracle); all-zero →
+    * "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val langs = langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => l -> langScore(lowered, l)).toMap
+    val allZero = scores.values.reduce(_ + _) <= 0
+    val chain = langs.foldLeft(when(allZero, lit("und"))) { (acc, l) =>
+      val isMax = langs.filterNot(_ == l)
+        .map(o => scores(l) >= scores(o)).reduce(_ && _)
+      acc.when(isMax, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Whitespace token count: split on runs of whitespace. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: words, numbers, and single punctuation marks
+    * each count as one token (a GPT-2-style pre-tokenizer regex). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-score components (length, punctuation ratio, stopword ratio,
+    * mean word length) + a composite 0..1 score. */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val tokens = tokenCountWs(text)
+    val nPunct = length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    val lowered = lower(text)
+    val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+      .map(w => countMatches(lowered, w)).reduce(_ + _)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> tokens,
+      "punct_ratio" -> round(nPunct.cast("double") / greatest(nChars, lit(1)), 6),
+      "stopword_ratio" -> round(stop.cast("double") / greatest(tokens, lit(1)), 6),
+      "mean_word_len" -> round(nChars.cast("double") / greatest(tokens, lit(1)), 6)
+    )
+  }
+
+  /** Composite quality score in [0,1]: inside-range length + sane
+    * punctuation + nonzero stopwords (web-text heuristics à la C4). */
+  def qualityScore(text: Column): Column = {
+    val comp = qualityComponents(text).toMap
+    val lenOk = (comp("n_chars") >= 50 && comp("n_chars") <= 10000).cast("int")
+    val punctOk = (comp("punct_ratio") <= 0.2).cast("int")
+    val stopOk = (comp("stopword_ratio") > 0).cast("int")
+    round((lenOk + punctOk + stopOk).cast("double") / 3.0, 6)
+  }
+
+  /** Deterministic 64-bit document fingerprint: xxhash64 of
+    * whitespace-normalized, lowercased text (rolling-hash analog). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
