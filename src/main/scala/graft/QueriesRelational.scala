@@ -57,19 +57,23 @@ object QueriesRelational {
         max(col("l_orderkey")).as("max_key"))),
 
     // T1 incremental change scan: rows past the watermark + new high-water
-    // mark (xmin/reader.rs:122-163). Fixed watermark for the oracle.
-    "q_incremental_scan" -> ((s, dir) => {
-      val (changes, _) = IncrementalSync.readChanges(Tables.events(s, dir), "event_id", 5000L)
-      changes.agg(
-        count(lit(1)).as("n_changes"),
-        max(col("event_id")).as("new_watermark"))
-    }),
+    // mark (xmin/reader.rs:122-163). Fixed watermark for the oracle; one
+    // scan, one aggregation (count + max together — no eager double read).
+    "q_incremental_scan" -> ((s, dir) =>
+      IncrementalSync.readChanges(Tables.events(s, dir), "event_id", 5000L)
+        .agg(
+          count(lit(1)).as("n_changes"),
+          max(col("event_id")).as("new_watermark"))),
 
-    // J1/J2 anti-join reconciliation: "customers" with no "orders" = orphaned
-    // target rows; PKs text-cast on both sides (reconciler.rs:469-475).
+    // J1/J2 anti-join reconciliation: customers with no orders in the
+    // recent window = orphaned target rows (the date filter makes the
+    // fixture non-vacuous: >0 orphans at every sf); PKs text-cast on both
+    // sides (reconciler.rs:469-475).
     "q_anti_join" -> ((s, dir) =>
       Reconcile.orphanedKeys(
-        source = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        source = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampType))
+          .select(col("o_custkey").as("c_custkey")),
         target = t(s, dir, "customer"),
         pkCols = Seq("c_custkey"))),
 
@@ -91,17 +95,24 @@ object QueriesRelational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast(dec)).cast(DecimalType(38, 2)).as("revenue"),
+          // exact decimal sum, then DOUBLE on both sides → bit-identical
+          // canonical value for the driver's hash (see q1_agg note)
+          sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
 
-    // W1 row_number over a total order (checksum.rs:82). Window over a
-    // unique key → deterministic.
+    // W1 row_number over a total order (checksum.rs:82). Since only
+    // rn <= 50 survives, take the top-50 FIRST (TakeOrderedAndProject:
+    // per-partition top-k + merge, no shuffle-to-one-partition) and only
+    // then number the 50 surviving rows — the global window never sees
+    // more than k rows, so the single-partition WindowExec is harmless.
     "q_rownumber" -> ((s, dir) =>
       t(s, dir, "part")
+        .select(col("p_partkey"))
+        .orderBy(col("p_partkey"))
+        .limit(50)
         .select(col("p_partkey"),
-          row_number().over(Window.orderBy(col("p_partkey"))).as("rn"))
-        .filter(col("rn") <= 50)),
+          row_number().over(Window.orderBy(col("p_partkey"))).as("rn"))),
 
     // O1/S11/S16 keyset pagination: one page of the batched reader.
     "q_keyset_page" -> ((s, dir) =>
@@ -174,7 +185,8 @@ object QueriesRelational {
 
     "q_anti_join" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
 
     "q_semi_join" ->
       """SELECT p_partkey, p_name FROM part
@@ -182,7 +194,7 @@ object QueriesRelational {
 
     "q_join_agg" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -33,7 +33,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ Map(
     // A1/A5-style pricing summary (TPC-H Q1 shape) over lineitem.
-    // Decimal-exact sums → order-independent → safe under any partitioning.
+    // Decimal-exact sums (order-independent under any partitioning), then a
+    // final cast to DOUBLE on BOTH sides: the exact decimal sums are equal,
+    // so the IEEE754 doubles are bit-identical, and the driver's value-hash
+    // sees the same canonical value regardless of how each engine renders
+    // its native decimal result types (the round-1 hash-mismatch cause).
     "q1_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val qty   = col("l_quantity").cast(dec)
@@ -44,11 +48,11 @@ object SparkEntry {
       li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(qty).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
-          sum(discPrice).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(qty).cast(DoubleType).as("sum_qty"),
+          sum(price).cast(DoubleType).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
           sum((discPrice * (lit(1).cast(dec) + tax)).cast(DecimalType(18, 6)))
-            .cast(DecimalType(38, 6)).as("sum_charge"),
+            .cast(DoubleType).as("sum_charge"),
           count(lit(1)).as("count_order")
         )
     })
@@ -60,10 +64,10 @@ object SparkEntry {
     QueriesRelational.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

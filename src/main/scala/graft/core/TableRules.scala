@@ -89,13 +89,18 @@ final case class TableRules(
     }
   }
 
-  /** Order-insensitive SHA-256 fingerprint (reference `src/table_rules.rs:365-373`). */
+  /** Order-insensitive SHA-256 fingerprint mirroring the reference's
+    * separator scheme (`src/table_rules.rs:365-373`, `:534-560`): set
+    * entries as `name|`, map entries as `name=value|`, time-filter values
+    * encoded `column|window`, sections separated by `#`. */
   def fingerprint: String = {
     val md = MessageDigest.getInstance("SHA-256")
-    def feed(s: String): Unit = md.update((s + "\n").getBytes(StandardCharsets.UTF_8))
-    schemaOnly.toSeq.sorted.foreach(t => feed(s"schema_only:$t"))
-    tableFilters.toSeq.sortBy(_._1).foreach { case (t, p) => feed(s"filter:$t:$p") }
-    timeFilters.toSeq.sortBy(_._1).foreach { case (t, r) => feed(s"time:$t:${r.column}:${r.window}") }
+    def feed(s: String): Unit = md.update(s.getBytes(StandardCharsets.UTF_8))
+    schemaOnly.toSeq.sorted.foreach(t => feed(s"$t|"))
+    feed("#")
+    tableFilters.toSeq.sortBy(_._1).foreach { case (t, p) => feed(s"$t=$p|") }
+    feed("#")
+    timeFilters.toSeq.sortBy(_._1).foreach { case (t, r) => feed(s"$t=${r.column}|${r.window}|") }
     md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -28,15 +28,20 @@ object IncrementalSync {
   def detectWraparound(oldWatermark: Long, newWatermark: Long): Boolean =
     oldWatermark > newWatermark && (oldWatermark - newWatermark) > WraparoundThreshold
 
-  /** Incremental read: rows with `versionCol > watermark`, plus the new
-    * high-water mark (max version in the batch; unchanged if empty).
-    * The filter is a pushed-down predicate — at scale this is a
-    * partition-pruned scan, not a full read. */
-  def readChanges(df: DataFrame, versionCol: String, watermark: Long): (DataFrame, Long) = {
-    val changes = df.filter(col(versionCol) > watermark)
-    val maxV = changes.agg(max(col(versionCol))).head()
-    val newWatermark = if (maxV.isNullAt(0)) watermark else maxV.getLong(0)
-    (changes, newWatermark)
+  /** Incremental read: rows with `versionCol > watermark`. Lazy — no
+    * driver action here, so callers compose their own aggregation over
+    * the single scan (the round-1 version eagerly computed max() and
+    * forced a double scan). The filter is a pushed-down predicate — at
+    * scale this is a partition-pruned scan, not a full read. */
+  def readChanges(df: DataFrame, versionCol: String, watermark: Long): DataFrame =
+    df.filter(col(versionCol) > watermark)
+
+  /** New high-water mark of a change batch: max version, or the previous
+    * watermark when the batch is empty. One job, one scan; tolerant of
+    * int/long version columns via Number (not a hard getLong). */
+  def watermarkOf(changes: DataFrame, versionCol: String, previous: Long): Long = {
+    val row = changes.agg(max(col(versionCol)).cast("long")).head()
+    if (row.isNullAt(0)) previous else row.getAs[Number](0).longValue()
   }
 
   /** `estimate_changes` (`src/xmin/reader.rs:317-336`). */
