@@ -1,0 +1,381 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis)
+  * over the `documents` and `embeddings` tables, each with a DuckDB
+  * oracle that replays the IDENTICAL pipeline — hash functions, float
+  * folds, rounding — so the driver's value-hash compare is exact.
+  *
+  * Two hashing regimes (see [[graft.operators.Dedup]]):
+  *   - production/scale: xxhash64 (codegen'd, 64-bit) — covered by unit
+  *     tests;
+  *   - oracle: md5-hex — byte-reproducible in DuckDB, used by these
+  *     registered queries so the external gate exercises the full
+  *     pipeline shape (shingle → minhash → band → bucket-join → verify).
+  *
+  * Some fixtures PLANT duplicates/near-duplicates derived from the real
+  * tables (append-a-token copies, exactly-scaled embedding copies) so the
+  * detection queries are provably non-vacuous: the planted pairs MUST
+  * come out, and both engines construct them identically.
+  */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared fixture builders (Spark side) --------------------------
+
+  /** documents ∪ near-dup copies (id+100000, two extra tokens), filtered
+    * to ≥3 tokens so word-3-grams exist on both engines. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val planted = d.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz zz")).as("text"))
+    d.unionAll(planted)
+      .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
+  }
+
+  /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
+    * (id+10000) — scaling by a power of two is exact in IEEE754, and a
+    * positive scale preserves every SRP sign bit, so each planted copy
+    * lands in its original's bucket with cosine ≈ 1. */
+  private def scaledDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(2.0)).as("embedding"))
+    base.unionAll(planted)
+  }
+
+  /** Query vector: the stored embedding of vec_id = 0 (same row the
+    * oracle reads via a scalar subquery). */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  // ---- oracle SQL fragments (DuckDB side) ----------------------------
+
+  /** Word list of normalized text. */
+  private val sqlWords =
+    """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** The near-dup corpus CTE (matches [[nearDupCorpus]]). */
+  private val sqlCorpus =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || ' zz zz' AS text FROM documents
+       |), corpus3 AS (SELECT * FROM corpus WHERE len($sqlWords) >= 3)""".stripMargin
+
+  /** Distinct word-3-grams CTE over corpus3. */
+  private val sqlGrams =
+    s"""toks AS (SELECT doc_id, $sqlWords AS w FROM corpus3),
+       |grams AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+       |FROM toks)""".stripMargin
+
+  /** 8-seed md5 minhash signature + 4 banded hashes + hot-bucket cap —
+    * the exact mirror of Dedup.minhashCandidates(…, md5Hex, 200). */
+  private val sqlBandedCapped = {
+    val sig = (0 until 8)
+      .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(sig[${b * 2 + 1}] || ',' || sig[${b * 2 + 2}]) AS bh FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sig AS (SELECT doc_id, $sig AS sig FROM grams),
+       |banded AS (
+       |  $bandRows
+       |),
+       |keep AS (SELECT band, bh FROM banded GROUP BY band, bh
+       |         HAVING count(*) BETWEEN 2 AND 200),
+       |capped AS (SELECT banded.* FROM banded JOIN keep USING (band, bh))""".stripMargin
+  }
+
+  private val sqlCandidatePairs =
+    s"""WITH $sqlCorpus,
+       |$sqlGrams,
+       |$sqlBandedCapped,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** Sequential double fold of Σ f(x_i) over a list — DuckDB's
+    * list_reduce starts from the first element, Spark's aggregate from
+    * 0.0; since 0.0 + x == x exactly, the folds are bit-identical. */
+  private def sqlFoldSum(listExpr: String): String =
+    s"list_reduce($listExpr, (acc, v) -> acc + v)"
+
+  private def sqlDot(a: String, b: String): String =
+    sqlFoldSum(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  /** Engine-portable SRP plane component for (plane, 0-based dim expr):
+    * first 5 hex digits of md5("plane:dim") as base-16, → [-0.5, 0.5).
+    * Mirrors Similarity.planeComponentHex. */
+  private def sqlPlaneComponent(plane: Int, dimExpr: String): String = {
+    val digits = (1 to 5).map { j =>
+      val d = s"ascii(substr(md5('$plane:' || CAST($dimExpr AS VARCHAR)), $j, 1))"
+      s"(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END) * ${math.pow(16, j - 1)}"
+    }
+    s"((${digits.mkString(" + ")}) / 1048576.0 - 0.5)"
+  }
+
+  /** Packed SRP bucket of a vector expression (portable planes).
+    * DuckDB's lambda index i is 1-based; Spark's dim is 0-based → i-1. */
+  private def sqlSrpBucket(vecExpr: String, hPlanes: Int): String = {
+    val bits = (0 until hPlanes).map { p =>
+      val proj = sqlFoldSum(
+        s"list_transform($vecExpr, (x, i) -> CAST(x AS DOUBLE) * ${sqlPlaneComponent(p, "i - 1")})")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"(${bits.mkString(" + ")})"
+  }
+
+  private val sqlQueryVec = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+  /** The scaled-dup embedding corpus CTE (matches [[scaledDupEmbeddings]]). */
+  private val sqlEmbCorpus =
+    """ecorpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  // ---- lang-id / quality SQL fragments -------------------------------
+
+  private def sqlWordCount(word: String): String =
+    s"len(regexp_extract_all(lower(text), '\\b$word\\b'))"
+
+  private def sqlCharCount(ch: String): String =
+    s"(length(lower(text)) - length(replace(lower(text), '$ch', '')))"
+
+  private def sqlLangScore(lang: String): String =
+    TextAnalysis.langMarkers(lang)
+      .map(w => if (w.forall(c => c >= 'a' && c <= 'z')) sqlWordCount(w) else sqlCharCount(w))
+      .mkString("(", " + ", ")")
+
+  // ---- the query map -------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: lowest doc_id + group size per duplicate key (here the
+    // leading token — a key with real collisions, so groups exceed 1).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        expr("split_part(text, ' ', 1)"))),
+
+    // Document fingerprint dedup over a corpus with planted exact copies
+    // (every 5th doc): fingerprint groups must pair them up.
+    "q_doc_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select("doc_id", "text").unionAll(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      corpus
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
+    }),
+
+    // Language-ID heuristic: per-language marker scores + argmax.
+    "q_lang_id" -> ((s, dir) => {
+      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+      val lowered = lower(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+          langs.map(l => TextAnalysis.langScore(lowered, l).as(s"s_$l")) :+
+          TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+    }),
+
+    // Token counting: whitespace + BPE-ish regex tokenizer.
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
+
+    // Quality scoring: component ratios + composite score.
+    "q_text_quality" -> ((s, dir) => {
+      val comps = TextAnalysis.qualityComponents(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+          comps.map { case (n, c) => c.as(s"q_$n") } :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    // 16-bit md5 SimHash per document (engine-portable variant of the
+    // 64-bit xxhash production signature — same aggregation machinery).
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashMd5_16(t(s, dir, "documents"), "doc_id", col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // MinHash-LSH candidate pairs over the planted near-dup corpus:
+    // shingle → 8 md5 minhashes → 4 bands → capped bucket join.
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 2,
+        hashFn = Dedup.md5Hex, maxBucket = 200)),
+
+    // Exact n-gram Jaccard verification of those candidates — the
+    // expensive exact step runs only on the candidate set.
+    "q_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 2,
+        hashFn = Dedup.md5Hex, maxBucket = 200)
+      Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
+    }),
+
+    // Exact brute-force cosine top-20 against the stored vec_id=0
+    // embedding — the ANN baseline (TakeOrderedAndProject, no full sort).
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), 20)),
+
+    // SRP-LSH bucketed ANN top-20: only the query's bucket is scanned
+    // (portable md5 planes so the oracle replays the bucketing).
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), 20, hPlanes = 3, portable = true)),
+
+    // Embedding near-dup pairs (cosine ≥ 0.99) over planted ×2-scaled
+    // copies, restricted to same-SRP-bucket candidates with hot-bucket cap.
+    "q_cosine_pairs" -> ((s, dir) =>
+      Similarity.pairwiseCosineCandidates(scaledDupEmbeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.99, hPlanes = 3,
+        portable = true, maxBucket = 10000))
+  )
+
+  val oracleSql: Map[String, String] = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+
+    Map(
+      "q_dedup_exact" ->
+        """SELECT split_part(text, ' ', 1) AS dup_key, min(doc_id) AS doc_id,
+          | count(*) AS dup_count
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_doc_fingerprint" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+          |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          | min(doc_id) AS first_doc, count(*) AS n_docs
+          |FROM corpus GROUP BY 1""".stripMargin,
+
+      "q_lang_id" -> {
+        val scoreCols = langs.map(l => s"  ${sqlLangScore(l)} AS s_$l").mkString(",\n")
+        val total = langs.map(l => s"s_$l").mkString(" + ")
+        val branches = langs.map { l =>
+          val isMax = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"  WHEN $isMax THEN '$l'"
+        }.mkString("\n")
+        s"""WITH s AS (SELECT doc_id,
+           |$scoreCols
+           |FROM documents)
+           |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           | CASE WHEN $total <= 0 THEN 'und'
+           |$branches
+           | ELSE 'und' END AS lang_pred
+           |FROM s""".stripMargin
+      },
+
+      "q_token_count" ->
+        """SELECT doc_id,
+          | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+          |FROM documents""".stripMargin,
+
+      "q_text_quality" -> {
+        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+          .map(sqlWordCount).mkString("(", " + ", ")")
+        s"""WITH c AS (SELECT doc_id,
+           |  length(text) AS nc,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+           |  $stop AS ns
+           |FROM documents)
+           |SELECT doc_id,
+           | nc AS q_n_chars,
+           | nt AS q_n_tokens,
+           | round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS q_punct_ratio,
+           | round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS q_stopword_ratio,
+           | round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS q_mean_word_len,
+           | round(((CASE WHEN nc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) <= 0.2 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) > 0 THEN 1 ELSE 0 END)
+           |       ) / 3.0, 6) AS quality
+           |FROM c""".stripMargin
+      },
+
+      "q_simhash" -> {
+        val bitSums = (0 until 16).map { i =>
+          s"  SUM(CASE WHEN contains('13579bdf', substr(h, ${i + 1}, 1)) THEN 1 ELSE -1 END) AS b$i"
+        }.mkString(",\n")
+        val pack = (0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+           |b AS (SELECT doc_id,
+           |$bitSums
+           |FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b""".stripMargin
+      },
+
+      "q_minhash_pairs" ->
+        s"""$sqlCandidatePairs
+           |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+      "q_jaccard" ->
+        s"""$sqlCandidatePairs
+           |SELECT p.id_a, p.id_b,
+           | round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |     / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) AS jaccard
+           |FROM pairs p
+           |JOIN grams ga ON ga.doc_id = p.id_a
+           |JOIN grams gb ON gb.doc_id = p.id_b""".stripMargin,
+
+      "q_ann_topk" ->
+        s"""SELECT vec_id,
+           | round(${sqlDot("embedding", sqlQueryVec)}
+           |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
+           |FROM embeddings
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      "q_ann_lsh" ->
+        s"""SELECT vec_id,
+           | round(${sqlDot("embedding", sqlQueryVec)}
+           |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
+           |FROM embeddings
+           |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      "q_cosine_pairs" ->
+        s"""WITH $sqlEmbCorpus,
+           |withb AS (SELECT vec_id, embedding,
+           |  ${sqlSrpBucket("embedding", 3)} AS bucket,
+           |  ${sqlNorm("embedding")} AS nrm
+           |FROM ecorpus),
+           |keep AS (SELECT bucket FROM withb GROUP BY bucket
+           |         HAVING count(*) BETWEEN 2 AND 10000),
+           |capped AS (SELECT withb.* FROM withb JOIN keep USING (bucket))
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           | round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+           |FROM capped a JOIN capped b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.99""".stripMargin
+    )
+  }
+}

@@ -31,7 +31,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries ++ Map(
+    QueriesRelational.queries ++ QueriesPipeline.queries ++ Map(
     // A1/A5-style pricing summary (TPC-H Q1 shape) over lineitem.
     // Decimal-exact sums (order-independent under any partitioning), then a
     // final cast to DOUBLE on BOTH sides: the exact decimal sums are equal,
@@ -61,7 +61,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracleSql ++ Map(
+    QueriesRelational.oracleSql ++ QueriesPipeline.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -21,13 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per identical `key` value.
-    * One hash aggregation, map-side combinable. */
+  /** Default hash for the 100 TB path: Spark-native 64-bit xxhash64
+    * (codegen'd). The oracle path passes [[md5Hex]] instead — slower, but
+    * byte-reproducible in any engine, so DuckDB can replay the identical
+    * pipeline. Both are `Column => Column`, interchangeable below because
+    * minhash/banding only ever need hashing + ordering. */
+  val xxhash: Column => Column = c => xxhash64(c)
+
+  /** Engine-portable hash: lowercase hex md5 string. min() over these is
+    * a lexicographic min — still a uniform minhash. */
+  val md5Hex: Column => Column = c => md5(c.cast("binary"))
+
+  /** Exact dedup: keep the lowest-id row per identical `key` value,
+    * with the duplicate-group size. One hash aggregation, map-side
+    * combinable — no shuffle of payloads, only (key, id, count). */
   def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame =
-    df.withColumn("__k", key)
-      .groupBy(col("__k"))
+    df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-      .drop("__k")
 
   /** Character k-shingles of normalized text, as an array column.
     * sequence+transform (codegen) rather than a UDF. Texts shorter than k
@@ -50,15 +60,16 @@ object Dedup {
         x => x.isNotNull))
   }
 
-  /** One minhash value: min over shingles of a seeded 64-bit hash.
-    * Seeding by concatenating the seed keeps it expressible in plain SQL
-    * (the oracle uses the same construction). */
-  def minhash(ngrams: Column, seed: Int): Column =
-    array_min(transform(ngrams, g => xxhash64(concat(lit(s"$seed:"), g))))
+  /** One minhash value: min over shingles of a seeded hash. Seeding by
+    * concatenating the seed keeps it expressible in plain SQL (the oracle
+    * uses the same construction). */
+  def minhash(ngrams: Column, seed: Int, hashFn: Column => Column = xxhash): Column =
+    array_min(transform(ngrams, g => hashFn(concat(lit(s"$seed:"), g))))
 
   /** k minhash signature values as one array column. */
-  def minhashSignature(ngrams: Column, k: Int): Column =
-    array((0 until k).map(minhash(ngrams, _)): _*)
+  def minhashSignature(ngrams: Column, k: Int,
+                       hashFn: Column => Column = xxhash): Column =
+    array((0 until k).map(minhash(ngrams, _, hashFn)): _*)
 
   /** MinHash-LSH candidate pairs: k minhashes split into `bands` bands of
     * `rowsPerBand`; docs sharing any band signature become a candidate
@@ -66,19 +77,35 @@ object Dedup {
     *
     * The band explode keeps each join key's payload to (band_idx,
     * band_hash) — the join never sees text, and same-band buckets are the
-    * only place pairs materialize. */
+    * only place pairs materialize.
+    *
+    * `maxBucket` is the LSH-hygiene hot-bucket cap: a (band, hash) bucket
+    * with more than `maxBucket` members (thousands of boilerplate or
+    * empty docs colliding on one band) would go quadratic in the
+    * self-join, so oversized buckets are dropped entirely — standard
+    * practice, mandatory at 100 TB. Buckets of 1 are skipped too (they
+    * can't form pairs — pure shuffle savings, same result). */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
-                        ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                        ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                        hashFn: Column => Column = xxhash,
+                        maxBucket: Int = 200): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"), minhashSignature(wordNgrams(text, ngramN), k).as("sig"))
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(wordNgrams(text, ngramN), k, hashFn).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
+          hashFn(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
         .as(Seq("band", "bh")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // bucket-frequency cap: count per (band, hash), keep 2..maxBucket
+    val keep = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .select("band", "bh")
+    val capped = banded.join(keep, Seq("band", "bh"))
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") &&
@@ -87,24 +114,39 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over word tokens: bit i of the signature is the sign
-    * of Σ_tokens (hash(token) bit i ? +1 : -1). Expressed as 64 shifted
-    * bit-sums over exploded tokens — pure aggregates, shuffle keyed by
-    * doc id only. */
-  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
+  /** Generic SimHash over word tokens: bit i of the signature is the sign
+    * of Σ_tokens (bitOf(hash(token), i) ? +1 : -1). Expressed as nBits
+    * shifted bit-sums over exploded tokens — pure aggregates, shuffle
+    * keyed by doc id only (the token explode is O(tokens) rows but each
+    * row is (id, hash): narrow). */
+  def simhashGeneric(df: DataFrame, idCol: String, text: Column, nBits: Int,
+                     tokenHash: Column => Column,
+                     bitOf: (Column, Int) => Column): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       explode(split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")).as("tok"))
-    val h = toks.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    val h = toks.select(col("id"), tokenHash(col("tok")).as("h"))
+    val bitSums = (0 until nBits).map { i =>
+      sum(when(bitOf(col("h"), i) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val sums = h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sigCol = (0 until 64).map { i =>
+    val sigCol = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     sums.select(col("id"), sigCol.as("simhash"))
   }
+
+  /** 64-bit SimHash, xxhash64 token hashing — the production/scale path. */
+  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame =
+    simhashGeneric(df, idCol, text, 64, xxhash,
+      (h, i) => shiftright(h, i).bitwiseAND(1).cast("int"))
+
+  /** 16-bit SimHash with md5-derived bits (bit i = parity of hex digit
+    * i+1 of md5(token)) — engine-portable, so the SQL oracle can replay
+    * it byte-for-byte. Same aggregation machinery as [[simhash64]]. */
+  def simhashMd5_16(df: DataFrame, idCol: String, text: Column): DataFrame =
+    simhashGeneric(df, idCol, text, 16, md5Hex,
+      (h, i) => contains(lit("13579bdf"), substring(h, i + 1, 1)).cast("int"))
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (or all
     * pairs of a small frame): |A∩B| / |A∪B| over word n-gram sets.

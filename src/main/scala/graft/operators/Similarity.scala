@@ -46,32 +46,65 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed xxhash-derived value in [-0.5, 0.5). Same construction is
-    * expressible in the SQL oracle. */
+    * a fixed xxhash-derived value in [-0.5, 0.5). The scale path. */
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(concat_ws(":", lit(plane), dim)), lit(1000000)).cast("double") / 1000000.0) - 0.5
 
+  /** Engine-portable plane component: the first 5 hex digits of
+    * md5("plane:dim") read as a base-16 integer, scaled to [-0.5, 0.5).
+    * Every step (md5 hex, ascii digit values, /2^20, -0.5) is exact in
+    * double and available verbatim in DuckDB — the oracle replays it
+    * bit-for-bit. */
+  private def planeComponentHex(plane: Int, dim: Column): Column = {
+    val h = md5(concat(lit(s"$plane:"), dim.cast("string")).cast("binary"))
+    val digits = (1 to 5).map { j =>
+      val a = ascii(substring(h, j, 1))
+      val dv = when(a <= 57, a - 48).otherwise(a - 87) // '0'-'9' | 'a'-'f'
+      dv.cast("double") * math.pow(16, j - 1)
+    }
+    digits.reduce(_ + _) / 1048576.0 - 0.5 // 16^5
+  }
+
+  private def component(plane: Int, dim: Column, portable: Boolean): Column =
+    if (portable) planeComponentHex(plane, dim) else planeComponent(plane, dim)
+
   /** Sign-random-projection bucket id for a vector: h sign bits packed
-    * into a long. */
-  def srpBucket(vec: Column, hPlanes: Int): Column = {
+    * into a long. `portable=true` switches to the md5-derived planes the
+    * SQL oracle can reproduce. */
+  def srpBucket(vec: Column, hPlanes: Int, portable: Boolean = false): Column = {
     val bits = (0 until hPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-                 (v, i) => v.cast("double") * planeComponent(p, i)),
+                 (v, i) => v.cast("double") * component(p, i, portable)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Persist the SRP bucket as a real column (`srp_bucket`) so repeated
+    * ANN queries — or a bucket-partitioned write — reuse one bucketing
+    * instead of recomputing it per query over the full scan. At scale:
+    * write the frame partitioned/bucketed by this column once, then every
+    * query prunes to one bucket's files. */
+  def withSrpBucket(df: DataFrame, vecCol: String, hPlanes: Int,
+                    portable: Boolean = false): DataFrame =
+    df.withColumn("srp_bucket", srpBucket(col(vecCol), hPlanes, portable))
+
   /** ANN top-k: scan only vectors in the query's SRP bucket. Recall is
-    * tunable via hPlanes (fewer planes → bigger buckets → higher recall). */
+    * tunable via hPlanes (fewer planes → bigger buckets → higher recall).
+    * If `df` already carries `srp_bucket` (from [[withSrpBucket]]) it is
+    * reused — that's the persisted-bucket fast path. */
   def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-                      queryVec: Array[Float], k: Int, hPlanes: Int = 4): DataFrame = {
+                      queryVec: Array[Float], k: Int, hPlanes: Int = 4,
+                      portable: Boolean = false): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
-    val qBucket = srpBucket(q, hPlanes)
-    df.withColumn("__bucket", srpBucket(col(vecCol), hPlanes))
-      .filter(col("__bucket") === qBucket)
+    val qBucket = srpBucket(q, hPlanes, portable)
+    val bucketed =
+      if (df.columns.contains("srp_bucket")) df
+      else withSrpBucket(df, vecCol, hPlanes, portable)
+    bucketed
+      .filter(col("srp_bucket") === qBucket)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
@@ -79,15 +112,24 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, restricted to
     * same-SRP-bucket candidates (id_a < id_b). The bucket equi-join is
-    * the only shuffle; norms are precomputed per side. */
+    * the only shuffle; norms are precomputed per side. `maxBucket` is the
+    * hot-bucket cap (see Dedup.minhashCandidates): a bucket larger than
+    * the cap — e.g. a degenerate all-zeros embedding cluster — is dropped
+    * before the self-join instead of going quadratic. */
   def pairwiseCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, hPlanes: Int = 4): DataFrame = {
+                               threshold: Double, hPlanes: Int = 4,
+                               portable: Boolean = false,
+                               maxBucket: Int = 10000): DataFrame = {
     val withB = df.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), hPlanes).as("bucket"),
+      srpBucket(col(vecCol), hPlanes, portable).as("bucket"),
       norm(col(vecCol)).as("nrm"))
-    val a = withB.as("a")
-    val b = withB.as("b")
+    val keep = withB.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .select("bucket")
+    val capped = withB.join(keep, Seq("bucket"))
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -15,24 +15,36 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Tiny per-language stopword marker sets for the n-gram/stopword
-    * language-ID heuristic. Word-boundary regex counting. */
+    * language-ID heuristic. Latin-script markers count with word-boundary
+    * regexes; the zh markers are actual CJK function characters (的 是
+    * 了 在 和) counted by plain substring occurrence — `\b` never fires
+    * around CJK in Java's default regex word model, and romanized
+    * tone-numbered pinyin would never appear in real Chinese text. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "es" -> Seq("el", "los", "las", "una", "y"),
-    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+    "zh" -> Seq("的", "是", "了", "在", "和")
   )
 
   /** Word-boundary occurrence count — zero-width `\b` anchors avoid the
     * consumed-separator undercount of whitespace-delimited patterns
     * ("the the" must count 2). */
-  private def countMatches(c: Column, word: String): Column =
+  def countMatches(c: Column, word: String): Column =
     size(split(c, s"\\b${java.util.regex.Pattern.quote(word)}\\b", -1)) - 1
 
-  /** Score one language: number of marker-word occurrences. */
+  /** Plain substring occurrence count (CJK markers — no word boundaries). */
+  def countOccurrences(c: Column, s: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(s), ""))) / s.length)
+      .cast("int")
+
+  private def isLatinWord(w: String): Boolean = w.forall(ch => ch >= 'a' && ch <= 'z')
+
+  /** Score one language: number of marker occurrences. */
   def langScore(text: Column, lang: String): Column =
-    langMarkers(lang).map(w => countMatches(text, w))
+    langMarkers(lang)
+      .map(w => if (isLatinWord(w)) countMatches(text, w) else countOccurrences(text, w))
       .reduce(_ + _)
 
   /** Predicted language = argmax over marker scores; ties break to the
@@ -93,4 +105,9 @@ object TextAnalysis {
     * whitespace-normalized, lowercased text (rolling-hash analog). */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Engine-portable fingerprint: md5 hex of the same normalization —
+    * reproducible from any SQL engine (the oracle path). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 }
