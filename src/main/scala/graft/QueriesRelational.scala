@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Checksum, Reconcile}
-import graft.streaming.IncrementalSync
+import graft.streaming.{IncrementalSync, SyncCycle}
 import graft.types.TaggedJson
 
 /** Relational / replication-semantics queries (SURVEY.md §2.1–§2.10),
@@ -151,6 +151,22 @@ object QueriesRelational {
     "q_jsonb_encode" -> ((s, dir) =>
       TaggedJson.toJsonbModel(t(s, dir, "nation"), col("n_nationkey"), "sqlite")),
 
+    // T1–T5 full sync cycle end-to-end: a stale target (rows at/below the
+    // watermark, plus planted orphan rows whose keys no longer exist in
+    // the source) is driven through one incremental-upsert + delete-
+    // reconciliation cycle — the merged target must equal the source
+    // EXACTLY, which is precisely what the oracle checks.
+    "q_sync_cycle" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+      val watermark = 5000L
+      val target0 = ev.filter(col("event_id") <= watermark)
+        .unionByName(ev.filter(col("event_id") % 100 === 0)
+          .withColumn("event_id", col("event_id") + 10000000))
+      val (merged, _) = SyncCycle.runCycle(ev, target0, "event_id",
+        Seq("event_id"), watermark, reconcile = true)
+      merged
+    }),
+
     // P7 config fingerprint semantics: order-insensitive SHA-256 over the
     // distinct source set (filters.rs:81-108 uses sorted components).
     "q_fingerprint" -> ((s, dir) =>
@@ -235,6 +251,9 @@ object QueriesRelational {
         | '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS data,
         | 'sqlite' AS _source_type
         |FROM nation""".stripMargin,
+
+    "q_sync_cycle" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "q_fingerprint" ->
       """SELECT sha256(string_agg(source, ',' ORDER BY source)) AS fp,

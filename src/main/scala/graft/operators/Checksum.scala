@@ -43,11 +43,13 @@ object Checksum {
   }
 
   /** Scalable order-insensitive checksum: per-row 64-bit hash (xxhash64 of
-    * the rendered row text), summed. Commutative+associative → map-side
-    * partial aggregation, no ordering requirement, no data movement
-    * beyond one long per partition. */
+    * the rendered row text), summed as DECIMAL(38,0) — a long sum of
+    * 2^63-scale hashes overflows immediately under Spark 4's ANSI mode,
+    * and the decimal sum stays exact to ~10^19 rows. Commutative +
+    * associative → map-side partial aggregation, no ordering requirement,
+    * no data movement beyond one value per partition. */
   def unorderedChecksum(df: DataFrame): DataFrame =
-    df.select(xxhash64(rowText(df)).as("h"))
+    df.select(xxhash64(rowText(df)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
       .agg(
         sum(col("h")).as("hash_sum"),
         count(lit(1)).as("row_count"))
@@ -58,6 +60,6 @@ object Checksum {
     val s = unorderedChecksum(source).head()
     val t = unorderedChecksum(target).head()
     s.getLong(1) == t.getLong(1) &&
-      (s.getLong(1) == 0L || s.getLong(0) == t.getLong(0))
+      (s.getLong(1) == 0L || s.get(0) == t.get(0))
   }
 }

@@ -1,0 +1,166 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.{Checkpoint, ReplicationFilter, TableRules}
+import graft.operators.Checksum
+import graft.snapshot.SnapshotJob
+import graft.streaming.{IncrementalSync, SyncCycle, SyncStateStore, TableSyncState}
+
+/** Job-layer tests: checkpoint/resume roundtrip (`src/checkpoint.rs:180-214`),
+  * sync state persistence (`src/xmin/state.rs:165-253`), the snapshot job
+  * end-to-end, and the sync cycle incl. wraparound
+  * (`src/xmin/reader.rs:533-643`). */
+class JobsSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+  private def tmpDir(prefix: String) = Files.createTempDirectory(prefix)
+
+  // ---- Checkpoint -----------------------------------------------------
+
+  test("checkpoint json roundtrip preserves identity and completed set") {
+    val cp = Checkpoint("ab12", "cd34", "ef56", Set("t1", "t2"))
+    assert(Checkpoint.fromJson(cp.toJson) == Right(cp))
+  }
+
+  test("checkpoint save is atomic and load returns the saved value") {
+    val dir = tmpDir("cp")
+    val p = dir.resolve("checkpoint.json")
+    val cp = Checkpoint("a1", "b2", "c3", Set("nation"))
+    cp.save(p)
+    assert(Checkpoint.load(p).contains(cp))
+    assert(!Files.exists(dir.resolve("checkpoint.json.tmp"))) // temp cleaned by move
+  }
+
+  test("resume discards a checkpoint whose filter fingerprint changed") {
+    val dir = tmpDir("cp2")
+    val p = dir.resolve("cp.json")
+    val f1 = ReplicationFilter(excludeTables = Set("db.skipme"))
+    Checkpoint.fresh("s", "t", f1, TableRules()).markCompleted("done").save(p)
+    val sameFilter = Checkpoint.resume(p, "s", "t", f1, TableRules())
+    assert(sameFilter.completed == Set("done"))
+    val newFilter = Checkpoint.resume(p, "s", "t", ReplicationFilter(), TableRules())
+    assert(newFilter.completed.isEmpty) // incompatible → fresh
+  }
+
+  test("endpointHash strips credentials before hashing") {
+    val a = Checkpoint.endpointHash("postgresql://u:secret1@h:5432/db")
+    val b = Checkpoint.endpointHash("postgresql://u:secret2@h:5432/db")
+    assert(a == b) // password must not affect checkpoint identity
+  }
+
+  // ---- SyncStateStore -------------------------------------------------
+
+  test("sync state store persists watermarks across instances") {
+    val p = tmpDir("st").resolve("state.jsonl")
+    val s1 = new SyncStateStore(p)
+    assert(s1.watermark("public", "events") == 0L)
+    s1.update(TableSyncState("public", "events", 5000L, 123L, 99L))
+    s1.update(TableSyncState("public", "orders", 77L, 124L, 10L))
+    val s2 = new SyncStateStore(p) // fresh load from disk
+    assert(s2.watermark("public", "events") == 5000L)
+    assert(s2.get("public", "orders").map(_.lastRowCount).contains(10L))
+    assert(s2.all.map(_.key) == Seq("public.events", "public.orders"))
+  }
+
+  // ---- SnapshotJob ----------------------------------------------------
+
+  test("snapshot job copies, filters, applies schema-only, checkpoints, resumes") {
+    val s = spark
+    import s.implicits._
+    val src = tmpDir("snap-src").toString
+    val tgt = tmpDir("snap-tgt").toString
+    val cpPath = tmpDir("snap-cp").resolve("cp.json")
+
+    (1 to 100).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.parquet(s"$src/alpha.parquet")
+    (1 to 50).map(i => (i, i * 2.0)).toDF("id", "v")
+      .write.parquet(s"$src/beta.parquet")
+    (1 to 10).map(i => Tuple1(i)).toDF("id")
+      .write.parquet(s"$src/gamma.parquet")
+
+    val filter = ReplicationFilter(excludeTables = Set("db.gamma"))
+    val rules = TableRules(schemaOnly = Set("db.beta"))
+    val r1 = SnapshotJob.run(s, "db", src, tgt, filter, rules,
+      checkpointPath = Some(cpPath), verify = true)
+
+    assert(r1.copied.sorted == Seq("alpha", "beta"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tgt/gamma.parquet")))
+    // schema-only: empty data, full schema
+    val beta = SnapshotJob.targetTable(s, tgt, "beta")
+    assert(beta.count() == 0 && beta.columns.toSeq == Seq("id", "v"))
+    // copied table matches the source
+    assert(Checksum.tablesMatch(
+      s.read.parquet(s"$src/alpha.parquet"),
+      SnapshotJob.targetTable(s, tgt, "alpha")))
+    // resume: everything already completed → all skipped
+    val r2 = SnapshotJob.run(s, "db", src, tgt, filter, rules,
+      checkpointPath = Some(cpPath))
+    assert(r2.skipped.sorted == Seq("alpha", "beta") && r2.copied.isEmpty)
+    // changed filter → checkpoint invalidated → re-copies
+    val r3 = SnapshotJob.run(s, "db", src, tgt, ReplicationFilter(), rules,
+      checkpointPath = Some(cpPath))
+    assert(r3.copied.contains("gamma"))
+  }
+
+  // ---- SyncCycle ------------------------------------------------------
+
+  private def kv(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("one cycle applies inserts+updates (upsert) and reconciles deletes") {
+    val source = kv(Seq(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // target is stale: old value for id=2 (its version advanced in source),
+    // missing 3,4, and holds an orphan id=9 deleted upstream
+    val target = kv(Seq(1L -> "a", 2L -> "b-old", 9L -> "ghost"))
+    // versions: id doubles as the version column; watermark 1 → changes = {2,3,4}
+    val (merged, report) = SyncCycle.runCycle(source, target, "id", Seq("id"),
+      watermark = 1L, reconcile = true)
+    assert(report.changes == 3 && report.newWatermark == 4L && !report.fullResync)
+    assert(merged.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("upsert replay is idempotent (T4)") {
+    val source = kv(Seq(1L -> "a", 2L -> "b"))
+    val once = SyncCycle.applyUpserts(kv(Seq(1L -> "a-old")), source, Seq("id"))
+    val twice = SyncCycle.applyUpserts(once, source, Seq("id"))
+    assert(Checksum.tablesMatch(once, twice))
+  }
+
+  test("wraparound triggers full resync (reader.rs:35-48)") {
+    assert(IncrementalSync.detectWraparound(3000000000L, 5L))
+    assert(!IncrementalSync.detectWraparound(100L, 5L)) // small backwards move: no
+    assert(!IncrementalSync.detectWraparound(5L, 3000000000L)) // forward: no
+    val source = kv(Seq(1L -> "a", 2L -> "b"))
+    val target = kv(Seq(99L -> "stale"))
+    val (merged, report) = SyncCycle.runCycle(source, target, "id", Seq("id"),
+      watermark = 3000000000L)
+    assert(report.fullResync)
+    assert(merged.count() == 2) // target replaced wholesale
+  }
+
+  test("runLoop persists watermarks and converges the parquet target") {
+    val s = spark
+    import s.implicits._
+    val tgtDir = tmpDir("sync-tgt").toString + "/t.parquet"
+    val statePath = tmpDir("sync-state").resolve("state.jsonl")
+    val source = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    source.filter(col("id") <= 5).write.parquet(tgtDir) // stale target
+    val store = new SyncStateStore(statePath)
+    store.update(TableSyncState("public", "t", 5L, 0L, 5L))
+    val reports = SyncCycle.runLoop(() => source, tgtDir, "public", "t", "id",
+      Seq("id"), store, cycles = 2, reconcileEvery = 1)
+    assert(reports.head.changes == 15 && reports.head.newWatermark == 20L)
+    assert(reports(1).changes == 0) // second cycle: caught up
+    assert(new SyncStateStore(statePath).watermark("public", "t") == 20L)
+    assert(Checksum.tablesMatch(source, s.read.parquet(tgtDir)))
+  }
+}
