@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for [[JsonNumber.format]] — a custom
+  * `Expression` with `doGenCode` (one static-call per value inside
+  * whole-stage codegen) rather than a Scala UDF (which would box, break
+  * the codegen span, and serialize a closure per task).
+  */
+case class JsonDoubleText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_double"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_json_double expects DOUBLE, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(JsonNumber.format(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.functions.JsonNumber.format($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): JsonDoubleText =
+    copy(child = newChild)
+}
+
+/** Session extensions registering graft's native functions — install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_json_double"),
+      new ExpressionInfo(classOf[JsonDoubleText].getName, "graft_json_double"),
+      (children: Seq[Expression]) => JsonDoubleText(children.head)))
+  }
+}

@@ -24,17 +24,31 @@ import org.apache.spark.sql.types._
   */
 object TaggedJson {
 
-  /** JSON string escaping: backslash, quote, and control chars the
-    * reference's serde_json would escape. Codegen-friendly regexp chain. */
+  /** JSON string escaping with FULL serde_json parity: backslash, quote,
+    * the five shorthand control escapes (\b \t \n \f \r), and \u00XX for
+    * every other char below 0x20 (serde escapes them all — a stray 0x01
+    * in a document must not produce invalid JSON). Codegen-friendly
+    * regexp chain; the 27 rare-control replacements are generated
+    * statically. */
   def jsonEscape(c: Column): Column = {
-    val esc = regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(c, "\\\\", "\\\\\\\\"),
-          "\"", "\\\\\""),
-        "\n", "\\\\n"),
-      "\r", "\\\\r")
-    regexp_replace(esc, "\t", "\\\\t")
+    val shorthand = Seq(
+      "\\\\" -> "\\\\\\\\", // backslash FIRST (it appears in every escape)
+      "\"" -> "\\\\\"",
+      "\b" -> "\\\\b",
+      "\t" -> "\\\\t",
+      "\n" -> "\\\\n",
+      "\f" -> "\\\\f",
+      "\r" -> "\\\\r")
+    val base = shorthand.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, from, to)
+    }
+    // remaining C0 controls → \u00XX (lowercase hex, serde style);
+    // the replacement is Java-Matcher-escaped: source "\\\\" = chars \\
+    // = one emitted backslash
+    (0x00 until 0x20).filterNot(Seq(0x08, 0x09, 0x0a, 0x0c, 0x0d).contains)
+      .foldLeft(base) { (acc, code) =>
+        regexp_replace(acc, f"\\x$code%02x", f"\\\\u$code%04x")
+      }
   }
 
   /** A JSON string literal from a string column (null → JSON null). */
@@ -43,13 +57,17 @@ object TaggedJson {
       .otherwise(concat(lit("\""), jsonEscape(c), lit("\"")))
 
   /** Numbers: finite → bare number; NaN/±Infinity → JSON *string*
-    * (`src/sqlite/converter.rs:43-51`, same rule in all three converters). */
+    * (`src/sqlite/converter.rs:43-51`, same rule in all three converters).
+    * Finite rendering is serde_json/Ryū-parity via the native
+    * `graft_json_double` expression (registered by
+    * [[graft.functions.GraftExtensions]]) — Spark's plain string cast
+    * would write `1.0E7` where serde writes `10000000.0`. */
   def jsonDouble(c: Column): Column =
     when(c.isNull, lit("null"))
       .when(isnan(c), lit("\"NaN\""))
       .when(c === Double.PositiveInfinity, lit("\"Infinity\""))
       .when(c === Double.NegativeInfinity, lit("\"-Infinity\""))
-      .otherwise(c.cast(StringType))
+      .otherwise(call_function("graft_json_double", c.cast(DoubleType)))
 
   def jsonLong(c: Column): Column =
     when(c.isNull, lit("null")).otherwise(c.cast(StringType))
@@ -92,6 +110,38 @@ object TaggedJson {
   def decimalString(c: Column): Column =
     when(c.isNull, lit("null"))
       .otherwise(concat(lit("\""), c.cast(StringType), lit("\"")))
+
+  /** Mongo Regex tag (`src/mongodb/converter.rs:94-101`). */
+  def regexTag(pattern: Column, options: Column): Column =
+    concat(lit("{\"_type\":\"regex\",\"pattern\":"), jsonString(pattern),
+           lit(",\"options\":"), jsonString(options), lit("}"))
+
+  /** BSON Timestamp tag — seconds + increment
+    * (`src/mongodb/converter.rs:102-109`). */
+  def bsonTimestampTag(t: Column, i: Column): Column =
+    concat(lit("{\"_type\":\"timestamp\",\"t\":"), jsonLong(t),
+           lit(",\"i\":"), jsonLong(i), lit("}"))
+
+  /** MinKey / MaxKey tags (`src/mongodb/converter.rs:118-129`). */
+  val minKeyTag: Column = lit("{\"_type\":\"minkey\"}")
+  val maxKeyTag: Column = lit("{\"_type\":\"maxkey\"}")
+
+  /** MySQL TIME tag: signed duration `[-]Nd HH:MM:SS.ffffff` from a
+    * total-microseconds column (`src/mysql/converter.rs:91-102`). */
+  def mysqlTimeTag(totalMicros: Column): Column = {
+    val a = abs(totalMicros)
+    val days = (a / 86400000000L).cast("long")
+    val hours = (a % 86400000000L / 3600000000L).cast("long")
+    val minutes = (a % 3600000000L / 60000000L).cast("long")
+    val seconds = (a % 60000000L / 1000000L).cast("long")
+    val micros = (a % 1000000L).cast("long")
+    val sign = when(totalMicros < 0, lit("-")).otherwise(lit(""))
+    when(totalMicros.isNull, lit("null")).otherwise(
+      concat(lit("{\"_type\":\"time\",\"value\":\""),
+        format_string("%s%dd %02d:%02d:%02d.%06d",
+          sign, days, hours, minutes, seconds, micros),
+        lit("\"}")))
+  }
 
   /** Encode one column of a known Spark type to its tagged-JSON fragment.
     * `mongoStyle` switches timestamp encoding between the Mongo epoch-ms

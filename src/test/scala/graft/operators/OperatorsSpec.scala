@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.streaming.IncrementalSync
+import graft.types.IdExtraction
+
+/** Operator-level tests: dedup/similarity/text-analysis semantics, the
+  * LSH hot-bucket cap, checksums, reconciliation, id extraction. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- Dedup ----------------------------------------------------------
+
+  test("exactDedup keeps lowest id per key with group size") {
+    val out = Dedup.exactDedup(
+      docs(1L -> "aa", 2L -> "bb", 3L -> "aa", 4L -> "aa"), "doc_id", col("text"))
+      .orderBy("dup_key").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("aa", 1L, 3L), ("bb", 2L, 1L)))
+  }
+
+  test("wordNgrams builds distinct n-grams; short texts yield none") {
+    val s = spark
+    val g = docs(1L -> "the quick brown fox the quick brown")
+      .select(Dedup.wordNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(g.toSet == Set("the quick brown", "quick brown fox", "brown fox the",
+      "fox the quick"))
+    val short = docs(1L -> "just two")
+      .select(Dedup.wordNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhashCandidates finds planted near-dups and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = docs(
+      1L -> base,
+      2L -> (base + " extra"),          // near-dup of 1
+      3L -> "completely different words with nothing shared at all here now today")
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
+      ngramN = 3, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("hot-bucket cap drops oversized LSH buckets (no quadratic blowup)") {
+    // 50 identical docs share every band bucket → bucket size 50
+    val many = docs((1L to 50L).map(i => i -> "same words repeated here often enough"): _*)
+    val capped = Dedup.minhashCandidates(many, "doc_id", col("text"),
+      ngramN = 3, bands = 4, rowsPerBand = 2, maxBucket = 10)
+    assert(capped.count() == 0) // bucket of 50 > cap of 10 → dropped entirely
+    val uncapped = Dedup.minhashCandidates(many, "doc_id", col("text"),
+      ngramN = 3, bands = 4, rowsPerBand = 2, maxBucket = 10000)
+    assert(uncapped.count() == 50L * 49 / 2) // the quadratic pair set
+  }
+
+  test("simhash64: near-dup docs land within small Hamming distance") {
+    val a = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val sigs = Dedup.simhash64(
+      docs(1L -> a, 2L -> (a + " quickly"), 3L -> "entirely unrelated content about cooking pasta"),
+      "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    assert(hamming(sigs(1L), sigs(2L)) <= 8)
+  }
+
+  test("ngramJaccard computes the exact set similarity on candidates") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs(1L -> "a b c d e", 2L -> "a b c d f")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 2, cands).head().getDouble(2)
+    // 2-grams: {ab,bc,cd,de} vs {ab,bc,cd,df}: |∩|=3, |∪|=5
+    assert(j == 0.6)
+  }
+
+  // ---- Similarity -----------------------------------------------------
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine with the query itself first") {
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val out = Similarity.bruteForceTopK(
+      vecs(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f), 3L -> Seq(0f, 1f, 0f)),
+      "vec_id", "embedding", q, 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.getDouble(1) == 1.0)
+  }
+
+  test("srpBucket is invariant under positive scaling (both plane kinds)") {
+    for (portable <- Seq(false, true)) {
+      val out = vecs(1L -> Seq(0.3f, -0.7f, 0.2f, 0.9f), 2L -> Seq(0.6f, -1.4f, 0.4f, 1.8f))
+        .select(Similarity.srpBucket(col("embedding"), 4, portable).as("b"))
+        .collect().map(_.getLong(0))
+      assert(out(0) == out(1))
+    }
+  }
+
+  test("pairwiseCosineCandidates finds scaled duplicates above threshold") {
+    val out = Similarity.pairwiseCosineCandidates(
+      vecs(1L -> Seq(0.3f, -0.7f, 0.2f), 2L -> Seq(0.6f, -1.4f, 0.4f),
+        3L -> Seq(-0.5f, 0.5f, 0.8f)),
+      "vec_id", "embedding", threshold = 0.99, hPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("lshBucketedTopK reuses a persisted srp_bucket column") {
+    val pre = Similarity.withSrpBucket(
+      vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(-1f, 0f)),
+      "embedding", 3)
+    assert(pre.columns.contains("srp_bucket"))
+    val out = Similarity.lshBucketedTopK(pre, "vec_id", "embedding",
+      Array(1.0f, 0.0f), 5, hPlanes = 3)
+    // query bucket contains ids 1,2 (same signs) but not the negated vector
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  // ---- TextAnalysis ---------------------------------------------------
+
+  test("langId picks the marker-dominant language, und when silent") {
+    val out = docs(
+      1L -> "the cat and the dog of the house",
+      2L -> "der Hund und die Katze ist das",
+      3L -> "le chat et la maison les des",
+      4L -> "xyzzy qwerty plugh")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("zh markers count CJK characters by substring occurrence") {
+    val zhText = "这是一个测试的文本在这里" // contains 的/在/是
+    val score = docs(1L -> zhText)
+      .select(TextAnalysis.langScore(lower(col("text")), "zh").as("s"))
+      .head().getInt(0)
+    assert(score >= 3)
+  }
+
+  test("token counts: whitespace vs BPE-ish punctuation splitting") {
+    val out = docs(1L -> "Hello, world! It's 42.")
+      .select(
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .head()
+    assert(out.getInt(0) == 4)
+    // Hello , world ! It ' s 42 . → 9
+    assert(out.getInt(1) == 9)
+  }
+
+  test("countMatches counts adjacent whole words correctly") {
+    val n = docs(1L -> "the the theater the")
+      .select(TextAnalysis.countMatches(col("text"), "the").as("n"))
+      .head().getInt(0)
+    assert(n == 3) // 'theater' must not match
+  }
+
+  test("quality score stays in [0,1] and rewards clean text") {
+    val out = docs(
+      1L -> ("this is a perfectly normal sentence with the usual words in it " * 3),
+      2L -> "!!!???@@@###")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) <= 1.0 / 3 + 1e-9)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = docs(1L -> "Hello   World", 2L -> "hello world", 3L -> "hello worlds")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  // ---- Checksum / Reconcile / IncrementalSync / IdExtraction ---------
+
+  test("orderedChecksum is 'empty' on empty tables and order-stable") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("a", "b")
+    assert(Checksum.orderedChecksum(empty).head().getString(0) == "empty")
+    val x = Seq((1, "a"), (2, "b")).toDF("a", "b")
+    val y = Seq((2, "b"), (1, "a")).toDF("a", "b")
+    assert(Checksum.orderedChecksum(x).head().getString(0) ==
+      Checksum.orderedChecksum(y).head().getString(0))
+  }
+
+  test("tablesMatch detects equality and any single-value difference") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    assert(Checksum.tablesMatch(a, a.orderBy(desc("id"))))
+    assert(!Checksum.tablesMatch(a, Seq((1, "x"), (2, "z")).toDF("id", "v")))
+    assert(!Checksum.tablesMatch(a, Seq((1, "x")).toDF("id", "v")))
+  }
+
+  test("orphanedKeys text-casts PKs on both sides (reconciler.rs:469-475)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq(1L, 2L, 3L).toDF("id")
+    val source = Seq("1", "3").toDF("id") // string-typed source PKs
+    val orphans = Reconcile.orphanedKeys(source, target, Seq("id"))
+      .collect().map(_.getString(0))
+    assert(orphans.toSeq == Seq("2"))
+  }
+
+  test("latestByKey keeps the max-cursor row per key") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(("u1", 1L, "a"), ("u1", 3L, "c"), ("u2", 2L, "b"))
+      .toDF("user_id", "cursor", "payload")
+    val out = IncrementalSync.latestByKey(changes, Seq("user_id"), "cursor")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("u1", 3L, "c"), ("u2", 2L, "b")))
+  }
+
+  test("splitChanges separates deletes from upserts") {
+    val s = spark
+    import s.implicits._
+    val ch = Seq((1L, "insert"), (2L, "update"), (3L, "delete")).toDF("id", "op")
+    val (up, del) = IncrementalSync.splitChanges(ch, "op")
+    assert(up.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(del.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("id extraction: heuristic column used only when verified unique") {
+    val s = spark
+    import s.implicits._
+    val unique = Seq((1, "a"), (2, "b")).toDF("ID", "v")
+    val (_, name) = IdExtraction.withId(unique, None)
+    assert(name == "ID") // case-insensitive heuristic hit + uniqueness pass
+    val dupes = Seq((1, "a"), (1, "b")).toDF("id", "v")
+    val (framed, fallback) = IdExtraction.withId(dupes, None)
+    assert(fallback == "<row_number>") // fails uniqueness → row numbers
+    assert(framed.select("__id").collect().map(_.getString(0)).toSet == Set("1", "2"))
+  }
+
+  test("rowNumberIds assigns stable 1-based global numbers without a global window") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (100 - i, s"v$i")).toDF("k", "v").repartition(7)
+    val out = IdExtraction.rowNumberIds(df, Seq(col("k")))
+    val pairs = out.select("k", "__rid").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(pairs.map(_._2).toSeq == (1L to 100L)) // rid follows k order exactly
+  }
+}
