@@ -253,7 +253,24 @@ object QueriesPipeline {
     "q_cosine_pairs" -> ((s, dir) =>
       Similarity.pairwiseCosineCandidates(scaledDupEmbeddings(s, dir),
         "vec_id", "embedding", threshold = 0.99, hPlanes = 3,
-        portable = true, maxBucket = 10000))
+        portable = true, maxBucket = 10000)),
+
+    // Multimodal column plumbing: documents as opaque binary payloads +
+    // typed metadata (byte length, content hash, stub dims) — the
+    // SQL-expressible half of the media pipeline; the codec passes are
+    // unit-tested (no media libs in this environment).
+    "q_multimodal_meta" -> ((s, dir) => {
+      val payload = encode(col("text"), "UTF-8")
+      val meta = graft.operators.Multimodal.columnMeta(payload)
+      t(s, dir, "documents").select(
+        col("doc_id") +: meta.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // T8 watermarked tumbling-window aggregation (Structured Streaming
+    // shape, run here in batch mode so the oracle can replay it).
+    "q_tumbling_window" -> ((s, dir) =>
+      graft.streaming.StreamingSync.windowedEventCounts(
+        Tables.events(s, dir), "1 hour"))
   )
 
   val oracleSql: Map[String, String] = {
@@ -361,6 +378,20 @@ object QueriesPipeline {
            |FROM embeddings
            |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id,
+          | octet_length(encode(text)) AS n_bytes,
+          | sha256(text) AS sha,
+          | octet_length(encode(text)) % 640 + 1 AS width,
+          | octet_length(encode(text)) * 7 % 480 + 1 AS height
+          |FROM documents""".stripMargin,
+
+      "q_tumbling_window" ->
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+          | count(*) AS n_events,
+          | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q_cosine_pairs" ->
         s"""WITH $sqlEmbCorpus,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.streaming.StreamingSync
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def media() = {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hello world payload"), (2L, "x")).toDF("id", "txt")
+    Multimodal.toMediaFrame(df, col("id"), encode(col("txt"), "UTF-8"),
+      kind = "image", format = "fake")
+  }
+
+  test("toMediaFrame carries opaque binary + typed metadata") {
+    val m = media()
+    // same names and types (nullability flags differ for literal columns;
+    // simpleString renders structure without them)
+    assert(m.schema.simpleString == Multimodal.mediaSchema.simpleString)
+    val r = m.orderBy("media_id").head()
+    assert(r.getAs[String]("kind") == "image")
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world payload")
+    assert(r.getStruct(3).getAs[Int]("n_bytes") == 19)
+    assert(r.getStruct(3).isNullAt(1)) // width unknown before decode
+  }
+
+  test("decodeMeta fills dims partition-wise via the codec") {
+    val decoded = Multimodal.decodeMeta(media(), Multimodal.StubCodec)
+      .orderBy("media_id").collect()
+    val m1 = decoded(0).getStruct(3)
+    assert((m1.getAs[Int]("width"), m1.getAs[Int]("height")) ==
+      Multimodal.StubCodec.decodeDims("hello world payload".getBytes("UTF-8")))
+  }
+
+  test("resizeMedia rewrites payload and dims deterministically") {
+    val resized = Multimodal.resizeMedia(media(), Multimodal.StubCodec, 2, 3)
+      .orderBy("media_id").collect()
+    assert(resized(0).getAs[Array[Byte]]("payload").length == 6) // 2*3 target
+    val meta = resized(0).getStruct(3)
+    assert(meta.getAs[Int]("width") == 2 && meta.getAs[Int]("height") == 3)
+    assert(resized(1).getAs[Array[Byte]]("payload").length == 1) // min(6, len)
+  }
+
+  test("sampleFrames emits byte-slice frames with stable indexes") {
+    val frames = Multimodal.sampleFrames(media().filter(col("media_id") === 1),
+      Multimodal.StubCodec, 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    val joined = frames.sortBy(_.getInt(1))
+      .flatMap(_.getAs[Array[Byte]]("frame"))
+    assert(new String(joined, "UTF-8").startsWith("hello world payl"))
+  }
+
+  test("NativeCodec is an explicit stub (no media libs here)") {
+    intercept[UnsupportedOperationException] { Multimodal.NativeCodec() }
+  }
+
+  test("windowed aggregation over a real stream with watermark + late data") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val t0 = Timestamp.valueOf("2024-05-01 10:05:00")
+    val t1 = Timestamp.valueOf("2024-05-01 10:55:00")
+    val t2 = Timestamp.valueOf("2024-05-01 11:10:00")
+    input.addData((t0, "click", 1.5), (t1, "click", 2.5), (t2, "view", 4.0))
+    StreamingSync.runWindowedToMemory(events, "1 hour", "10 minutes", "win_sink")
+
+    val out = s.sql("SELECT * FROM win_sink")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("2024-05-01 10:00:00.0", "click", 2L, 4.0),
+      ("2024-05-01 11:00:00.0", "view", 1L, 4.0)))
+  }
+
+  test("streaming latestByKey state keeps only the newest cursor per key") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[StreamingSync.Change]
+    val q = StreamingSync.latestByKeyStream(input.toDS())
+      .writeStream.format("memory").queryName("latest_sink")
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData(
+      StreamingSync.Change("u1", 1L, "a"),
+      StreamingSync.Change("u1", 3L, "c"),
+      StreamingSync.Change("u2", 2L, "b"))
+    q.processAllAvailable()
+    // an older replayed change must NOT regress the state
+    input.addData(StreamingSync.Change("u1", 2L, "stale"))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = s.sql("SELECT key, cursor, payload FROM latest_sink")
+      .groupBy("key").agg(max_by(struct(col("cursor"), col("payload")), col("cursor")).as("m"))
+      .select(col("key"), col("m.cursor"), col("m.payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(last == Set(("u1", 3L, "c"), ("u2", 2L, "b")))
+  }
+}
