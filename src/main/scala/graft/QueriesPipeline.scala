@@ -81,11 +81,11 @@ object QueriesPipeline {
   /** 8-seed md5 minhash signature + 4 banded hashes + hot-bucket cap —
     * the exact mirror of Dedup.minhashCandidates(…, md5Hex, 200). */
   private val sqlBandedCapped = {
-    val sig = (0 until 8)
+    val sig = (0 until 12)
       .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
       .mkString("[", ", ", "]")
     val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, md5(sig[${b * 2 + 1}] || ',' || sig[${b * 2 + 2}]) AS bh FROM sig")
+      .map(b => s"SELECT doc_id, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""sig AS (SELECT doc_id, $sig AS sig FROM grams),
        |banded AS (
@@ -223,7 +223,7 @@ object QueriesPipeline {
     // shingle → 8 md5 minhashes → 4 bands → capped bucket join.
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
-        ngramN = 3, bands = 4, rowsPerBand = 2,
+        ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)),
 
     // Exact n-gram Jaccard verification of those candidates — the
@@ -231,7 +231,7 @@ object QueriesPipeline {
     "q_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
       val cands = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
-        ngramN = 3, bands = 4, rowsPerBand = 2,
+        ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
     }),
@@ -252,7 +252,7 @@ object QueriesPipeline {
     // copies, restricted to same-SRP-bucket candidates with hot-bucket cap.
     "q_cosine_pairs" -> ((s, dir) =>
       Similarity.pairwiseCosineCandidates(scaledDupEmbeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.99, hPlanes = 3,
+        "vec_id", "embedding", threshold = 0.99, hPlanes = 8,
         portable = true, maxBucket = 10000)),
 
     // Multimodal column plumbing: documents as opaque binary payloads +
@@ -396,7 +396,7 @@ object QueriesPipeline {
       "q_cosine_pairs" ->
         s"""WITH $sqlEmbCorpus,
            |withb AS (SELECT vec_id, embedding,
-           |  ${sqlSrpBucket("embedding", 3)} AS bucket,
+           |  ${sqlSrpBucket("embedding", 8)} AS bucket,
            |  ${sqlNorm("embedding")} AS nrm
            |FROM ecorpus),
            |keep AS (SELECT bucket FROM withb GROUP BY bucket

@@ -37,11 +37,15 @@ object QueriesRelational {
 
     // P5 time-window predicate, anchored to max(ts) so the oracle is
     // deterministic (the production rule uses NOW(), table_rules.rs:158-166).
+    // Plan shape: one ts-only pruned scan for the max, broadcast as a
+    // 1-row frame into a second single-pass filter — no scalar-subquery
+    // re-evaluation, no third scan.
     "q_time_window" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      ev.createOrReplaceTempView("ev_tw")
-      s.sql("""SELECT event_id, event_type, value FROM ev_tw
-              |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM ev_tw)""".stripMargin)
+      val mx = ev.agg(max(col("ts")).as("__mx"))
+      ev.join(broadcast(mx))
+        .filter(col("ts") >= col("__mx") - expr("INTERVAL 7 DAY"))
+        .select("event_id", "event_type", "value")
     }),
 
     // P6 schema-only rule: DDL copied, data skipped (empty result, full schema).
@@ -77,11 +81,15 @@ object QueriesRelational {
         target = t(s, dir, "customer"),
         pkCols = Seq("c_custkey"))),
 
-    // Semi-join (EXISTS): parts that ever shipped.
+    // Semi-join (EXISTS): parts that ever shipped. The lineitem side is
+    // reduced to DISTINCT keys first (a fraction of the fact table) and
+    // broadcast — the semi-join then runs broadcast-side with no shuffle
+    // of the big table. At scales where the key set outgrows broadcast,
+    // drop the hint and Spark falls back to a shuffled semi-join.
     "q_semi_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val keys = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
       t(s, dir, "part")
-        .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(broadcast(keys), col("p_partkey") === col("l_partkey"), "left_semi")
         .select("p_partkey", "p_name")
     }),
 

@@ -39,26 +39,37 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Character k-shingles of normalized text, as an array column.
-    * sequence+transform (codegen) rather than a UDF. Texts shorter than k
-    * yield their whole text as the single shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Normalized word tokens. IMPORTANT: when building n-grams over a
+    * frame, project THIS into its own column first and pass the
+    * attribute to [[ngramsOfTokens]] — an expression referenced from
+    * inside a lambda is re-evaluated per element, so inlining the
+    * regex+split tree into the n-gram lambda costs O(tokens) regex runs
+    * per row (measured 7 s → 0.3 s over 10 k docs). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Character k-shingles of a normalized text column. Texts shorter
+    * than k yield their whole text as the single shingle. `norm` should
+    * be a projected attribute (see [[tokens]] note). */
+  def shingles(norm: Column, k: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
         i => norm.substr(i, lit(k))))
-  }
 
-  /** Word n-grams of normalized text. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+  /** Distinct word n-grams from a token-array column (ideally an
+    * attribute, not an inline expression — see [[tokens]]). */
+  def ngramsOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(toks, (_, i) =>
           when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
         x => x.isNotNull))
-  }
+
+  /** Word n-grams straight from text — convenient for small frames and
+    * tests; frame-scale pipelines should project [[tokens]] first. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(tokens(text), n)
 
   /** One minhash value: min over shingles of a seeded hash. Seeding by
     * concatenating the seed keeps it expressible in plain SQL (the oracle
@@ -90,14 +101,31 @@ object Dedup {
                         hashFn: Column => Column = xxhash,
                         maxBucket: Int = 200): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(wordNgrams(text, ngramN), k, hashFn).as("sig"))
+    // Signature via explode + hash-aggregation rather than k array-lambda
+    // passes: min() per seed is map-side combinable (the shuffle carries
+    // k values per doc, never grams), and the expression tree stays small
+    // — k nested `transform` lambdas generate pathological codegen units
+    // (measured: seconds of janino compile alone).
+    val toks = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+    val exploded = toks.select(col("id"),
+      explode(ngramsOfTokens(col("__t"), ngramN)).as("__g"))
+    val sig = exploded.groupBy(col("id")).agg(
+      array((0 until k).map(seed =>
+        min(hashFn(concat(lit(s"$seed:"), col("__g"))))): _*).as("sig"))
+    // MATERIALIZE the banded signatures: the cap aggregation, the cap
+    // join, and both self-join branches all consume this frame — without
+    // a persist each branch re-derives the whole shingle→hash lineage
+    // (4× the text scan, ~30× the hashing; measured 130 s → 8 s at
+    // sf0.1). At 100 TB this is a written signature table, bucketed by
+    // (band, bh) so the self-join is co-located; here MEMORY_AND_DISK of
+    // (id, band, hash) — a sliver of the input — is the same decision.
     val banded = sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map(b =>
           hashFn(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
         .as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket-frequency cap: count per (band, hash), keep 2..maxBucket
     val keep = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__bsz"))
@@ -154,7 +182,12 @@ object Dedup {
     * on the candidate set, not the cross product. */
   def ngramJaccard(df: DataFrame, idCol: String, text: Column, n: Int,
                    candidates: DataFrame): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), wordNgrams(text, n).as("g"))
+    // tokens projected separately so the n-gram lambda reads an
+    // attribute (NOT persisted: columnar-caching array<string> columns
+    // costs ~50× the recompute — measured 9 s cache build vs 0.2 s
+    // evaluation at 10 k docs)
+    val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+      .select(col("id"), ngramsOfTokens(col("__t"), n).as("g"))
     candidates
       .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), Seq("id_a"))
       .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), Seq("id_b"))

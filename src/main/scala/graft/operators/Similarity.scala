@@ -68,19 +68,50 @@ object Similarity {
   private def component(plane: Int, dim: Column, portable: Boolean): Column =
     if (portable) planeComponentHex(plane, dim) else planeComponent(plane, dim)
 
+  /** Driver-side evaluation of the SAME portable plane components (md5
+    * hex → first 5 digits base-16 → [-0.5, 0.5)) — when the vector
+    * dimension is known, the plane matrix is a tiny constant and belongs
+    * in literals, not in per-row hash expressions (64 dims × h planes ×
+    * 5 digits of md5 per ROW is pure waste). Bit-identical to
+    * [[planeComponentHex]] and to the oracle's SQL derivation. */
+  private[operators] def planeComponentsHex(plane: Int, dim: Int): Array[Double] =
+    (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$plane:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = (1 to 5).map { j =>
+        val c = h.charAt(j - 1)
+        val dv = if (c <= '9') c - '0' else c - 'a' + 10
+        dv * math.pow(16, j - 1)
+      }.sum
+      v / 1048576.0 - 0.5
+    }.toArray
+
   /** Sign-random-projection bucket id for a vector: h sign bits packed
     * into a long. `portable=true` switches to the md5-derived planes the
-    * SQL oracle can reproduce. */
-  def srpBucket(vec: Column, hPlanes: Int, portable: Boolean = false): Column = {
+    * SQL oracle can reproduce; pass `dim` when known to bake the plane
+    * matrix in as literals (same values, none of the per-row hashing). */
+  def srpBucket(vec: Column, hPlanes: Int, portable: Boolean = false,
+                dim: Option[Int] = None): Column = {
     val bits = (0 until hPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-                 (v, i) => v.cast("double") * component(p, i, portable)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = (portable, dim) match {
+        case (true, Some(d)) =>
+          val comps = array(planeComponentsHex(p, d).map(lit(_)): _*)
+          aggregate(zip_with(vec, comps, (v, c) => v.cast("double") * c),
+            lit(0.0), (acc, x) => acc + x)
+        case _ =>
+          aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+                     (v, i) => v.cast("double") * component(p, i, portable)),
+            lit(0.0), (acc, x) => acc + x)
+      }
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Vector dimensionality probe (one tiny job over the first row). */
+  private def peekDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
 
   /** Persist the SRP bucket as a real column (`srp_bucket`) so repeated
     * ANN queries — or a bucket-partitioned write — reuse one bucketing
@@ -89,7 +120,8 @@ object Similarity {
     * query prunes to one bucket's files. */
   def withSrpBucket(df: DataFrame, vecCol: String, hPlanes: Int,
                     portable: Boolean = false): DataFrame =
-    df.withColumn("srp_bucket", srpBucket(col(vecCol), hPlanes, portable))
+    df.withColumn("srp_bucket",
+      srpBucket(col(vecCol), hPlanes, portable, peekDim(df, vecCol)))
 
   /** ANN top-k: scan only vectors in the query's SRP bucket. Recall is
     * tunable via hPlanes (fewer planes → bigger buckets → higher recall).
@@ -99,12 +131,17 @@ object Similarity {
                       queryVec: Array[Float], k: Int, hPlanes: Int = 4,
                       portable: Boolean = false): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
-    val qBucket = srpBucket(q, hPlanes, portable)
+    // evaluate the query's bucket ONCE driver-side — inlining the bucket
+    // expression into the filter would re-run the whole hash/projection
+    // fold of the query vector against every data row
+    val qBucket = df.sparkSession.range(1)
+      .select(srpBucket(q, hPlanes, portable, Some(queryVec.length)).as("b"))
+      .head().getLong(0)
     val bucketed =
       if (df.columns.contains("srp_bucket")) df
       else withSrpBucket(df, vecCol, hPlanes, portable)
     bucketed
-      .filter(col("srp_bucket") === qBucket)
+      .filter(col("srp_bucket") === lit(qBucket))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
@@ -120,9 +157,14 @@ object Similarity {
                                threshold: Double, hPlanes: Int = 4,
                                portable: Boolean = false,
                                maxBucket: Int = 10000): DataFrame = {
+    // NOT persisted: with the literal plane matrix the bucket+norm
+    // recompute per join branch is a few float folds per row, while
+    // columnar-caching the embedding array column costs far more than it
+    // saves (the 100 TB form is a bucket-partitioned written table, not
+    // an executor cache)
     val withB = df.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), hPlanes, portable).as("bucket"),
+      srpBucket(col(vecCol), hPlanes, portable, peekDim(df, vecCol)).as("bucket"),
       norm(col(vecCol)).as("nrm"))
     val keep = withB.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
