@@ -30,7 +30,16 @@ object Checksum {
     * (`sort_array(collect_list(...))`) — deterministic under any
     * partitioning, unlike collect_list over pre-sorted input whose
     * partial-buffer merge order Spark does not guarantee. */
+  /** Guard for the ordered variant: every row lands in ONE aggregation
+    * buffer, so it is only safe for verification-sized tables. Callers
+    * needing scale use [[unorderedChecksum]]. */
+  val OrderedChecksumMaxRows: Long = 2000000L
+
   def orderedChecksum(df: DataFrame): DataFrame = {
+    val n = df.count()
+    require(n <= OrderedChecksumMaxRows,
+      s"orderedChecksum collects all rows into one buffer ($n > " +
+        s"$OrderedChecksumMaxRows); use unorderedChecksum for large tables")
     val rows = df.select(rowText(df).as("row_data"))
     val agged = rows.agg(
       md5(to_binary(array_join(sort_array(collect_list(col("row_data"))), ""),

@@ -82,14 +82,28 @@ object SnapshotJob {
   }
 
   /** The verify command (`src/commands/verify.rs:70-343`): per-table
-    * count+checksum compare between two table directories. */
+    * count+checksum compare between two table directories, `parallelism`
+    * tables in flight (the reference uses `buffer_unordered(4)`) — each
+    * compare is two independent Spark jobs, so concurrent submission
+    * keeps the cluster busy across small tables. */
   def verifyDirs(spark: SparkSession, sourceDir: String, targetDir: String,
-                 tables: Seq[String]): Map[String, Boolean] =
-    tables.map { t =>
-      val s = spark.read.parquet(s"$sourceDir/$t.parquet")
-      val g = spark.read.parquet(s"$targetDir/$t.parquet")
-      t -> Checksum.tablesMatch(s, g)
-    }.toMap
+                 tables: Seq[String], parallelism: Int = 4): Map[String, Boolean] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = tables.map { t =>
+        Future {
+          val s = spark.read.parquet(s"$sourceDir/$t.parquet")
+          val g = spark.read.parquet(s"$targetDir/$t.parquet")
+          t -> Checksum.tablesMatch(s, g)
+        }
+      }
+      Await.result(Future.sequence(fs), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
 
   /** Schema-only tables land as empty frames with full schema — make
     * that observable for tests. */
