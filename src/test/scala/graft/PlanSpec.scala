@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the 100 TB story lives in the physical
+  * plans — filters must reach the parquet scan, projections must prune
+  * the read schema, top-k must stay TakeOrderedAndProject, small sides
+  * must broadcast, and aggregates must partial-aggregate map-side. A
+  * code change that silently loses one of these properties passes value
+  * checks but dies at scale; these tests pin the plans.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_predicate pushes filters into the parquet scan") {
+    val p = plan("q_predicate")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("l_quantity"))
+    assert(!p.replaceAll("PushedFilters: \\[[^\\]]*\\]", "").contains("PushedFilters: []"))
+  }
+
+  test("q_projection prunes the read schema to the selected columns") {
+    val p = plan("q_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"))
+  }
+
+  test("q_topk and q_rownumber execute as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_rownumber").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_semi_join broadcasts the distinct key side") {
+    val p = plan("q_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q_join_agg broadcasts the small dimension") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg partial-aggregates map-side before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate(keys=[l_returnflag"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q_latest_dedup is a hash aggregation, not a window") {
+    val p = plan("q_latest_dedup")
+    assert(!p.contains("Window"))
+    assert(p.contains("Aggregate"))
+  }
+
+  test("q_anti_join projects only PKs into the anti-join") {
+    val p = plan("q_anti_join")
+    assert(p.contains("LeftAnti"))
+    // the customer scan must not read non-key columns
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("c_comment") && !scans.contains("c_address"))
+  }
+}
