@@ -109,6 +109,36 @@ object QueriesRelational {
           count(lit(1)).as("n_orders"))
     }),
 
+    // TPC-H Q5-shape 5-way join: local-supplier revenue per nation.
+    // nation broadcasts; customer⋈orders⋈lineitem shuffle on their keys;
+    // supplier (small) broadcasts into the lineitem side. Decimal-exact
+    // revenue → DOUBLE canonical (see q1_agg note).
+    "q_supplier_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val rev = (col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(18, 4))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(rev).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Grouping-sets rollup (beyond the reference — pipeline analytics):
+    // per (lang, source) doc counts with subtotal and grand-total rows.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+
     // W1 row_number over a total order (checksum.rs:82). Since only
     // rn <= 50 survives, take the top-50 FIRST (TakeOrderedAndProject:
     // per-partition top-k + merge, no shuffle-to-one-partition) and only
@@ -223,6 +253,22 @@ object QueriesRelational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_supplier_join" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "q_rownumber" ->
       """SELECT p_partkey, rn FROM (

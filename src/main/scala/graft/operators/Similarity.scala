@@ -123,13 +123,33 @@ object Similarity {
     df.withColumn("srp_bucket",
       srpBucket(col(vecCol), hPlanes, portable, peekDim(df, vecCol)))
 
-  /** ANN top-k: scan only vectors in the query's SRP bucket. Recall is
-    * tunable via hPlanes (fewer planes → bigger buckets → higher recall).
-    * If `df` already carries `srp_bucket` (from [[withSrpBucket]]) it is
-    * reused — that's the persisted-bucket fast path. */
+  /** All bucket ids within Hamming distance ≤ radius of `bucket` over
+    * `bits` sign bits — the multi-probe set. Size Σ C(bits, i), i≤radius;
+    * tiny driver-side data for practical plane counts. */
+  private[operators] def probeBuckets(bucket: Long, bits: Int, radius: Int): Seq[Long] = {
+    def flips(remaining: List[Int], left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else remaining match {
+        case Nil => Seq(0L)
+        case b :: rest =>
+          flips(rest, left) ++ flips(rest, left - 1).map(_ | (1L << b))
+      }
+    (0 to math.min(radius, bits)).flatMap(r =>
+      flips((0 until bits).toList, r).filter(m => java.lang.Long.bitCount(m) == r))
+      .map(bucket ^ _).distinct
+  }
+
+  /** ANN top-k: scan only the query's SRP bucket — plus, with
+    * `probeRadius` > 0, its Hamming-adjacent buckets (multi-probe LSH):
+    * a near-neighbor differs from the query in at most a few hyperplane
+    * signs, so probing radius-r buckets trades a C(h,≤r)-factor larger
+    * scan for quantifiably higher recall; radius = hPlanes degenerates to
+    * an exact full scan (the recall-1.0 bound, pinned by tests). If `df`
+    * already carries `srp_bucket` (from [[withSrpBucket]]) it is reused —
+    * the persisted-bucket fast path. */
   def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
                       queryVec: Array[Float], k: Int, hPlanes: Int = 4,
-                      portable: Boolean = false): DataFrame = {
+                      portable: Boolean = false, probeRadius: Int = 0): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
     // evaluate the query's bucket ONCE driver-side — inlining the bucket
     // expression into the filter would re-run the whole hash/projection
@@ -137,11 +157,12 @@ object Similarity {
     val qBucket = df.sparkSession.range(1)
       .select(srpBucket(q, hPlanes, portable, Some(queryVec.length)).as("b"))
       .head().getLong(0)
+    val probes = probeBuckets(qBucket, hPlanes, probeRadius)
     val bucketed =
       if (df.columns.contains("srp_bucket")) df
       else withSrpBucket(df, vecCol, hPlanes, portable)
     bucketed
-      .filter(col("srp_bucket") === lit(qBucket))
+      .filter(col("srp_bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)

@@ -122,6 +122,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("multi-probe LSH: radius grows the probe set; full radius == brute force") {
+    assert(Similarity.probeBuckets(5L, 4, 0) == Seq(5L))
+    assert(Similarity.probeBuckets(5L, 4, 1).toSet ==
+      Set(5L, 4L, 7L, 1L, 13L)) // flip each of 4 bits
+    assert(Similarity.probeBuckets(0L, 3, 3).toSet == (0L to 7L).toSet)
+    val data = vecs((1L to 40L).map(i =>
+      i -> Seq(math.sin(i * 1.7).toFloat, math.cos(i * 2.3).toFloat,
+        math.sin(i * 0.9).toFloat, math.cos(i * 1.1).toFloat)): _*)
+    val q = Array(0.5f, -0.2f, 0.8f, 0.1f)
+    val brute = Similarity.bruteForceTopK(data, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fullProbe = Similarity.lshBucketedTopK(data, "vec_id", "embedding", q, 10,
+      hPlanes = 4, probeRadius = 4).collect().map(_.getLong(0)).toSet
+    assert(fullProbe == brute) // probing every bucket = exact search
+    val r0 = Similarity.lshBucketedTopK(data, "vec_id", "embedding", q, 10,
+      hPlanes = 4, probeRadius = 0).collect().map(_.getLong(0)).toSet
+    val r1 = Similarity.lshBucketedTopK(data, "vec_id", "embedding", q, 10,
+      hPlanes = 4, probeRadius = 1).collect().map(_.getLong(0)).toSet
+    // recall vs brute force is monotone in the probe radius
+    assert((r0 & brute).size <= (r1 & brute).size)
+    assert((r1 & brute).size <= (fullProbe & brute).size)
+  }
+
   test("lshBucketedTopK reuses a persisted srp_bucket column") {
     val pre = Similarity.withSrpBucket(
       vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(-1f, 0f)),
