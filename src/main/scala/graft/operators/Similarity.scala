@@ -126,7 +126,7 @@ object Similarity {
   /** All bucket ids within Hamming distance ≤ radius of `bucket` over
     * `bits` sign bits — the multi-probe set. Size Σ C(bits, i), i≤radius;
     * tiny driver-side data for practical plane counts. */
-  private[operators] def probeBuckets(bucket: Long, bits: Int, radius: Int): Seq[Long] = {
+  def probeBuckets(bucket: Long, bits: Int, radius: Int): Seq[Long] = {
     def flips(remaining: List[Int], left: Int): Seq[Long] =
       if (left == 0) Seq(0L)
       else remaining match {
