@@ -270,7 +270,43 @@ object QueriesPipeline {
     // shape, run here in batch mode so the oracle can replay it).
     "q_tumbling_window" -> ((s, dir) =>
       graft.streaming.StreamingSync.windowedEventCounts(
-        Tables.events(s, dir), "1 hour"))
+        Tables.events(s, dir), "1 hour")),
+
+    // PII scrubbing over planted contact strings (the raw corpus has no
+    // PII, so both engines plant identical deterministic emails/phones,
+    // then redact and count them) — a narrow map, shuffle-free.
+    "q_pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com tel 555-01"),
+        lpad(col("doc_id") % 100, 2, "0"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(planted, lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(planted, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+    }),
+
+    // Term-frequency top-50 (Zipf head): explode tokens → count →
+    // ordered top-k with deterministic tiebreak.
+    "q_term_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
+    // Per-language corpus length statistics (exact median over ints —
+    // identical midpoint interpolation in both engines).
+    "q_length_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        median(col("n_chars")).as("median_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars")))
   )
 
   val oracleSql: Map[String, String] = {
@@ -392,6 +428,31 @@ object QueriesPipeline {
           | count(*) AS n_events,
           | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_pii_scrub" -> {
+        val planted =
+          "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+            "'@example.com tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        """SELECT doc_id,
+          | len(regexp_extract_all(PLANTED, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+          | len(regexp_extract_all(PLANTED, '555-[0-9]{4}')) AS n_phones,
+          | regexp_replace(regexp_replace(PLANTED,
+          |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |   '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+          |FROM documents""".stripMargin.replace("PLANTED", planted)
+      },
+
+      "q_term_freq" ->
+        s"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest($sqlWords) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+      "q_length_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          | median(n_chars) AS median_chars,
+          | round(avg(n_chars), 6) AS avg_chars
+          |FROM documents GROUP BY lang""".stripMargin,
 
       "q_cosine_pairs" ->
         s"""WITH $sqlEmbCorpus,

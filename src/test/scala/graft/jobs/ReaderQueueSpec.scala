@@ -116,6 +116,32 @@ class ReaderQueueSpec extends AnyFunSuite {
     }
   }
 
+  // ---- RestoreJob -----------------------------------------------------
+
+  test("restore executes schema DDL then loads tables in FK order") {
+    val s = spark
+    import s.implicits._
+    import graft.snapshot.RestoreJob
+    import graft.sources.FkGraph.FkEdge
+    val src = Files.createTempDirectory("restore").toString
+    Seq((1L, "n")).toDF("nation_id", "name").write.parquet(s"$src/nation.parquet")
+    Seq((1L, 1L)).toDF("cust_id", "nation_id").write.parquet(s"$src/customer.parquet")
+    val key = "restore"; MockJdbc.reset(key)
+    val report = RestoreJob.run(s, src,
+      Seq(RestoreJob.TableSpec("customer", Seq("cust_id")),
+        RestoreJob.TableSpec("nation", Seq("nation_id"))),
+      Seq(FkEdge("customer", "nation")),
+      MockJdbc.factory(key))
+    assert(report.ordered == Seq("nation", "customer")) // parent first
+    assert(report.rows == Map("nation" -> 1L, "customer" -> 1L))
+    val recs = MockJdbc.recorded(key)
+    val ddl = recs.takeWhile(_.sql.startsWith("CREATE TABLE"))
+    assert(ddl.size == 2 && ddl.head.sql.contains("\"nation\""))
+    val inserts = recs.map(_.sql).filter(_.startsWith("INSERT"))
+    assert(inserts.indexWhere(_.contains("\"nation\"")) <
+      inserts.indexWhere(_.contains("\"customer\"")))
+  }
+
   // ---- BatchSizing / Checksum guard / parallel verify -----------------
 
   test("optimal batch size clamps to [1000, 50000] (utils.rs:1545-1578)") {

@@ -66,6 +66,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49 / 2) // the quadratic pair set
   }
 
+  test("array-lambda and explode-aggregate minhash signatures agree") {
+    // minhashSignature (array form, small-frame API) must equal the
+    // aggregation form minhashCandidates uses internally
+    val d = docs(1L -> "one two three four five six", 2L -> "alpha beta gamma delta")
+    val viaArray = d.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.wordNgrams(col("text"), 2), 4, Dedup.md5Hex).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaAgg = d.select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), 2)).as("g"))
+      .groupBy("doc_id")
+      .agg(array((0 until 4).map(seed =>
+        min(Dedup.md5Hex(concat(lit(s"$seed:"), col("g"))))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaArray == viaAgg)
+  }
+
   test("simhash64: near-dup docs land within small Hamming distance") {
     val a = "spark catalyst optimizer rewrites logical plans into physical plans"
     val sigs = Dedup.simhash64(
