@@ -187,14 +187,20 @@ object QueriesPipeline {
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
     }),
 
-    // Language-ID heuristic: per-language marker scores + argmax.
+    // Language-ID heuristic: per-language marker scores + argmax. Scores
+    // are projected ONCE; the argmax chain reads the attributes (the
+    // chain references each score ~5 times — inlining the regex trees
+    // would multiply the per-row regex work accordingly).
     "q_lang_id" -> ((s, dir) => {
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
       val lowered = lower(col("text"))
-      t(s, dir, "documents").select(
+      val scored = t(s, dir, "documents").select(
         col("doc_id") +:
-          langs.map(l => TextAnalysis.langScore(lowered, l).as(s"s_$l")) :+
-          TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+          langs.map(l => TextAnalysis.langScore(lowered, l).as(s"s_$l")): _*)
+      scored.select(
+        col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+          TextAnalysis.langIdFromScores(
+            langs.map(l => l -> col(s"s_$l")).toMap).as("lang_pred"): _*)
     }),
 
     // Token counting: whitespace + BPE-ish regex tokenizer.
@@ -204,13 +210,16 @@ object QueriesPipeline {
         TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
 
-    // Quality scoring: component ratios + composite score.
+    // Quality scoring: components projected once, composite from the
+    // attributes (same inlining discipline as q_lang_id).
     "q_text_quality" -> ((s, dir) => {
       val comps = TextAnalysis.qualityComponents(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id") +:
-          comps.map { case (n, c) => c.as(s"q_$n") } :+
-          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+      val projected = t(s, dir, "documents").select(
+        col("doc_id") +: comps.map { case (n, c) => c.as(s"q_$n") }: _*)
+      projected.select(
+        col("doc_id") +: comps.map { case (n, _) => col(s"q_$n") } :+
+          TextAnalysis.qualityScoreFrom(col("q_n_chars"), col("q_punct_ratio"),
+            col("q_stopword_ratio")).as("quality"): _*)
     }),
 
     // 16-bit md5 SimHash per document (engine-portable variant of the

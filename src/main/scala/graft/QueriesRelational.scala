@@ -189,6 +189,21 @@ object QueriesRelational {
     "q_jsonb_encode" -> ((s, dir) =>
       TaggedJson.toJsonbModel(t(s, dir, "nation"), col("n_nationkey"), "sqlite")),
 
+    // The query side of the JSONB document model: path extraction out of
+    // a JSON column + aggregation (what the reference's GIN index on
+    // `data` exists to serve). get_json_object is a narrow codegen'd map.
+    "q_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") >= 80, 1)).as("n_high"))
+    }),
+
     // T1–T5 full sync cycle end-to-end: a stale target (rows at/below the
     // watermark, plus planted orphan rows whose keys no longer exist in
     // the source) is driven through one incremental-upsert + delete-
@@ -305,6 +320,13 @@ object QueriesRelational {
         | '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS data,
         | 'sqlite' AS _source_type
         |FROM nation""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_sync_cycle" ->
       "SELECT event_id, user_id, event_type, value FROM events",

@@ -47,21 +47,29 @@ object TextAnalysis {
       .map(w => if (isLatinWord(w)) countMatches(text, w) else countOccurrences(text, w))
       .reduce(_ + _)
 
-  /** Predicted language = argmax over marker scores; ties break to the
-    * first language in alphabetical order (deterministic when-chain, so
-    * the same CASE chain is expressible in the SQL oracle); all-zero →
-    * "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val lowered = lower(text)
-    val langs = langMarkers.keys.toSeq.sorted
-    val scores = langs.map(l => l -> langScore(lowered, l)).toMap
-    val allZero = scores.values.reduce(_ + _) <= 0
+  /** Argmax CASE chain over ALREADY-PROJECTED score columns; ties break
+    * to the first language alphabetically; all-zero → "und". Pass
+    * attribute references — the chain references each score ~k times, so
+    * inlining the regex-count trees here would multiply the regex work
+    * per row k-fold (the expression-in-lambda lesson again). */
+  def langIdFromScores(scores: Map[String, Column]): Column = {
+    val langs = scores.keys.toSeq.sorted
+    val allZero = langs.map(scores).reduce(_ + _) <= 0
     val chain = langs.foldLeft(when(allZero, lit("und"))) { (acc, l) =>
       val isMax = langs.filterNot(_ == l)
         .map(o => scores(l) >= scores(o)).reduce(_ && _)
       acc.when(isMax, lit(l))
     }
     chain.otherwise(lit("und"))
+  }
+
+  /** Convenience one-shot form for small frames/tests; frame-scale
+    * pipelines should project the scores once and use
+    * [[langIdFromScores]] over the attributes. */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    langIdFromScores(langMarkers.keys.toSeq.sorted
+      .map(l => l -> langScore(lowered, l)).toMap)
   }
 
   /** Whitespace token count: split on runs of whitespace. */
@@ -91,14 +99,21 @@ object TextAnalysis {
     )
   }
 
-  /** Composite quality score in [0,1]: inside-range length + sane
-    * punctuation + nonzero stopwords (web-text heuristics à la C4). */
+  /** Composite quality score in [0,1] from already-projected component
+    * columns (attributes — see [[langIdFromScores]] note): inside-range
+    * length + sane punctuation + nonzero stopwords (C4-style). */
+  def qualityScoreFrom(nChars: Column, punctRatio: Column,
+                       stopwordRatio: Column): Column = {
+    val lenOk = (nChars >= 50 && nChars <= 10000).cast("int")
+    val punctOk = (punctRatio <= 0.2).cast("int")
+    val stopOk = (stopwordRatio > 0).cast("int")
+    round((lenOk + punctOk + stopOk).cast("double") / 3.0, 6)
+  }
+
+  /** One-shot convenience form (small frames/tests). */
   def qualityScore(text: Column): Column = {
     val comp = qualityComponents(text).toMap
-    val lenOk = (comp("n_chars") >= 50 && comp("n_chars") <= 10000).cast("int")
-    val punctOk = (comp("punct_ratio") <= 0.2).cast("int")
-    val stopOk = (comp("stopword_ratio") > 0).cast("int")
-    round((lenOk + punctOk + stopOk).cast("double") / 3.0, 6)
+    qualityScoreFrom(comp("n_chars"), comp("punct_ratio"), comp("stopword_ratio"))
   }
 
   /** Deterministic 64-bit document fingerprint: xxhash64 of
