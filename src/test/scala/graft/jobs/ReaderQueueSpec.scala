@@ -86,6 +86,30 @@ class ReaderQueueSpec extends AnyFunSuite {
     assert(n2 == 3 && store.watermark("q", "m") == 5L)
   }
 
+  test("CDC queue drains end-to-end into the JDBC upsert/delete executor") {
+    val store = new SyncStateStore(Files.createTempDirectory("cq3").resolve("s.jsonl"))
+    val key = "cdc-jdbc"; graft.MockJdbc.reset(key)
+    val n = ChangeQueue.consumeOnce(queueDf(), store, "q", "main", limit = 10) {
+      (table, up, del) =>
+        graft.sinks.JdbcUpsertWriter.upsert(
+          up.select("primary_key", "payload"), table, Seq("primary_key"),
+          graft.MockJdbc.factory(key))
+        graft.sinks.JdbcUpsertWriter.delete(
+          del.select("primary_key"), table, Seq("primary_key"),
+          graft.MockJdbc.factory(key))
+    }
+    assert(n == 5)
+    val recs = graft.MockJdbc.recorded(key)
+    val upserts = recs.filter(_.sql.startsWith("INSERT INTO"))
+    val deletes = recs.filter(_.sql.startsWith("DELETE FROM"))
+    assert(upserts.map(_.sql).exists(_.contains("\"users\"")))
+    assert(upserts.map(_.sql).exists(_.contains("\"orders\"")))
+    assert(deletes.map(_.sql).exists(_.contains("\"users\"")))
+    // latest-wins: u1's bound payload is 'b' (change 2), never 'a'
+    assert(upserts.flatMap(_.params.values).contains("b"))
+    assert(!upserts.flatMap(_.params.values).contains("a"))
+  }
+
   // ---- JsonbIngestJob -------------------------------------------------
 
   test("jsonb ingest: documents carry tagged data without the synthetic id") {

@@ -102,6 +102,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 0.6)
   }
 
+  test("character shingles cover the text; short texts yield one shingle") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("abcde", "ab").toDF("t")
+      .select(col("t"), Dedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("abcde") == Seq("abc", "bcd", "cde"))
+    assert(out("ab") == Seq("ab"))
+  }
+
+  test("salted join equals the plain join and spreads hot keys") {
+    val s = spark
+    import s.implicits._
+    // one pathologically hot key
+    val big = ((1 to 500).map(_ => (1L, "hot")) ++ Seq((2L, "cold"))).toDF("k", "v")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(Checksum.tablesMatch(
+      salted.select("k", "v", "name"), plain.select("k", "v", "name")))
+    // the hot key's rows really do spread across salts
+    val saltSpread = big.withColumn("__salt", Skew.rowSalt(big, 8))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(saltSpread > 1)
+  }
+
+  test("two-phase salted aggregation equals direct aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 300).map(i => ("hot", i.toLong)) ++ Seq(("cold", 7L))).toDF("k", "x")
+    val twoPhase = Skew.twoPhaseSum(df, Seq("k"), "x", saltFactor = 4)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = df.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(twoPhase.toSeq == direct.toSeq)
+  }
+
   // ---- Similarity -----------------------------------------------------
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
