@@ -58,6 +58,37 @@ object StreamingSync {
       }
   }
 
+  /** Streaming upsert merge into a parquet target via foreachBatch —
+    * the micro-batch form of the sync loop (T3/T4): every micro-batch is
+    * deduplicated latest-per-key and merged PK-keyed into the target.
+    * Replayed batches are idempotent (same anti-join + union outcome),
+    * which is exactly Spark's replayed-batch contract. Returns the
+    * started query; callers own its lifecycle. */
+  def streamingUpsertToParquet(changes: DataFrame, targetPath: String,
+                               pkCols: Seq[String], cursorCol: String,
+                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = IncrementalSync.latestByKey(batch, pkCols, cursorCol)
+        // cursor-aware merge: max-cursor row per key over target ∪ batch,
+        // so a late-arriving STALE change can never regress the target
+        // (plain PK replacement would — streams don't promise order)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val target = spark.read.parquet(targetPath)
+            IncrementalSync.latestByKey(
+              target.unionByName(deduped), pkCols, cursorCol)
+          } else deduped
+        // stage-then-swap: parquet can't be overwritten while being read
+        val staged = targetPath + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+
   /** Convenience: run the windowed aggregation as a stream into an
     * in-memory sink and block until `input` is drained — the harness the
     * streaming tests (and any smoke run) use. Returns the sink rows. */

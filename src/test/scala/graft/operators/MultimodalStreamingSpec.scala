@@ -86,6 +86,29 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       ("2024-05-01 11:00:00.0", "view", 1L, 4.0)))
   }
 
+  test("foreachBatch streaming merge converges the parquet target") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fb")
+    val target = dir.resolve("target.parquet").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = StreamingSync.streamingUpsertToParquet(
+      input.toDF().toDF("id", "cursor", "v"), target,
+      pkCols = Seq("id"), cursorCol = "cursor",
+      checkpointDir = dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, 1L, "a"), (2L, 1L, "b"))
+      q.processAllAvailable()
+      // second batch: update 1, insert 3, stale duplicate for 2 loses
+      input.addData((1L, 3L, "a2"), (3L, 2L, "c"), (2L, 0L, "stale"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.read.parquet(target).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(out == Seq(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("streaming latestByKey state keeps only the newest cursor per key") {
     val s = spark
     import s.implicits._
