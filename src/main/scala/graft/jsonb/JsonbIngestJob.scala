@@ -29,7 +29,7 @@ object JsonbIngestJob {
   def toDocuments(df: DataFrame, declaredPk: Option[String],
                   sourceType: String): (DataFrame, String) = {
     val (withId, idName) = IdExtraction.withId(df, declaredPk)
-    val original = df.select(df.columns.map(col): _*)
+    val original = df.select(df.columns.toIndexedSeq.map(col): _*)
     val docs = withId.select(
       col("__id").cast("string").as("id"),
       TaggedJson.rowJson(original, mongoStyle = sourceType == "mongodb").as("data"),

@@ -22,7 +22,7 @@ object Checksum {
   /** `COALESCE(col::text,'') || '|' || …` row rendering
     * (`src/migration/checksum.rs:63-68`). */
   def rowText(df: DataFrame): Column =
-    concat_ws("|", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    concat_ws("|", df.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
 
   /** Exact reference semantics: md5 over rows concatenated in full-row
     * sort order (the reference's `ROW_NUMBER() OVER (ORDER BY all cols)`,

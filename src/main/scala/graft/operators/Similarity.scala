@@ -37,7 +37,7 @@ object Similarity {
     * — no full sort, no full shuffle. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryVec: Array[Float], k: Int): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
+    val q = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     df.select(
         col(idCol),
         round(cosine(col(vecCol), q), 6).as("cos_sim"))
@@ -95,7 +95,7 @@ object Similarity {
     val bits = (0 until hPlanes).map { p =>
       val proj = (portable, dim) match {
         case (true, Some(d)) =>
-          val comps = array(planeComponentsHex(p, d).map(lit(_)): _*)
+          val comps = array(planeComponentsHex(p, d).toIndexedSeq.map(lit(_)): _*)
           aggregate(zip_with(vec, comps, (v, c) => v.cast("double") * c),
             lit(0.0), (acc, x) => acc + x)
         case _ =>
@@ -150,7 +150,7 @@ object Similarity {
   def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
                       queryVec: Array[Float], k: Int, hPlanes: Int = 4,
                       portable: Boolean = false, probeRadius: Int = 0): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
+    val q = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     // evaluate the query's bucket ONCE driver-side — inlining the bucket
     // expression into the filter would re-run the whole hash/projection
     // fold of the query vector against every data row
@@ -213,7 +213,7 @@ object Similarity {
   /** Squared L2 distance of a vector column to a literal centroid. */
   private def dist2ToLiteral(vec: Column, centroid: Array[Double]): Column =
     aggregate(
-      zip_with(vec, array(centroid.map(lit(_)): _*),
+      zip_with(vec, array(centroid.toIndexedSeq.map(lit(_)): _*),
         (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -225,7 +225,7 @@ object Similarity {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       dist2ToLiteral(col(vecCol), c).as(s"__d$i")
     }
-    val withD = df.select(df.columns.map(col) ++ dists: _*)
+    val withD = df.select(df.columns.toIndexedSeq.map(col) ++ dists.toIndexedSeq: _*)
     val minD = centroids.indices.map(i => col(s"__d$i")).reduce(least(_, _))
     val cell = centroids.indices.foldLeft(lit(-1)) { (acc, i) =>
       when(acc === -1 && col(s"__d$i") === minD, lit(i)).otherwise(acc)
@@ -249,9 +249,9 @@ object Similarity {
     val celled =
       if (df.columns.contains("ivf_cell")) df
       else withIvfCell(df, vecCol, centroids)
-    val qCol = array(queryVec.map(lit(_)): _*)
+    val qCol = array(queryVec.toIndexedSeq.map(lit(_)): _*)
     celled
-      .filter(col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("ivf_cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col(idCol), round(cosine(col(vecCol), qCol), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)

@@ -57,7 +57,7 @@ object IncrementalSync {
     changes
       .groupBy(keyCols.map(col): _*)
       .agg(
-        max_by(struct(valueCols.map(col): _*), col(cursorCol)).as("__latest"))
+        max_by(struct(valueCols.toIndexedSeq.map(col): _*), col(cursorCol)).as("__latest"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
