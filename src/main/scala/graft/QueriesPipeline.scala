@@ -307,6 +307,16 @@ object QueriesPipeline {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // Gopher-style repetition signal: fraction of 2-gram occurrences
+    // taken by the most frequent 2-gram per doc (boilerplate detector).
+    // Tokens projected once; the gram/array math reads the attribute.
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), TextAnalysis.allNgrams(col("__t"), 2).as("__g"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatioFromGrams(col("__g")).as("rep_ratio"))),
+
     // Per-language corpus length statistics (exact median over ints —
     // identical midpoint interpolation in both engines).
     "q_length_stats" -> ((s, dir) =>
@@ -455,6 +465,18 @@ object QueriesPipeline {
         s"""SELECT token, count(*) AS n
            |FROM (SELECT unnest($sqlWords) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+      "q_repetition" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |grams AS (SELECT doc_id,
+           |  list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS all_g
+           |FROM toks)
+           |SELECT doc_id,
+           | CASE WHEN len(all_g) = 0 THEN 0.0
+           |   ELSE round(CAST(list_aggregate(list_transform(list_distinct(all_g),
+           |       g -> len(list_filter(all_g, x -> x = g))), 'max') AS DOUBLE)
+           |     / len(all_g), 6) END AS rep_ratio
+           |FROM grams""".stripMargin,
 
       "q_length_stats" ->
         """SELECT lang, count(*) AS n_docs,

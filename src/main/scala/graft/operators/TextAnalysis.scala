@@ -125,4 +125,28 @@ object TextAnalysis {
     * reproducible from any SQL engine (the oracle path). */
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** All word n-grams WITH duplicates from a token-array attribute —
+    * occurrence counting needs the multiset, unlike Dedup's distinct
+    * shingle sets. */
+  def allNgrams(toksCol: Column, n: Int): Column =
+    filter(
+      transform(toksCol, (_, i) =>
+        when(i + n <= size(toksCol), array_join(slice(toksCol, i + 1, lit(n)), " "))),
+      x => x.isNotNull)
+
+  /** Repetition ratio (Gopher/C4-style boilerplate signal): the fraction
+    * of a document's n-gram OCCURRENCES taken by its single most frequent
+    * n-gram; near-1 means looping/boilerplate text. `allG` must be a
+    * projected attribute holding [[allNgrams]] — the count scan
+    * references it per distinct gram, so an inline tree would rebuild
+    * the gram array O(grams) times per row. Returns 0 for docs shorter
+    * than n tokens. Pure array expressions, no shuffle. */
+  def repetitionRatioFromGrams(allG: Column): Column = {
+    val maxCount = aggregate(
+      array_distinct(allG), lit(0),
+      (best, g) => greatest(best, size(filter(allG, x => x === g))))
+    when(size(allG) === 0, lit(0.0))
+      .otherwise(round(maxCount.cast("double") / size(allG), 6))
+  }
 }

@@ -281,6 +281,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) <= 1.0 / 3 + 1e-9)
   }
 
+  test("repetition ratio flags looping text and handles short docs") {
+    val out = docs(
+      1L -> "spam spam spam spam spam",  // every 2-gram identical
+      2L -> "all words here are different ones",
+      3L -> "one")                        // shorter than n
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), TextAnalysis.allNgrams(col("__t"), 2).as("__g"))
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatioFromGrams(col("__g")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.2) // 5 distinct 2-grams, max count 1
+    assert(out(3L) == 0.0)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = docs(1L -> "Hello   World", 2L -> "hello world", 3L -> "hello worlds")
       .select(TextAnalysis.fingerprint(col("text")).as("f"))
