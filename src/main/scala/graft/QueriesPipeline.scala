@@ -78,8 +78,8 @@ object QueriesPipeline {
        |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
        |FROM toks)""".stripMargin
 
-  /** 8-seed md5 minhash signature + 4 banded hashes + hot-bucket cap —
-    * the exact mirror of Dedup.minhashCandidates(…, md5Hex, 200). */
+  /** 12-seed md5 minhash signature + 4 bands of 3 + hot-bucket cap —
+    * the exact mirror of Dedup.minhashCandidates(…, 4, 3, md5Hex, 200). */
   private val sqlBandedCapped = {
     val sig = (0 until 12)
       .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")

@@ -47,6 +47,11 @@ class JobsSpec extends AnyFunSuite {
     assert(newFilter.completed.isEmpty) // incompatible → fresh
   }
 
+  test("checkpoint roundtrip with an empty completed set") {
+    val cp = Checkpoint("a1", "b2", "c3", Set.empty)
+    assert(Checkpoint.fromJson(cp.toJson) == Right(cp))
+  }
+
   test("endpointHash strips credentials before hashing") {
     val a = Checkpoint.endpointHash("postgresql://u:secret1@h:5432/db")
     val b = Checkpoint.endpointHash("postgresql://u:secret2@h:5432/db")

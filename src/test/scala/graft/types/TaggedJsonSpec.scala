@@ -116,6 +116,21 @@ class TaggedJsonSpec extends AnyFunSuite {
         """"dec":"12.34","arr":[1,2],"nul":null}""")
   }
 
+  test("encode handles nested structs, dates, and the text fallback") {
+    val s = spark
+    val schema = StructType(Seq(
+      StructField("nested", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("day", DateType),
+      StructField("deep", ArrayType(ArrayType(LongType)))))
+    val row = Row(Row(5L, "x"), java.sql.Date.valueOf("2024-03-09"),
+      Seq(Seq(1L), Seq(2L, 3L)))
+    val df = s.createDataFrame(java.util.Collections.singletonList(row), schema)
+    val json = df.select(TaggedJson.rowJson(df).as("j")).head().getString(0)
+    assert(json ==
+      """{"nested":{"a":5,"b":"x"},"day":"2024-03-09","deep":[[1],[2,3]]}""")
+  }
+
   test("toJsonbModel produces the uniform (id, data, _source_type) shape") {
     val s = spark
     import s.implicits._
