@@ -311,11 +311,8 @@ object QueriesPipeline {
     // taken by the most frequent 2-gram per doc (boilerplate detector).
     // Tokens projected once; the gram/array math reads the attribute.
     "q_repetition" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("__t"))
-        .select(col("doc_id"), TextAnalysis.allNgrams(col("__t"), 2).as("__g"))
-        .select(col("doc_id"),
-          TextAnalysis.repetitionRatioFromGrams(col("__g")).as("rep_ratio"))),
+      TextAnalysis.repetitionRatios(t(s, dir, "documents"), "doc_id",
+        col("text"), n = 2)),
 
     // Per-language corpus length statistics (exact median over ints —
     // identical midpoint interpolation in both engines).
@@ -468,15 +465,13 @@ object QueriesPipeline {
 
       "q_repetition" ->
         s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
-           |grams AS (SELECT doc_id,
-           |  list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS all_g
-           |FROM toks)
-           |SELECT doc_id,
-           | CASE WHEN len(all_g) = 0 THEN 0.0
-           |   ELSE round(CAST(list_aggregate(list_transform(list_distinct(all_g),
-           |       g -> len(list_filter(all_g, x -> x = g))), 'max') AS DOUBLE)
-           |     / len(all_g), 6) END AS rep_ratio
-           |FROM grams""".stripMargin,
+           |g AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS g
+           |FROM toks),
+           |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+           |r AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep FROM c GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(r.rep, 0.0) AS rep_ratio
+           |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
 
       "q_length_stats" ->
         """SELECT lang, count(*) AS n_docs,

@@ -149,4 +149,23 @@ object TextAnalysis {
     when(size(allG) === 0, lit(0.0))
       .otherwise(round(maxCount.cast("double") / size(allG), 6))
   }
+
+  /** Frame-scale repetition ratios: explode grams → count per (doc,
+    * gram) → max/sum per doc, with gram-less docs restored as 0.0. Two
+    * map-side-combinable hash aggregations over tiny (id, gram) rows —
+    * linear where the array-local [[repetitionRatioFromGrams]] is
+    * O(grams²) per document (fine for one row, 4.5 s vs 0.6 s over 5 k
+    * docs at sf0.1). Returns (idCol, rep_ratio). */
+  def repetitionRatios(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), Dedup.tokens(text).as("__t"))
+    val grams = toks.select(col(idCol), explode(allNgrams(col("__t"), n)).as("__g"))
+    val counts = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val ratios = counts.groupBy(col(idCol))
+      .agg(round(max(col("__c")).cast("double") / sum(col("__c")), 6).as("__r"))
+    df.select(col(idCol))
+      .join(ratios, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__r"), lit(0.0)).as("rep_ratio"))
+  }
 }

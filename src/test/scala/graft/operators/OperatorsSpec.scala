@@ -282,18 +282,22 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("repetition ratio flags looping text and handles short docs") {
-    val out = docs(
+    val fixture = docs(
       1L -> "spam spam spam spam spam",  // every 2-gram identical
       2L -> "all words here are different ones",
       3L -> "one")                        // shorter than n
+    // aggregation form (the frame-scale path)
+    val agg = TextAnalysis.repetitionRatios(fixture, "doc_id", col("text"), 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg == Map(1L -> 1.0, 2L -> 0.2, 3L -> 0.0))
+    // array-local form agrees
+    val local = fixture
       .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
       .select(col("doc_id"), TextAnalysis.allNgrams(col("__t"), 2).as("__g"))
       .select(col("doc_id"),
         TextAnalysis.repetitionRatioFromGrams(col("__g")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(out(1L) == 1.0)
-    assert(out(2L) == 0.2) // 5 distinct 2-grams, max count 1
-    assert(out(3L) == 0.0)
+    assert(local == agg)
   }
 
   test("fingerprint is whitespace/case-insensitive") {
