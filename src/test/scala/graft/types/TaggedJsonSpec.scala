@@ -131,6 +131,22 @@ class TaggedJsonSpec extends AnyFunSuite {
       """{"nested":{"a":5,"b":"x"},"day":"2024-03-09","deep":[[1],[2,3]]}""")
   }
 
+  test("jsonString output parses back to the original for hostile inputs") {
+    val s = spark
+    import s.implicits._
+    // every C0 control char, quotes, backslash runs, unicode, JSON tokens
+    val nasty = (0x00 until 0x20).map(c => s"a${c.toChar}b") ++ Seq(
+      "", "\"", "\\", "\\\\\"", "{\"k\":1}", "line1\nline2\r\n", "\t\t",
+      "ünïcødé ✓ 中文", "a\\u0041b", "[1,2]", "tr\"icky\\mix\n")
+    val schema = StructType(Seq(StructField("v", StringType)))
+    val df = nasty.toDF("raw")
+      .select(col("raw"),
+        from_json(concat(lit("{\"v\":"), TaggedJson.jsonString(col("raw")), lit("}")),
+          schema).getField("v").as("parsed"))
+    val bad = df.filter(!(col("parsed") <=> col("raw"))).collect()
+    assert(bad.isEmpty, s"round-trip failures: ${bad.mkString(", ")}")
+  }
+
   test("toJsonbModel produces the uniform (id, data, _source_type) shape") {
     val s = spark
     import s.implicits._
