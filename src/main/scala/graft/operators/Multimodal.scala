@@ -39,6 +39,8 @@ object Multimodal {
     def decodeDims(payload: Array[Byte]): (Int, Int)
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** Fixed-width feature vector for similarity indexing. */
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float]
   }
 
   /** Deterministic fake codec: dimensions derived from payload length,
@@ -56,6 +58,16 @@ object Multimodal {
       val step = math.max(1, payload.length / k)
       (0 until k).map(i => payload.slice(i * step, math.min((i + 1) * step, payload.length)))
         .filter(_.nonEmpty)
+    }
+    /** Bucketed byte histogram, L1-normalized — a REAL (if crude)
+      * content feature (byte distributions drive file-type detection);
+      * deterministic, library-free, and a faithful stand-in for a model
+      * embedding: fixed dim, density-valued, cosine-comparable. */
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val hist = new Array[Float](dim)
+      payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+      val total = math.max(1f, payload.length.toFloat)
+      hist.map(_ / total)
     }
   }
 
@@ -138,6 +150,28 @@ object Multimodal {
         c.sampleFrames(r.getAs[Array[Byte]](payloadIdx), n).zipWithIndex.map {
           case (f, i) => Row(r.getAs[Long](idIdx), i, f)
         }
+      }
+    }(enc)
+  }
+
+  /** Feature extraction: media payloads → fixed-width Float vectors
+    * (`features` column), partition-wise through the codec — the bridge
+    * from the media frame to the [[Similarity]] ANN operators (index the
+    * output with withSrpBucket / withIvfCell and query it like any
+    * embedding table). */
+  def featurize(df: DataFrame, codec: MediaCodec, dim: Int): DataFrame = {
+    val schema = df.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val payloadIdx = schema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        Row(r.getAs[Long](idIdx),
+          c.extractFeatures(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
       }
     }(enc)
   }

@@ -61,6 +61,27 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(new String(joined, "UTF-8").startsWith("hello world payl"))
   }
 
+  test("featurize bridges media payloads into the ANN operators") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (1L, "aaaa bbbb aaaa bbbb"), (2L, "aaaa bbbb aaaa bbbc"), // near-dup bytes
+      (3L, "zzzz!!!! ???? ####"))
+    val media = Multimodal.toMediaFrame(texts.toDF("id", "txt"),
+      col("id"), encode(col("txt"), "UTF-8"), kind = "image", format = "fake")
+    val feats = Multimodal.featurize(media, Multimodal.StubCodec, dim = 16)
+    assert(feats.columns.toSeq == Seq("media_id", "features"))
+    val byId = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L).length == 16)
+    assert(math.abs(byId(1L).sum - 1.0f) < 1e-5) // L1-normalized
+    // the feature vectors feed straight into similarity search
+    val q = byId(1L).toArray
+    val top = graft.operators.Similarity.bruteForceTopK(
+      feats, "media_id", "features", q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L)) // self first, near-dup bytes second
+  }
+
   test("NativeCodec is an explicit stub (no media libs here)") {
     intercept[UnsupportedOperationException] { Multimodal.NativeCodec() }
   }
