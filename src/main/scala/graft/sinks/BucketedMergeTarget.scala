@@ -1,0 +1,297 @@
+package graft.sinks
+
+import java.util.Base64
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.streaming.IncrementalSync
+
+/** Bucket-pruned, atomically-versioned parquet merge target — the write
+  * side of the sync loop (reference per-batch upsert cost is proportional
+  * to the change batch, `src/xmin/daemon.rs:336-461`; the PG target makes
+  * that free via `ON CONFLICT`, a parquet target has to earn it).
+  *
+  * Layout under `targetPath`:
+  * {{{
+  *   _graft_manifest_v000000003.json   // committed state (highest wins)
+  *   _v000000001/_graft_bucket=0/…     // immutable version directories
+  *   _v000000003/_graft_bucket=7/…
+  * }}}
+  *
+  * Every row lives in bucket `pmod(hash(pk…), nBuckets)` (Murmur3 — stable
+  * across runs and executors). A merge:
+  *
+  *   1. dedups the batch latest-per-key (cursor-aware: a late stale change
+  *      can never regress the target);
+  *   2. finds the buckets the batch touches (a distinct over ≤ nBuckets
+  *      values — metadata, not data);
+  *   3. reads ONLY those buckets from their current version dirs, merges,
+  *      and writes them to a NEW version directory — untouched buckets are
+  *      never read or rewritten, so I/O scales with the batch, not the
+  *      accumulated target;
+  *   4. commits by renaming a temp manifest to `_graft_manifest_v<n+1>` —
+  *      a single atomic rename. A crash anywhere before the rename leaves
+  *      the previous manifest (and every bucket it references) fully
+  *      intact; the replayed batch then merges against the old state,
+  *      which is exactly the idempotent-replay contract.
+  *
+  * All filesystem access goes through the Hadoop FileSystem API, so the
+  * target can live on `file://`, `hdfs://` or an object store. The rename
+  * commit is to a NEW name (no delete-then-rename window), which is atomic
+  * on HDFS and local FS; on S3-like stores it is still safe because
+  * readers take the highest manifest that parses.
+  */
+object BucketedMergeTarget {
+
+  /** Internal partition column; never surfaced by [[read]]. */
+  val BucketCol = "_graft_bucket"
+  val DefaultBuckets = 32
+
+  private val ManifestRe = raw"_graft_manifest_v(\d{9})\.json".r
+
+  /** Committed state: which version directory owns each bucket's data.
+    * `schemaB64` is the base64 of the user-facing StructType JSON so an
+    * emptied target still reads with its schema. */
+  final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, Long],
+                            schemaB64: String) {
+    def schema: StructType =
+      DataType.fromJson(new String(Base64.getDecoder.decode(schemaB64), "UTF-8"))
+        .asInstanceOf[StructType]
+  }
+
+  final case class MergeStats(version: Long, bucketsRewritten: Int, bucketsTotal: Int,
+                              bytesWritten: Long)
+
+  // ---- manifest codec (strict, hand-rolled like core.Checkpoint) ------
+
+  private[sinks] def manifestToJson(m: Manifest): String = {
+    val pairs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, v) => s""""$b":$v""" }.mkString(",")
+    s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}","buckets":{$pairs}}"""
+  }
+
+  private[sinks] def manifestFromJson(s: String): Manifest = {
+    def num(name: String): Long = {
+      val re = ("\"" + name + "\":(\\d+)").r
+      re.findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"manifest missing '$name'"))
+    }
+    val schemaRe = "\"schema\":\"([A-Za-z0-9+/=]*)\"".r
+    val schemaB64 = schemaRe.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("manifest missing 'schema'"))
+    val bucketsPart = s.substring(s.indexOf("\"buckets\""))
+    val pairRe = "\"(\\d+)\":(\\d+)".r
+    val buckets = pairRe.findAllMatchIn(bucketsPart)
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
+    Manifest(num("version"), num("nBuckets").toInt, buckets, schemaB64)
+  }
+
+  // ---- filesystem plumbing (Hadoop FS — works on any scheme) ----------
+
+  private def fileSystem(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def versionDirName(v: Long): String = f"_v$v%09d"
+
+  /** Newest manifest that parses — a torn/corrupt newest file falls back
+    * to the previous committed state instead of failing the reader. */
+  def currentManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    val (f, p) = fileSystem(spark, path)
+    if (!f.exists(p)) return None
+    val versions = f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(v) => v.toLong }
+      .sorted(Ordering[Long].reverse)
+    versions.iterator.flatMap { v =>
+      val mp = new Path(p, s"_graft_manifest_v${"%09d".format(v)}.json")
+      try {
+        val in = f.open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        Some(manifestFromJson(txt))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    currentManifest(spark, path).isDefined
+
+  private def writeManifest(f: FileSystem, p: Path, m: Manifest): Unit = {
+    f.mkdirs(p)
+    val tmp = new Path(p, s"_graft_manifest_tmp_${m.version}")
+    val out = f.create(tmp, true)
+    try out.write(manifestToJson(m).getBytes("UTF-8")) finally out.close()
+    val dest = new Path(p, s"_graft_manifest_v${"%09d".format(m.version)}.json")
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"manifest commit failed (concurrent writer?): $dest")
+    }
+  }
+
+  // ---- read paths ------------------------------------------------------
+
+  private def withBucket(df: DataFrame, pkCols: Seq[String], nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(pkCols.map(col): _*), lit(nBuckets)).cast("int"))
+
+  /** Read `buckets` (with the bucket column attached) from the version
+    * dirs the manifest assigns them to — a partition-pruned read: only
+    * the named bucket directories are ever listed or opened. */
+  private def readBuckets(spark: SparkSession, path: String, m: Manifest,
+                          buckets: Set[Int]): DataFrame = {
+    val owned = m.buckets.filter { case (b, _) => buckets.contains(b) }
+    if (owned.isEmpty) {
+      val schema = m.schema.add(BucketCol, "int")
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val byVersion = owned.groupBy(_._2).view.mapValues(_.keySet).toMap
+    byVersion.toSeq.sortBy(_._1).map { case (ver, bs) =>
+      val base = s"$path/${versionDirName(ver)}"
+      val dirs = bs.toSeq.sorted.map(b => s"$base/$BucketCol=$b")
+      spark.read.option("basePath", base).parquet(dirs: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Full current contents (user-facing — bucket column dropped). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val m = currentManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    readBuckets(spark, path, m, m.buckets.keySet).drop(BucketCol)
+  }
+
+  // ---- write paths -----------------------------------------------------
+
+  /** Next free version: past the committed manifest AND past any torn
+    * manifest file or leftover version dir a crashed writer left behind
+    * (a torn `_graft_manifest_vN` must never block committing version N). */
+  private def nextVersion(f: FileSystem, p: Path, existing: Option[Manifest]): Long = {
+    val VerDirRe = raw"_v(\d{9})".r
+    val onDisk =
+      if (!f.exists(p)) Seq.empty[Long]
+      else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case ManifestRe(v) => v.toLong
+        case VerDirRe(v)   => v.toLong
+      }
+    (onDisk ++ existing.map(_.version)).foldLeft(0L)(math.max) + 1
+  }
+
+  /** Write `data` (already carrying [[BucketCol]]) as version `old+1`,
+    * then atomically commit a manifest where `dropFromOld` buckets stop
+    * pointing at their previous versions and every bucket materialized by
+    * this write points at the new version. Finally GC the superseded
+    * bucket directories and stale manifests (best-effort — a crash here
+    * only leaves unreferenced files). */
+  private def commitVersion(spark: SparkSession, path: String,
+                            existing: Option[Manifest], data: DataFrame,
+                            dropFromOld: Set[Int], nBuckets: Int): MergeStats = {
+    val (f, p) = fileSystem(spark, path)
+    val newVer = nextVersion(f, p, existing)
+    val verDir = new Path(p, versionDirName(newVer))
+    // overwrite handles a leftover dir from a crashed previous attempt
+    data.write.mode("overwrite").partitionBy(BucketCol).parquet(verDir.toString)
+
+    val present: Set[Int] =
+      if (!f.exists(verDir)) Set.empty
+      else f.listStatus(verDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(BucketCol + "=") =>
+          n.drop(BucketCol.length + 1).toInt }.toSet
+
+    val userSchema = StructType(data.schema.filterNot(_.name == BucketCol))
+    val schemaB64 = Base64.getEncoder.encodeToString(userSchema.json.getBytes("UTF-8"))
+    val oldBuckets = existing.map(_.buckets).getOrElse(Map.empty[Int, Long])
+    val newBuckets = (oldBuckets -- dropFromOld) ++ present.map(_ -> newVer).toMap
+    writeManifest(f, p, Manifest(newVer, nBuckets, newBuckets, schemaB64))
+
+    val bytes =
+      if (f.exists(verDir)) f.getContentSummary(verDir).getLength else 0L
+    gc(f, p, existing, dropFromOld, newVer)
+    MergeStats(newVer, (dropFromOld ++ present).size, nBuckets, bytes)
+  }
+
+  /** Delete superseded bucket dirs + manifests older than `newVer - 1`
+    * (the immediately previous manifest is kept as the corrupt-newest
+    * fallback). Best-effort: failures leave garbage, never break state. */
+  private def gc(f: FileSystem, p: Path, existing: Option[Manifest],
+                 dropped: Set[Int], newVer: Long): Unit = {
+    try {
+      for (m <- existing; (b, ver) <- m.buckets if dropped.contains(b))
+        f.delete(new Path(p, s"${versionDirName(ver)}/$BucketCol=$b"), true)
+      // empty version dirs left behind
+      for (m <- existing; ver <- m.buckets.values.toSet[Long]) {
+        val vd = new Path(p, versionDirName(ver))
+        if (f.exists(vd) && !f.listStatus(vd).exists(_.getPath.getName.startsWith(BucketCol + "=")))
+          f.delete(vd, true)
+      }
+      f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+        case ManifestRe(v) if v.toLong < newVer - 1 =>
+          f.delete(new Path(p, s"_graft_manifest_v$v.json"), false)
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Cursor-aware upsert of a change batch. I/O ∝ batch size (plus the
+    * current contents of the buckets the batch touches), never ∝ target
+    * size. Replays are idempotent: max-cursor-per-key over target ∪ batch. */
+  def merge(batch: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,
+            nBuckets: Int = DefaultBuckets): MergeStats = {
+    val spark = batch.sparkSession
+    val existing = currentManifest(spark, path)
+    val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bucketed = withBucket(
+      IncrementalSync.latestByKey(batch, pkCols, cursorCol), pkCols, nb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = bucketed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty)
+        return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
+      val merged = existing match {
+        case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
+          IncrementalSync.latestByKey(
+            readBuckets(spark, path, m, touched).unionByName(bucketed),
+            pkCols, cursorCol)
+        case _ => bucketed
+      }
+      commitVersion(spark, path, existing, merged, touched, nb)
+    } finally { bucketed.unpersist(); () }
+  }
+
+  /** Delete by key (the reconcile write path): rewrites only buckets that
+    * contain a key to delete; a bucket emptied by the delete drops out of
+    * the manifest entirely. */
+  def deleteKeys(keys: DataFrame, path: String, pkCols: Seq[String]): MergeStats = {
+    val spark = keys.sparkSession
+    val existing = currentManifest(spark, path)
+    val m = existing.getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val keyed = withBucket(keys.select(pkCols.map(col): _*).distinct(), pkCols, m.nBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = keyed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet.intersect(m.buckets.keySet)
+      if (touched.isEmpty) return MergeStats(m.version, 0, m.nBuckets, 0L)
+      val remaining = readBuckets(spark, path, m, touched)
+        .join(keyed.drop(BucketCol), pkCols, "left_anti")
+      commitVersion(spark, path, existing, remaining, touched, m.nBuckets)
+    } finally { keyed.unpersist(); () }
+  }
+
+  /** Full replacement (seed / wraparound resync): every old bucket is
+    * dropped; the new contents own the whole keyspace. */
+  def replaceAll(data: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,
+                 nBuckets: Int = DefaultBuckets): MergeStats = {
+    val spark = data.sparkSession
+    val existing = currentManifest(spark, path)
+    val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bucketed = withBucket(
+      IncrementalSync.latestByKey(data, pkCols, cursorCol), pkCols, nb)
+    commitVersion(spark, path, existing, bucketed,
+      existing.map(_.buckets.keySet).getOrElse(Set.empty), nb)
+  }
+}

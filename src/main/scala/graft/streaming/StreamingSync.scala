@@ -58,33 +58,25 @@ object StreamingSync {
       }
   }
 
-  /** Streaming upsert merge into a parquet target via foreachBatch —
-    * the micro-batch form of the sync loop (T3/T4): every micro-batch is
-    * deduplicated latest-per-key and merged PK-keyed into the target.
-    * Replayed batches are idempotent (same anti-join + union outcome),
-    * which is exactly Spark's replayed-batch contract. Returns the
-    * started query; callers own its lifecycle. */
+  /** Streaming upsert merge into a bucket-pruned parquet target via
+    * foreachBatch — the micro-batch form of the sync loop (T3/T4): every
+    * micro-batch is merged cursor-aware into [[graft.sinks.BucketedMergeTarget]],
+    * rewriting only the buckets the batch touches (I/O ∝ batch, not
+    * target) and committing atomically (a crash mid-write leaves the
+    * previous manifest intact; the replayed batch re-merges — idempotent,
+    * which is exactly Spark's replayed-batch contract). A late-arriving
+    * STALE change can never regress the target because the merge keeps
+    * max-cursor-per-key. Returns the started query; callers own its
+    * lifecycle. Read the target back with `BucketedMergeTarget.read`. */
   def streamingUpsertToParquet(changes: DataFrame, targetPath: String,
                                pkCols: Seq[String], cursorCol: String,
-                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                               checkpointDir: String,
+                               nBuckets: Int = graft.sinks.BucketedMergeTarget.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val deduped = IncrementalSync.latestByKey(batch, pkCols, cursorCol)
-        // cursor-aware merge: max-cursor row per key over target ∪ batch,
-        // so a late-arriving STALE change can never regress the target
-        // (plain PK replacement would — streams don't promise order)
-        val merged =
-          if (new java.io.File(targetPath).exists()) {
-            val target = spark.read.parquet(targetPath)
-            IncrementalSync.latestByKey(
-              target.unionByName(deduped), pkCols, cursorCol)
-          } else deduped
-        // stage-then-swap: parquet can't be overwritten while being read
-        val staged = targetPath + ".staging"
-        merged.write.mode("overwrite").parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(targetPath)
+        // empty batches no-op inside merge (no version churn)
+        graft.sinks.BucketedMergeTarget.merge(batch, targetPath, pkCols, cursorCol, nBuckets)
         ()
       }
       .start()

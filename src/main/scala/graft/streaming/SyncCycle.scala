@@ -70,29 +70,52 @@ object SyncCycle {
   }
 
   /** The polling micro-batch driver (T3, `SyncDaemon::run`
-    * `daemon.rs:237-329`): run `cycles` cycles against a parquet target
-    * path, persisting the watermark in `store` between cycles and
-    * reconciling every `reconcileEvery` cycles. The `source` is
-    * re-evaluated per cycle (a fresh scan — new data is visible). */
+    * `daemon.rs:237-329`): run `cycles` cycles against a
+    * [[graft.sinks.BucketedMergeTarget]] path, persisting the watermark in
+    * `store` between cycles and reconciling every `reconcileEvery` cycles.
+    * The `source` is re-evaluated per cycle (a fresh scan — new data is
+    * visible).
+    *
+    * Write cost per cycle ∝ the change batch (only the buckets it touches
+    * are rewritten — the reference's per-batch upsert contract,
+    * `daemon.rs:336-461`), never ∝ the accumulated target; commits are
+    * atomic manifest flips, so a crash mid-cycle loses nothing. The
+    * per-cycle row count is a parquet footer-metadata count (no data read). */
   def runLoop(sourceProvider: () => DataFrame, targetPath: String,
               schema: String, table: String, versionCol: String,
               pkCols: Seq[String], store: SyncStateStore,
-              cycles: Int, reconcileEvery: Int = 24): Seq[Report] = {
+              cycles: Int, reconcileEvery: Int = 24,
+              nBuckets: Int = graft.sinks.BucketedMergeTarget.DefaultBuckets): Seq[Report] = {
+    import graft.sinks.BucketedMergeTarget
     val spark = sourceProvider().sparkSession
     (1 to cycles).map { i =>
       val source = sourceProvider()
-      val target = spark.read.parquet(targetPath)
       val wm = store.watermark(schema, table)
-      val (merged, report) =
-        runCycle(source, target, versionCol, pkCols, wm,
-          reconcile = i % reconcileEvery == 0)
-      // parquet can't be overwritten while being read → stage then swap
-      val staged = targetPath + ".staging"
-      merged.write.mode("overwrite").parquet(staged)
-      val stagedDf = spark.read.parquet(staged)
-      stagedDf.write.mode("overwrite").parquet(targetPath)
+      val sourceMax = IncrementalSync.watermarkOf(source, versionCol, wm)
+      val report =
+        if (IncrementalSync.detectWraparound(wm, sourceMax)) {
+          // full resync (read_all_rows branch): target replaced wholesale
+          BucketedMergeTarget.replaceAll(source, targetPath, pkCols, versionCol, nBuckets)
+          Report(source.count(), sourceMax, fullResync = true)
+        } else {
+          val changes = IncrementalSync.readChanges(source, versionCol, wm)
+          val n = changes.count()
+          if (n > 0)
+            BucketedMergeTarget.merge(changes, targetPath, pkCols, versionCol, nBuckets)
+          else if (!BucketedMergeTarget.exists(spark, targetPath))
+            BucketedMergeTarget.replaceAll(source, targetPath, pkCols, versionCol, nBuckets)
+          if (i % reconcileEvery == 0) {
+            // delete reconciliation (T5): orphan keys → bucket-pruned delete
+            val orphans = BucketedMergeTarget.read(spark, targetPath)
+              .join(source.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+              .select(pkCols.map(col): _*)
+            BucketedMergeTarget.deleteKeys(orphans, targetPath, pkCols)
+          }
+          Report(n, math.max(wm, sourceMax), fullResync = false)
+        }
       store.update(TableSyncState(schema, table, report.newWatermark,
-        System.currentTimeMillis(), stagedDf.count()))
+        System.currentTimeMillis(),
+        BucketedMergeTarget.read(spark, targetPath).count()))
       report
     }
   }

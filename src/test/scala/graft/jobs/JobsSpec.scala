@@ -152,20 +152,25 @@ class JobsSpec extends AnyFunSuite {
     assert(merged.count() == 2) // target replaced wholesale
   }
 
-  test("runLoop persists watermarks and converges the parquet target") {
+  test("runLoop persists watermarks and converges the bucketed target") {
     val s = spark
     import s.implicits._
     val tgtDir = tmpDir("sync-tgt").toString + "/t.parquet"
     val statePath = tmpDir("sync-state").resolve("state.jsonl")
     val source = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
-    source.filter(col("id") <= 5).write.parquet(tgtDir) // stale target
+    // stale target: only ids 1..5 present, plus an orphan deleted upstream
+    graft.sinks.BucketedMergeTarget.replaceAll(
+      source.filter(col("id") <= 5).unionByName(Seq((99L, "ghost")).toDF("id", "v")),
+      tgtDir, Seq("id"), "id", nBuckets = 8)
     val store = new SyncStateStore(statePath)
-    store.update(TableSyncState("public", "t", 5L, 0L, 5L))
+    store.update(TableSyncState("public", "t", 5L, 0L, 6L))
     val reports = SyncCycle.runLoop(() => source, tgtDir, "public", "t", "id",
-      Seq("id"), store, cycles = 2, reconcileEvery = 1)
+      Seq("id"), store, cycles = 2, reconcileEvery = 1, nBuckets = 8)
     assert(reports.head.changes == 15 && reports.head.newWatermark == 20L)
     assert(reports(1).changes == 0) // second cycle: caught up
     assert(new SyncStateStore(statePath).watermark("public", "t") == 20L)
-    assert(Checksum.tablesMatch(source, s.read.parquet(tgtDir)))
+    // converged: all 20 source rows present, the orphan reconciled away
+    assert(Checksum.tablesMatch(source,
+      graft.sinks.BucketedMergeTarget.read(s, tgtDir)))
   }
 }

@@ -125,7 +125,8 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       input.addData((1L, 3L, "a2"), (3L, 2L, "c"), (2L, 0L, "stale"))
       q.processAllAvailable()
     } finally q.stop()
-    val out = s.read.parquet(target).orderBy("id").collect()
+    val out = graft.sinks.BucketedMergeTarget.read(s, target)
+      .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(out == Seq(1L -> "a2", 2L -> "b", 3L -> "c"))
   }

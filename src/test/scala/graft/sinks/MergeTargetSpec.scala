@@ -1,0 +1,154 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path => JPath}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** BucketedMergeTarget: bucket-pruned merge cost, atomic commit, crash
+  * recovery, delete reconciliation, object-store-style paths. */
+class MergeTargetSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+  private def tmp(prefix: String): JPath = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+  private def kv(rows: Seq[(Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "cursor", "v")
+  }
+  private def contents(path: String): Set[(Long, Long, String)] =
+    BucketedMergeTarget.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+  private def hfs(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  test("manifest JSON round-trips") {
+    val m = BucketedMergeTarget.Manifest(7L, 16, Map(0 -> 3L, 5 -> 7L, 15 -> 1L),
+      java.util.Base64.getEncoder.encodeToString(
+        new org.apache.spark.sql.types.StructType().add("id", "long").json.getBytes("UTF-8")))
+    val back = BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(m))
+    assert(back == m)
+    assert(back.schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("merge seeds, upserts, and a stale cursor never regresses") {
+    val dir = tmp("mt-sem").resolve("t").toString
+    assert(!BucketedMergeTarget.exists(spark, dir))
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))), dir, Seq("id"), "cursor", 8)
+    assert(BucketedMergeTarget.exists(spark, dir))
+    // update 1, insert 3, stale duplicate for 2 loses
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 3L, "a2"), (3L, 2L, "c"), (2L, 0L, "stale"))), dir, Seq("id"), "cursor", 8)
+    assert(contents(dir) == Set((1L, 3L, "a2"), (2L, 1L, "b"), (3L, 2L, "c")))
+    // replayed batch is a no-op on contents
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 3L, "a2"), (3L, 2L, "c"), (2L, 0L, "stale"))), dir, Seq("id"), "cursor", 8)
+    assert(contents(dir) == Set((1L, 3L, "a2"), (2L, 1L, "b"), (3L, 2L, "c")))
+  }
+
+  test("merge I/O scales with the batch, not the target (bucket pruning)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-scale").resolve("t").toString
+    val big = (1L to 5000L).map(i => (i, 1L, "x" * 64)).toDF("id", "cursor", "v")
+    val seed = BucketedMergeTarget.replaceAll(big, dir, Seq("id"), "cursor", nBuckets = 16)
+    assert(seed.bucketsRewritten == 16)
+
+    val stats = BucketedMergeTarget.merge(
+      kv(Seq((42L, 9L, "updated"))), dir, Seq("id"), "cursor")
+    assert(stats.bucketsRewritten == 1)
+    // one bucket of 16 rewritten: bytes well under a quarter of the seed write
+    assert(stats.bytesWritten > 0 && stats.bytesWritten < seed.bytesWritten / 4,
+      s"bytesWritten=${stats.bytesWritten} vs seed=${seed.bytesWritten}")
+    // 15 of 16 buckets still point at the seed version — untouched on disk
+    val m = BucketedMergeTarget.currentManifest(spark, dir).get
+    assert(m.buckets.values.count(_ == seed.version) == 15)
+    assert(m.buckets.values.count(_ == stats.version) == 1)
+    // and the data is right
+    val out = BucketedMergeTarget.read(spark, dir)
+    assert(out.count() == 5000)
+    assert(out.filter(col("id") === 42L).head().getString(2) == "updated")
+  }
+
+  test("deleteKeys rewrites only touched buckets; emptied buckets drop out") {
+    val dir = tmp("mt-del").resolve("t").toString
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))), dir, Seq("id"), "cursor", 8)
+    val s = spark
+    import s.implicits._
+    val stats = BucketedMergeTarget.deleteKeys(Seq(2L).toDF("id"), dir, Seq("id"))
+    assert(stats.bucketsRewritten == 1)
+    assert(contents(dir) == Set((1L, 1L, "a"), (3L, 1L, "c")))
+    // delete everything: target is empty but keeps its schema
+    BucketedMergeTarget.deleteKeys(Seq(1L, 3L).toDF("id"), dir, Seq("id"))
+    val empty = BucketedMergeTarget.read(spark, dir)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "cursor", "v"))
+    // deleting keys that don't exist is a no-op (no version churn)
+    val before = BucketedMergeTarget.currentManifest(spark, dir).get.version
+    BucketedMergeTarget.deleteKeys(Seq(99L).toDF("id"), dir, Seq("id"))
+    assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == before)
+  }
+
+  test("a torn newest manifest falls back to the previous committed state") {
+    val dir = tmp("mt-crash").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
+    BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 4)
+    val (f, p) = hfs(dir)
+    // corrupt the newest manifest in place (simulates a torn write on a
+    // store without atomic rename)
+    val newest = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_manifest_v")).max
+    val out = f.create(new Path(p, newest), true)
+    out.write("{ not json".getBytes("UTF-8")); out.close()
+    // reader recovers the v1 state: id=1 only
+    assert(contents(dir) == Set((1L, 1L, "a")))
+    // and the next merge re-applies on top of the recovered state
+    BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 4)
+    assert(contents(dir) == Set((1L, 1L, "a"), (2L, 1L, "b")))
+  }
+
+  test("a leftover version dir from a crashed write is ignored, then overwritten") {
+    val dir = tmp("mt-leftover").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
+    val (f, p) = hfs(dir)
+    // crash simulation: data written for v2 but no manifest flip
+    val orphanDir = new Path(p, "_v000000002/_graft_bucket=0")
+    f.mkdirs(orphanDir)
+    val junk = f.create(new Path(orphanDir, "part-junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    assert(contents(dir) == Set((1L, 1L, "a"))) // unreferenced → invisible
+    BucketedMergeTarget.merge(kv(Seq((2L, 2L, "b"))), dir, Seq("id"), "cursor", 4)
+    assert(contents(dir) == Set((1L, 1L, "a"), (2L, 2L, "b")))
+  }
+
+  test("scheme-qualified (file://) paths work — Hadoop FS, not java.io.File") {
+    val dir = "file://" + tmp("mt-scheme").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
+    assert(BucketedMergeTarget.exists(spark, dir))
+    assert(contents(dir) == Set((1L, 1L, "a")))
+  }
+
+  test("composite PKs bucket and merge correctly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-composite").resolve("t").toString
+    val df = Seq(("a", 1L, 1L, "x"), ("a", 2L, 1L, "y"), ("b", 1L, 1L, "z"))
+      .toDF("region", "id", "cursor", "v")
+    BucketedMergeTarget.merge(df, dir, Seq("region", "id"), "cursor", 8)
+    BucketedMergeTarget.merge(
+      Seq(("a", 2L, 5L, "y2")).toDF("region", "id", "cursor", "v"),
+      dir, Seq("region", "id"), "cursor", 8)
+    val out = BucketedMergeTarget.read(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    assert(out == Set(("a", 1L, "x"), ("a", 2L, "y2"), ("b", 1L, "z")))
+  }
+}
