@@ -189,6 +189,21 @@ object QueriesRelational {
     "q_jsonb_encode" -> ((s, dir) =>
       TaggedJson.toJsonbModel(t(s, dir, "nation"), col("n_nationkey"), "sqlite")),
 
+    // S18–S19/§1.3 Mongo document pipeline: ObjectId `_id` dispatch
+    // (hex extraction, converter.rs:236-250) + whole-document encoding
+    // with the reference's `_type` tags (document_to_json). The `_id` is
+    // provably non-null → the id extraction plans as a pure narrow map
+    // (no row-number shuffle). Reader surface itself is mock-pinned in
+    // MongoCatalogSpec (no live Mongo in the sandbox).
+    "q_mongo_ingest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val oid = coalesce(lpad(col("c_custkey").cast(StringType), 24, "0"), lit(""))
+      val docs = c.select(
+        struct(oid.as("$oid")).as("_id"),
+        col("c_name"), col("c_nationkey"))
+      graft.jsonb.MongoIngest.toDocuments(docs)
+    }),
+
     // The query side of the JSONB document model: path extraction out of
     // a JSON column + aggregation (what the reference's GIN index on
     // `data` exists to serve). get_json_object is a narrow codegen'd map.
@@ -320,6 +335,13 @@ object QueriesRelational {
         | '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS data,
         | 'sqlite' AS _source_type
         |FROM nation""".stripMargin,
+
+    "q_mongo_ingest" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 24, '0') AS id,
+        | '{"_id":{"_type":"objectid","$oid":"' || lpad(CAST(c_custkey AS VARCHAR), 24, '0') ||
+        | '"},"c_name":"' || c_name || '","c_nationkey":' || CAST(c_nationkey AS VARCHAR) || '}' AS data,
+        | 'mongodb' AS _source_type
+        |FROM customer""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
