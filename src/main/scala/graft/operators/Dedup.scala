@@ -99,19 +99,19 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                         hashFn: Column => Column = xxhash,
-                        maxBucket: Int = 200): DataFrame = {
-    val k = bands * rowsPerBand
-    // Signature via explode + hash-aggregation rather than k array-lambda
-    // passes: min() per seed is map-side combinable (the shuffle carries
-    // k values per doc, never grams), and the expression tree stays small
-    // — k nested `transform` lambdas generate pathological codegen units
-    // (measured: seconds of janino compile alone).
-    val toks = df.select(col(idCol).as("id"), tokens(text).as("__t"))
-    val exploded = toks.select(col("id"),
-      explode(ngramsOfTokens(col("__t"), ngramN)).as("__g"))
-    val sig = exploded.groupBy(col("id")).agg(
-      array((0 until k).map(seed =>
-        min(hashFn(concat(lit(s"$seed:"), col("__g"))))): _*).as("sig"))
+                        maxBucket: Int = 200): DataFrame =
+    minhashCandidatesManaged(df, idCol, text, ngramN, bands, rowsPerBand,
+      hashFn, maxBucket)._1
+
+  /** As [[minhashCandidates]], but the caller OWNS the persisted banded
+    * scratch frame's lifecycle: call `release()` once every consumer of
+    * the returned candidates has materialized. The plain overload leaves
+    * the cache session-scoped (never released) — fine for one-shot jobs,
+    * a storage leak in a long-lived session (round-2 verdict #3). */
+  def minhashCandidatesManaged(df: DataFrame, idCol: String, text: Column,
+                               ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                               hashFn: Column => Column = xxhash,
+                               maxBucket: Int = 200): (DataFrame, () => Unit) = {
     // MATERIALIZE the banded signatures: the cap aggregation, the cap
     // join, and both self-join branches all consume this frame — without
     // a persist each branch re-derives the whole shingle→hash lineage
@@ -119,13 +119,38 @@ object Dedup {
     // sf0.1). At 100 TB this is a written signature table, bucketed by
     // (band, bh) so the self-join is co-located; here MEMORY_AND_DISK of
     // (id, band, hash) — a sliver of the input — is the same decision.
-    val banded = sig.select(
+    val banded = bandedSignatures(df, idCol, text, ngramN, bands, rowsPerBand, hashFn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (candidatePairs(banded, maxBucket), () => { banded.unpersist(); () })
+  }
+
+  /** The banded minhash signature frame `(id, band, bh)` — pure (no
+    * persist). Signature via explode + hash-aggregation rather than k
+    * array-lambda passes: min() per seed is map-side combinable (the
+    * shuffle carries k values per doc, never grams), and the expression
+    * tree stays small — k nested `transform` lambdas generate
+    * pathological codegen units (measured: seconds of janino compile). */
+  def bandedSignatures(df: DataFrame, idCol: String, text: Column,
+                       ngramN: Int, bands: Int, rowsPerBand: Int,
+                       hashFn: Column => Column = xxhash): DataFrame = {
+    val k = bands * rowsPerBand
+    val toks = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+    val exploded = toks.select(col("id"),
+      explode(ngramsOfTokens(col("__t"), ngramN)).as("__g"))
+    val sig = exploded.groupBy(col("id")).agg(
+      array((0 until k).map(seed =>
+        min(hashFn(concat(lit(s"$seed:"), col("__g"))))): _*).as("sig"))
+    sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map(b =>
           hashFn(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
         .as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pairs from a banded frame (callers persist `banded` —
+    * it is consumed four times here). */
+  def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     // bucket-frequency cap: count per (band, hash), keep 2..maxBucket
     val keep = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__bsz"))

@@ -20,8 +20,14 @@ object Skew {
   /** Per-row salt: position-derived (partition id ⊕ offset via
     * monotonically_increasing_id), mod S. Content hashing would send
     * IDENTICAL duplicate rows — precisely the hot-key case — to one
-    * salt; position spreads them. Stable under task replay (same input
-    * split → same ids), which is what replayed salted joins need. */
+    * salt; position spreads them.
+    *
+    * Guarantee (pinned by a property test): the salted-join RESULT is
+    * independent of the salt values — every big-side row matches the
+    * replicated small side under any salt in [0, S), so correctness
+    * never depends on which salt a row gets. Salt values themselves are
+    * NOT stable across replans (AQE may coalesce upstream partitions and
+    * shift monotonically_increasing_id); only the spreading matters. */
   def rowSalt(df: DataFrame, saltFactor: Int): Column =
     pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int")
 

@@ -37,8 +37,19 @@ object JdbcUpsertWriter {
       else st.setObject(base + i, v)
     }
 
-  /** Execute one multi-row upsert; on failure split in half and retry
-    * each half (`writer.rs:88-144`). Single failing rows propagate. */
+  /** The one error class the reference degrades on: oversized row data
+    * (`writer.rs:117` matches "value too large to transmit"; SQLSTATE
+    * 22001 is the standard string_data_right_truncation code). Anything
+    * else — constraint violations, serialization failures, dead
+    * connections — must propagate immediately, NOT degenerate into ~2N
+    * single-row retries. */
+  private[sinks] def isValueTooLarge(e: java.sql.SQLException): Boolean =
+    e.getSQLState == "22001" ||
+      Option(e.getMessage).exists(_.contains("value too large to transmit"))
+
+  /** Execute one multi-row upsert; on a value-too-large failure split in
+    * half and retry each half (`writer.rs:88-144`). Single failing rows
+    * and every other SQLException propagate. */
   private[sinks] def executeUpsertWithSplit(
       conn: Connection, table: String, columns: Seq[String],
       pkCols: Seq[String], rows: Seq[Seq[Any]]): Unit = {
@@ -50,7 +61,7 @@ object JdbcUpsertWriter {
       st.executeUpdate()
       ()
     } catch {
-      case _: java.sql.SQLException if rows.size > 1 =>
+      case e: java.sql.SQLException if rows.size > 1 && isValueTooLarge(e) =>
         val (a, b) = rows.splitAt(rows.size / 2)
         executeUpsertWithSplit(conn, table, columns, pkCols, a)
         executeUpsertWithSplit(conn, table, columns, pkCols, b)

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object ChangeQueue {
 
-  final case class Batch(changes: DataFrame, maxChangeId: Long, count: Long)
+  /** One listed page. `changes` is PERSISTED (the stats aggregation, the
+    * table split, and every per-table apply all consume it — without the
+    * persist the top-k page query re-executes N+1 times for N tables,
+    * round-2 verdict #5). Call [[Batch.release]] once applied;
+    * [[consumeOnce]] does so automatically. */
+  final case class Batch(changes: DataFrame, maxChangeId: Long, count: Long) {
+    def release(): Unit = { changes.unpersist(); () }
+  }
 
   /** `ListChanges(limit)`: the next `limit` changes past the cursor, in
     * change_id order (a bounded top-k job, not a full sort). */
@@ -25,8 +32,9 @@ object ChangeQueue {
     val page = queue.filter(col("change_id") > cursor)
       .orderBy(col("change_id").asc)
       .limit(limit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = page.agg(max(col("change_id")).cast("long"), count(lit(1))).head()
-    if (stats.isNullAt(0)) None
+    if (stats.isNullAt(0)) { page.unpersist(); None }
     else Some(Batch(page, stats.getLong(0), stats.getLong(1)))
   }
 
@@ -56,12 +64,14 @@ object ChangeQueue {
     listChanges(queue, cursor, limit) match {
       case None => 0L
       case Some(batch) =>
-        splitByTable(batch.changes).foreach { case (t, (up, del)) =>
-          apply(t, up, del)
-        }
-        // ack: cursor advances only after apply — at-least-once
-        store.update(TableSyncState(schema, queueName, batch.maxChangeId,
-          System.currentTimeMillis(), batch.count))
+        try {
+          splitByTable(batch.changes).foreach { case (t, (up, del)) =>
+            apply(t, up, del)
+          }
+          // ack: cursor advances only after apply — at-least-once
+          store.update(TableSyncState(schema, queueName, batch.maxChangeId,
+            System.currentTimeMillis(), batch.count))
+        } finally batch.release()
         batch.count
     }
   }

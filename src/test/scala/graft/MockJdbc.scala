@@ -34,6 +34,7 @@ object MockJdbc {
     log.put(key, java.util.Collections.synchronizedList(new java.util.ArrayList[Exec]()))
     queryHandlers.remove(key)
     poisons.remove(key)
+    poisonErrors.remove(key)
     opened.put(key, 0)
   }
 
@@ -45,6 +46,15 @@ object MockJdbc {
 
   /** Any bound param == value → executeUpdate throws SQLException. */
   def setPoison(key: String, value: Any): Unit = poisons.put(key, value)
+
+  /** SQLSTATE + message for the poison throw (default: the value-too-
+    * large class the split path retries on). */
+  def setPoisonError(key: String, message: String, sqlState: String): Unit = {
+    poisonErrors.put(key, (message, sqlState)); ()
+  }
+  private val poisonErrors = new ConcurrentHashMap[String, (String, String)]()
+  private def poisonError(key: String): (String, String) =
+    poisonErrors.getOrDefault(key, ("value too large (poison)", "22001"))
 
   def connectionsOpened(key: String): Int = opened.getOrDefault(key, 0)
 
@@ -81,14 +91,16 @@ object MockJdbc {
     val params = mutable.Map.empty[Int, Any]
     newProxy[java.sql.PreparedStatement] { (method, args) =>
       method.getName match {
-        case "setObject" =>
+        case "setObject" | "setString" =>
           params(args(0).asInstanceOf[Integer].intValue()) = args(1); null
         case "setNull" =>
           params(args(0).asInstanceOf[Integer].intValue()) = null; null
         case "executeUpdate" | "execute" =>
           Option(poisons.get(key)).foreach { p =>
-            if (params.values.exists(v => v == p))
-              throw new SQLException("value too large (poison)", "22001")
+            if (params.values.exists(v => v == p)) {
+              val (msg, state) = poisonError(key)
+              throw new SQLException(msg, state)
+            }
           }
           record(key, Exec(sql, params.toMap))
           params.clear()

@@ -27,6 +27,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("JsonNumber.format emits SHORTEST round-trip digits (JDK17 toString is not)") {
+    // JDK-4511638: Double.toString on JDK 17 sometimes emits one digit
+    // more than needed. serde_json/Ryū parity demands minimality: no
+    // digit prefix one shorter may round-trip.
+    def digitsOf(s: String): String =
+      s.replace("-", "").replace(".", "").replaceAll("e.*", "")
+        .dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+    check(Prop.forAll { (d: Double) =>
+      d.isNaN || d.isInfinite || d == 0.0 || {
+        val digits = digitsOf(JsonNumber.format(d))
+        digits.length <= 1 || {
+          val full = new java.math.BigDecimal(java.lang.Double.toString(math.abs(d)))
+          val shorter = full.round(new java.math.MathContext(digits.length - 1))
+          shorter.doubleValue() != math.abs(d) // one digit fewer must NOT round-trip
+        }
+      }
+    })
+    // a concrete double whose JDK17 toString IS non-shortest (found by
+    // bit-pattern scan): toString gives 17 digits, 16 round-trip
+    val d = java.lang.Double.longBitsToDouble(-4340736438196967870L)
+    assert(java.lang.Double.toString(d) == "-2.6814475343671142E18") // JDK17 behavior
+    assert(JsonNumber.format(d) == "-2.681447534367114e18") // shortest, serde notation
+    assert(JsonNumber.format(d).toDouble == d)
+  }
+
   test("quoting always survives round-trip and never breaks out") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val ident = Identifiers.quoteIdent(s)

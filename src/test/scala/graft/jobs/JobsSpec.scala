@@ -47,6 +47,16 @@ class JobsSpec extends AnyFunSuite {
     assert(newFilter.completed.isEmpty) // incompatible → fresh
   }
 
+  test("table names that would corrupt the checkpoint json are rejected") {
+    val cp = Checkpoint("a" * 64, "b" * 64, "c" * 64, Set("good_table"))
+    // a comma would split into two bogus completed entries on resume —
+    // silently marking never-copied tables done (round-2 advice)
+    intercept[IllegalArgumentException] { cp.markCompleted("evil,table") }
+    intercept[IllegalArgumentException] { cp.markCompleted("evil]table") }
+    intercept[IllegalArgumentException] { cp.markCompleted("evil\"table") }
+    assert(cp.markCompleted("fine").completed.contains("fine"))
+  }
+
   test("checkpoint roundtrip with an empty completed set") {
     val cp = Checkpoint("a1", "b2", "c3", Set.empty)
     assert(Checkpoint.fromJson(cp.toJson) == Right(cp))

@@ -78,6 +78,21 @@ class ReaderQueueSpec extends AnyFunSuite {
     assert(ChangeQueue.consumeOnce(queueDf(), store, "q", "main", 10)((_, _, _) => ()) == 0L)
   }
 
+  test("the listed page is persisted for the split and released after consume") {
+    // persisted while live: the N-table split + stats reuse one execution
+    val batch = ChangeQueue.listChanges(queueDf(), cursor = 0L, limit = 10).get
+    assert(batch.changes.storageLevel.useMemory || batch.changes.storageLevel.useDisk)
+    batch.release()
+    assert(batch.changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // consumeOnce releases automatically (even if apply throws)
+    val store = new SyncStateStore(Files.createTempDirectory("cqp").resolve("s.jsonl"))
+    ChangeQueue.consumeOnce(queueDf(), store, "q", "m", 10)((_, _, _) => ())
+    intercept[RuntimeException] {
+      ChangeQueue.consumeOnce(queueDf().withColumn("change_id", col("change_id") + 100),
+        store, "q", "m", 10)((_, _, _) => throw new RuntimeException("boom"))
+    }
+  }
+
   test("limit bounds a consume batch and the cursor resumes mid-queue") {
     val store = new SyncStateStore(Files.createTempDirectory("cq2").resolve("s.jsonl"))
     val n1 = ChangeQueue.consumeOnce(queueDf(), store, "q", "m", limit = 2)((_, _, _) => ())

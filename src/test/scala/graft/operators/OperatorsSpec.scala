@@ -129,6 +129,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saltSpread > 1)
   }
 
+  test("salted-join result is salt-independent: invariant under any repartitioning") {
+    // the pinned guarantee (Skew.rowSalt scaladoc): repartitioning shifts
+    // monotonically_increasing_id — and therefore every salt value — but
+    // the JOIN RESULT cannot change, because each big-side row matches
+    // the replicated small side under any salt in [0, S)
+    val s = spark
+    import s.implicits._
+    val big = ((1 to 200).map(_ => (1L, "hot")) ++ (2 to 20).map(i => (i.toLong, s"v$i")))
+      .toDF("k", "v")
+    val small = (1 to 20).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    for (parts <- Seq(1, 3, 16)) {
+      val salted = Skew.saltedJoin(big.repartition(parts), small, Seq("k"), saltFactor = 8)
+        .select("k", "v", "name")
+      assert(Checksum.tablesMatch(salted, plain), s"parts=$parts")
+    }
+  }
+
   test("two-phase salted aggregation equals direct aggregation") {
     val s = spark
     import s.implicits._

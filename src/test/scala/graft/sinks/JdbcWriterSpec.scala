@@ -63,6 +63,25 @@ class JdbcWriterSpec extends AnyFunSuite {
     assert(landed.toSet == (1 to 7).toSet)
   }
 
+  test("non-value-too-large SQLExceptions rethrow immediately — no split (writer.rs:117)") {
+    val key = "split-rethrow"; MockJdbc.reset(key)
+    MockJdbc.setPoison(key, "POISON")
+    MockJdbc.setPoisonError(key, "duplicate key value violates unique constraint", "23505")
+    val conn = MockJdbc.connection(key)
+    val rows = (1 to 7).map(i => Seq[Any](i, s"v$i")) :+ Seq[Any](8, "POISON")
+    val e = intercept[SQLException] {
+      JdbcUpsertWriter.executeUpsertWithSplit(conn, "t", Seq("id", "v"), Seq("id"), rows)
+    }
+    assert(e.getSQLState == "23505")
+    // the batch failed ONCE and propagated — nothing landed, no 2N retries
+    assert(MockJdbc.recorded(key).isEmpty)
+    // the classifier itself
+    assert(JdbcUpsertWriter.isValueTooLarge(new SQLException("x", "22001")))
+    assert(JdbcUpsertWriter.isValueTooLarge(
+      new SQLException("db error: value too large to transmit", "XX000")))
+    assert(!JdbcUpsertWriter.isValueTooLarge(new SQLException("deadlock", "40P01")))
+  }
+
   test("upsert over a DataFrame drains every row through foreachPartition") {
     val key = "df-upsert"; MockJdbc.reset(key)
     val s = spark
