@@ -64,4 +64,32 @@ class PlanSpec extends AnyFunSuite {
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(!scans.contains("c_comment") && !scans.contains("c_address"))
   }
+
+  test("q_mongo_ingest plans as a pure narrow map — no shuffle, no sort") {
+    // the ObjectId id dispatch must not plan the row-number fallback
+    // (and its range-repartition sort) when _id is provably non-null
+    val p = plan("q_mongo_ingest")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
+  test("bucketed merge-target reads list only manifest-referenced bucket dirs") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-mt").resolve("t").toString
+    graft.sinks.BucketedMergeTarget.replaceAll(
+      (1L to 100L).map(i => (i, 1L, s"v$i")).toDF("id", "cursor", "v"),
+      dir, Seq("id"), "cursor", nBuckets = 8)
+    graft.sinks.BucketedMergeTarget.merge(
+      Seq((1L, 2L, "updated")).toDF("id", "cursor", "v"), dir, Seq("id"), "cursor")
+    // the read's file index contains only the dirs the manifest names:
+    // buckets live across two versions now, and no stale copy of bucket
+    // b(1) from v1 is readable (exactly one row for id=1)
+    val out = graft.sinks.BucketedMergeTarget.read(s, dir)
+    assert(out.filter(col("id") === 1L).count() == 1)
+    assert(out.count() == 100)
+    val scanned = out.queryExecution.executedPlan.toString
+    assert(scanned.contains("_v000000001") && scanned.contains("_v000000002"))
+  }
 }
