@@ -192,12 +192,17 @@ object QueriesPipeline {
     // Document fingerprint dedup over a corpus with planted exact copies
     // (every 5th doc): fingerprint groups must pair them up.
     "q_doc_fingerprint" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val corpus = d.select("doc_id", "text").unionAll(
-        d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      corpus
+      // single-pass plant: fingerprint each source row ONCE, then explode
+      // the planted ids out of the same row — one text scan and n
+      // regex+md5 computes (a union of base + filtered branches would
+      // scan the text twice and fingerprint 1.2n rows)
+      val fp = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      fp.select(
+          explode(when(col("doc_id") % 5 === 0,
+              array(col("doc_id"), col("doc_id") + 100000))
+            .otherwise(array(col("doc_id")))).as("doc_id"),
+          col("fp"))
         .groupBy("fp")
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
     }),

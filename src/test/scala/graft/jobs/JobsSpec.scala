@@ -162,6 +162,26 @@ class JobsSpec extends AnyFunSuite {
     assert(merged.count() == 2) // target replaced wholesale
   }
 
+  test("runLoop wraparound replaces the target wholesale (reader.rs:35-48)") {
+    val s = spark
+    import s.implicits._
+    val tgtDir = tmpDir("sync-wrap").toString + "/t.parquet"
+    val statePath = tmpDir("sync-wrap-state").resolve("state.jsonl")
+    val source = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.sinks.BucketedMergeTarget.replaceAll(
+      Seq((99L, "stale")).toDF("id", "v"), tgtDir, Seq("id"), "id", nBuckets = 4)
+    val store = new SyncStateStore(statePath)
+    // watermark far past the source max → u32 txid wrapped → full resync
+    store.update(TableSyncState("public", "t", 3000000000L, 0L, 1L))
+    val reports = SyncCycle.runLoop(() => source, tgtDir, "public", "t", "id",
+      Seq("id"), store, cycles = 1, nBuckets = 4)
+    assert(reports.head.fullResync && reports.head.changes == 2)
+    // the stale row (and its bucket) is gone, not merged around
+    assert(Checksum.tablesMatch(source,
+      graft.sinks.BucketedMergeTarget.read(s, tgtDir)))
+    assert(store.watermark("public", "t") == 2L)
+  }
+
   test("runLoop persists watermarks and converges the bucketed target") {
     val s = spark
     import s.implicits._
