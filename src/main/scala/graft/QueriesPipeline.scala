@@ -50,6 +50,10 @@ object QueriesPipeline {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
     lshMemo.getOrElseUpdate((s, dir),
+      // only the banded scratch frame underneath is persisted; persisting
+      // the pair frame too was measured WORSE (the cache fill becomes a
+      // barrier that outweighs re-deriving pairs from the warm banded
+      // cache — see the ngramJaccard scaladoc)
       Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
         ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200))

@@ -207,6 +207,18 @@ object Dedup {
     * on the candidate set, not the cross product. */
   def ngramJaccard(df: DataFrame, idCol: String, text: Column, n: Int,
                    candidates: DataFrame): DataFrame = {
+    // Deliberately FUSED: grams are projected over the whole corpus and
+    // filtered by the candidate joins. The "obvious" optimization —
+    // semi-join the corpus down to candidate ids before the gram
+    // projection — was MEASURED WORSE at sf0.1 (6.4 s → 11.5 s for the
+    // candidate+verify pair): the prune forces the candidate frame to
+    // materialize as a barrier and adds exchanges, while the fused gram
+    // projection costs ~0.2 s per corpus pass. At corpus ≫ candidate
+    // scale the balance flips — there, write the candidate pairs to a
+    // table first and prune the corpus scan with a pushed-down id filter
+    // (or co-bucket corpus and candidates by id), which removes the
+    // barrier rather than adding one.
+    //
     // tokens projected separately so the n-gram lambda reads an
     // attribute (NOT persisted: columnar-caching array<string> columns
     // costs ~50× the recompute — measured 9 s cache build vs 0.2 s
