@@ -300,6 +300,18 @@ object QueriesPipeline {
       graft.streaming.StreamingSync.windowedEventCounts(
         Tables.events(s, dir), "1 hour")),
 
+    // T8 sliding windows (1 h wide, 30 min slide — every event in two
+    // windows); the oracle replays the two alignment buckets as a union.
+    "q_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamingSync.slidingEventCounts(
+        Tables.events(s, dir), "1 hour", "30 minutes")),
+
+    // T8 session windows per user (30 min inactivity gap); the oracle
+    // replays the gaps-and-islands form with a window + cumulative sum.
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingSync.sessionEventCounts(
+        Tables.events(s, dir), "30 minutes")),
+
     // PII scrubbing over planted contact strings (the raw corpus has no
     // PII, so both engines plant identical deterministic emails/phones,
     // then redact and count them) — a narrow map, shuffle-free.
@@ -463,6 +475,27 @@ object QueriesPipeline {
           | count(*) AS n_events,
           | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_sliding_window" ->
+        """SELECT window_start, event_type, count(*) AS n_events FROM (
+          |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type FROM events
+          |  UNION ALL
+          |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events
+          |) GROUP BY 1, 2""".stripMargin,
+
+      "q_session_window" ->
+        """WITH breaks AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |islands AS (
+          |  SELECT user_id, ts,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                   ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM breaks)
+          |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+          |FROM islands GROUP BY user_id, grp""".stripMargin,
 
       "q_pii_scrub" -> {
         val planted =

@@ -35,6 +35,36 @@ object StreamingSync {
         col("n_events"), col("sum_value"))
   }
 
+  /** Sliding-window aggregation (T8, beyond the reference — it has no
+    * windows at all): each event lands in width/slide overlapping
+    * windows. Same batch/stream duality as [[windowedEventCounts]]. */
+  def slidingEventCounts(events: DataFrame, width: String, slide: String,
+                         watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(
+        window(col("ts"), width, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+  }
+
+  /** Session-window aggregation per user (T8, beyond the reference):
+    * events closer than `gap` merge into one session; a gap ≥ `gap`
+    * starts a new one. In streaming this is Spark's dynamic-gap session
+    * state; in batch the same expression computes the gaps-and-islands
+    * form the SQL oracle replays. */
+  def sessionEventCounts(events: DataFrame, gap: String,
+                         watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(
+        session_window(col("ts"), gap).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+  }
+
   final case class Change(key: String, cursor: Long, payload: String)
   final case class Latest(key: String, cursor: Long, payload: String)
 

@@ -107,6 +107,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       ("2024-05-01 11:00:00.0", "view", 1L, 4.0)))
   }
 
+  test("session windows run under a real stream with watermarked state") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamingSync.sessionEventCounts(events, "30 minutes", Some("10 minutes"))
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1: two events 10 min apart (one session), then one 40 min later
+      // (new session); u2: a single event
+      input.addData(
+        (Timestamp.valueOf("2024-05-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2024-05-01 10:10:00"), "u1"),
+        (Timestamp.valueOf("2024-05-01 10:50:00"), "u1"),
+        (Timestamp.valueOf("2024-05-01 10:05:00"), "u2"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit every session
+      input.addData((Timestamp.valueOf("2024-05-01 13:00:00"), "u3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.sql("SELECT user_id, CAST(session_start AS STRING), n_events FROM sess_sink")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("u1", "2024-05-01 10:00:00", 2L)))
+    assert(out.contains(("u1", "2024-05-01 10:50:00", 1L)))
+    assert(out.contains(("u2", "2024-05-01 10:05:00", 1L)))
+  }
+
   test("foreachBatch streaming merge converges the parquet target") {
     val s = spark
     import s.implicits._
