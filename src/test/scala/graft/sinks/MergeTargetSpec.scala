@@ -130,6 +130,20 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(contents(dir) == Set((1L, 1L, "a"), (2L, 2L, "b")))
   }
 
+  test("repeated merges do not accumulate superseded files (GC bounds the dir)") {
+    val dir = tmp("mt-gc").resolve("t").toString
+    for (i <- 1 to 20)
+      BucketedMergeTarget.merge(kv(Seq((1L, i.toLong, s"v$i"))), dir, Seq("id"), "cursor", 4)
+    assert(contents(dir) == Set((1L, 20L, "v20")))
+    val (f, p) = hfs(dir)
+    val names = f.listStatus(p).map(_.getPath.getName)
+    // manifests pruned to the newest two (fallback window)
+    assert(names.count(_.startsWith("_graft_manifest_v")) <= 2, names.mkString(","))
+    // superseded version dirs are deleted once their buckets move on —
+    // a 20-cycle loop must not hold 20 copies of the data
+    assert(names.count(_.startsWith("_v")) <= 2, names.mkString(","))
+  }
+
   test("scheme-qualified (file://) paths work — Hadoop FS, not java.io.File") {
     val dir = "file://" + tmp("mt-scheme").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
