@@ -211,6 +211,16 @@ object QueriesPipeline {
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
     }),
 
+    // Winnowing (MOSS) rolling-hash fingerprints: k=5 char shingles,
+    // window w=4 minima — any verbatim match ≥ 8 chars shares a
+    // fingerprint, the candidate basis for PARTIAL-duplicate detection
+    // (fingerprintMd5 only catches whole-document copies).
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
+          col("text"), k = 5, w = 4, hashFn = Dedup.md5Hex)
+        .select(col("id").as("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))),
+
     // Language-ID heuristic: per-language marker scores + argmax. Scores
     // are projected ONCE; the argmax chain reads the attributes (the
     // chain references each score ~5 times — inlining the regex trees
@@ -475,6 +485,23 @@ object QueriesPipeline {
           | count(*) AS n_events,
           | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_winnow" ->
+        """WITH n AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |    [md5(substr(t, i, 5)) for i in range(1, greatest(len(t) - 4, 1) + 1)] AS hs
+          |  FROM n),
+          |f AS (
+          |  SELECT doc_id,
+          |    list_distinct([list_min(hs[i:i+3])
+          |                   for i in range(1, greatest(len(hs) - 4, 0) + 2)]) AS fps
+          |  FROM h)
+          |SELECT doc_id, len(fps) AS n_fps,
+          | list_min(fps) AS min_fp, list_max(fps) AS max_fp
+          |FROM f""".stripMargin,
 
       "q_sliding_window" ->
         """SELECT window_start, event_type, count(*) AS n_events FROM (

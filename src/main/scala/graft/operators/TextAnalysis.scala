@@ -126,6 +126,36 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * scheme — the literal rolling-hash document fingerprint): hash every
+    * k-char shingle of the normalized text, slide a window of w hashes,
+    * keep each window's minimum; the distinct selected minima are the
+    * document's fingerprint set. Guarantee: any verbatim match of length
+    * ≥ w + k − 1 chars between two documents shares at least one
+    * fingerprint, so shared-fingerprint pairs are the candidate set for
+    * partial-duplicate (not just whole-doc) detection.
+    *
+    * Staged as three projections so every lambda reads an ATTRIBUTE —
+    * referencing the gram-hash array from inside the window lambda would
+    * re-derive it per window (the O(n²) codegen trap, SCALE.md). Each
+    * stage is a narrow map; the only shuffle is whatever the caller
+    * aggregates afterwards. `hashFn` as in [[graft.operators.Dedup]]:
+    * xxhash64 at scale, md5-hex for engine-portable oracles. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, text: Column,
+                            k: Int, w: Int,
+                            hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    df.select(col(idCol).as("id"), norm.as("__n"))
+      .select(col("id"),
+        transform(
+          sequence(lit(1), greatest(length(col("__n")) - (k - 1), lit(1))),
+          i => hashFn(col("__n").substr(i, lit(k)))).as("__h"))
+      .select(col("id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__h")) - w, lit(0))),
+          i => array_min(slice(col("__h"), i + lit(1), lit(w))))).as("fps"))
+  }
+
   /** All word n-grams WITH duplicates from a token-array attribute —
     * occurrence counting needs the multiset, unlike Dedup's distinct
     * shingle sets. */

@@ -289,6 +289,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 3) // 'theater' must not match
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint; disjoint docs don't") {
+    val s = spark
+    import s.implicits._
+    // k=5, w=4 → guaranteed shared fingerprint for any verbatim match ≥ 8 chars
+    val shared = "quantum entanglement experiment"
+    val docs = Seq(
+      (1L, s"alpha preamble $shared tail one"),
+      (2L, s"totally different intro $shared closing remarks"),
+      (3L, "zzz qqq xxx vvv kkk jjj www")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", col("text"), 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)  // partial overlap detected
+    assert((fps(1L) & fps(3L)).isEmpty)   // unrelated docs share nothing
+    // every doc yields a non-empty, deduplicated fingerprint set
+    assert(fps.values.forall(_.nonEmpty))
+  }
+
   test("quality score stays in [0,1] and rewards clean text") {
     val out = docs(
       1L -> ("this is a perfectly normal sentence with the usual words in it " * 3),
