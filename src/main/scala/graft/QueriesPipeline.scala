@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -210,6 +210,29 @@ object QueriesPipeline {
         .groupBy("fp")
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"))
     }),
+
+    // Deterministic content-stable train/val split (12/16 train): the
+    // same doc lands in the same split on every run and engine — never
+    // rand(). Verified by aggregate shape per (source, split).
+    "q_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          Sampling.splitLabel(col("doc_id")).as("split"),
+          length(col("text")).as("len"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).cast("long").as("sum_len"),
+          min(col("doc_id")).as("first_doc"))),
+
+    // Stratified cap: at most 40 docs per source, chosen by md5-hash
+    // order (deterministic under any partitioning) — class balancing.
+    "q_stratified_cap" -> ((s, dir) =>
+      Sampling.stratifiedCap(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("source"), col("doc_id"), k = 40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))),
 
     // Winnowing (MOSS) rolling-hash fingerprints: k=5 char shingles,
     // window w=4 minima — any verbatim match ≥ 8 chars shares a
@@ -485,6 +508,23 @@ object QueriesPipeline {
           | count(*) AS n_events,
           | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_hash_split" ->
+        """SELECT source,
+          | CASE WHEN instr('0123456789ab', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+          |      THEN 'train' ELSE 'val' END AS split,
+          | count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_len,
+          | min(doc_id) AS first_doc
+          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_stratified_cap" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM ranked WHERE rk <= 40 GROUP BY source""".stripMargin,
 
       "q_winnow" ->
         """WITH n AS (

@@ -289,6 +289,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 3) // 'theater' must not match
   }
 
+  test("hash split is content-stable: same labels under any partitioning, sane ratio") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "t")
+    def labels(parts: Int): Map[Long, String] =
+      df.repartition(parts)
+        .select(col("id"), Sampling.splitLabel(col("id")).as("sp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val l1 = labels(1)
+    assert(l1 == labels(7)) // identical assignment regardless of layout
+    val trainFrac = l1.values.count(_ == "train").toDouble / l1.size
+    assert(trainFrac > 0.70 && trainFrac < 0.80) // 12/16 = 0.75 ± noise
+    // and 1/16-granularity knob holds roughly too
+    val one = df.select(Sampling.splitLabel(col("id"), 1).as("sp"))
+      .filter(col("sp") === "train").count().toDouble / 2000
+    assert(one > 0.03 && one < 0.10)
+  }
+
+  test("stratifiedCap keeps at most k per stratum, deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val kept = Sampling.stratifiedCap(df, col("g"), col("id"), k = 10)
+    val byG = kept.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 10L, "b" -> 10L))
+    // deterministic: the same rows survive under a different partitioning
+    val kept2 = Sampling.stratifiedCap(df.repartition(13), col("g"), col("id"), k = 10)
+    assert(kept.collect().map(_.getLong(0)).toSet == kept2.collect().map(_.getLong(0)).toSet)
+    // small strata pass through whole
+    val tiny = Sampling.stratifiedCap(df.filter(col("id") <= 4), col("g"), col("id"), 10)
+    assert(tiny.count() == 4)
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint; disjoint docs don't") {
     val s = spark
     import s.implicits._
