@@ -47,16 +47,24 @@ object QueriesPipeline {
     * bounded (one (id,band,hash) frame per sf dir); callers that need
     * explicit release use [[Dedup.minhashCandidatesManaged]] directly. */
   private val lshMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    lshMemo.getOrElseUpdate((s, dir),
-      // only the banded scratch frame underneath is persisted; persisting
-      // the pair frame too was measured WORSE (the cache fill becomes a
-      // barrier that outweighs re-deriving pairs from the warm banded
-      // cache — see the ngramJaccard scaladoc)
-      Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
-        ngramN = 3, bands = 4, rowsPerBand = 3,
-        hashFn = Dedup.md5Hex, maxBucket = 200))
+    // synchronized: a non-atomic getOrElseUpdate would let two concurrent
+    // queries both persist a banded frame, leaking the loser's cache —
+    // the exact round-2 storage leak this memo exists to prevent. Entries
+    // of stopped sessions are evicted so a bench/REPL loop that cycles
+    // sessions can't pin dead plan graphs in driver memory.
+    lshMemo.synchronized {
+      lshMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      lshMemo.getOrElseUpdate((s, dir),
+        // only the banded scratch frame underneath is persisted; persisting
+        // the pair frame too was measured WORSE (the cache fill becomes a
+        // barrier that outweighs re-deriving pairs from the warm banded
+        // cache — see the ngramJaccard scaladoc)
+        Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
+          ngramN = 3, bands = 4, rowsPerBand = 3,
+          hashFn = Dedup.md5Hex, maxBucket = 200))
+    }
 
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a

@@ -29,9 +29,13 @@ import graft.types.{IdExtraction, TaggedJson}
   */
 object MongoIngest {
 
-  /** Is this struct Extended JSON's ObjectId shape? */
+  /** Is this struct Extended JSON's ObjectId shape? Requires EXACTLY the
+    * single `$oid` field — the same predicate [[encodeField]] uses — so id
+    * extraction and document encoding can never disagree about whether a
+    * value is an ObjectId (a mixed-shape `_id` inferred as
+    * `struct<$oid,x>` is NOT one; both paths fall back together). */
   private def isOidStruct(dt: DataType): Boolean = dt match {
-    case st: StructType => st.fieldNames.contains("$oid")
+    case st: StructType => st.fieldNames.sameElements(Array("$oid"))
     case _              => false
   }
 

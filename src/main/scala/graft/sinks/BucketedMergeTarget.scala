@@ -55,12 +55,20 @@ object BucketedMergeTarget {
 
   /** Committed state: which version directory owns each bucket's data.
     * `schemaB64` is the base64 of the user-facing StructType JSON so an
-    * emptied target still reads with its schema. */
+    * emptied target still reads with its schema. `rowCounts` carries the
+    * per-bucket row counts so the total target size is manifest metadata
+    * (no listing or footer reads — O(1) at any scale). */
   final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, Long],
-                            schemaB64: String) {
+                            schemaB64: String, rowCounts: Map[Int, Long] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(new String(Base64.getDecoder.decode(schemaB64), "UTF-8"))
         .asInstanceOf[StructType]
+
+    /** Total rows, when every owned bucket carries a count (manifests
+      * written before rowCounts existed may not). */
+    def totalRows: Option[Long] =
+      if (buckets.keySet.subsetOf(rowCounts.keySet)) Some(buckets.keySet.toSeq.map(rowCounts).sum)
+      else None
   }
 
   final case class MergeStats(version: Long, bucketsRewritten: Int, bucketsTotal: Int,
@@ -68,10 +76,25 @@ object BucketedMergeTarget {
 
   // ---- manifest codec (strict, hand-rolled like core.Checkpoint) ------
 
-  private[sinks] def manifestToJson(m: Manifest): String = {
-    val pairs = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, v) => s""""$b":$v""" }.mkString(",")
-    s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}","buckets":{$pairs}}"""
+  private def intMapJson(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+
+  private[sinks] def manifestToJson(m: Manifest): String =
+    s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}",""" +
+      s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${intMapJson(m.buckets)}}}"""
+
+  /** The `{…}` object block for `name`, as an int→long map (flat values —
+    * no nested objects in this format). Absent block → empty map, so
+    * pre-rowCounts manifests still parse. */
+  private def intMapFromJson(s: String, name: String): Map[Int, Long] = {
+    val at = s.indexOf("\"" + name + "\"")
+    if (at < 0) return Map.empty
+    val open = s.indexOf('{', at)
+    val close = s.indexOf('}', open)
+    if (open < 0 || close < 0) return Map.empty
+    val pairRe = "\"(\\d+)\":(\\d+)".r
+    pairRe.findAllMatchIn(s.substring(open, close + 1))
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
   }
 
   private[sinks] def manifestFromJson(s: String): Manifest = {
@@ -83,11 +106,8 @@ object BucketedMergeTarget {
     val schemaRe = "\"schema\":\"([A-Za-z0-9+/=]*)\"".r
     val schemaB64 = schemaRe.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("manifest missing 'schema'"))
-    val bucketsPart = s.substring(s.indexOf("\"buckets\""))
-    val pairRe = "\"(\\d+)\":(\\d+)".r
-    val buckets = pairRe.findAllMatchIn(bucketsPart)
-      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
-    Manifest(num("version"), num("nBuckets").toInt, buckets, schemaB64)
+    Manifest(num("version"), num("nBuckets").toInt, intMapFromJson(s, "buckets"),
+      schemaB64, intMapFromJson(s, "rowCounts"))
   }
 
   // ---- filesystem plumbing (Hadoop FS — works on any scheme) ----------
@@ -205,35 +225,71 @@ object BucketedMergeTarget {
     val schemaB64 = Base64.getEncoder.encodeToString(userSchema.json.getBytes("UTF-8"))
     val oldBuckets = existing.map(_.buckets).getOrElse(Map.empty[Int, Long])
     val newBuckets = (oldBuckets -- dropFromOld) ++ present.map(_ -> newVer).toMap
-    writeManifest(f, p, Manifest(newVer, nBuckets, newBuckets, schemaB64))
+
+    // Per-bucket row counts for the NEW version dir only — a zero-data-column
+    // scan of just-written files (footer row counts), cost ∝ the batch.
+    // Untouched buckets carry their previous counts forward.
+    val newCounts: Map[Int, Long] =
+      if (present.isEmpty) Map.empty
+      else spark.read.parquet(verDir.toString).groupBy(col(BucketCol)).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oldCounts = existing.map(_.rowCounts).getOrElse(Map.empty[Int, Long])
+    val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
+      ++ newCounts)
+
+    val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts)
+    writeManifest(f, p, newManifest)
 
     val bytes =
       if (f.exists(verDir)) f.getContentSummary(verDir).getLength else 0L
-    gc(f, p, existing, dropFromOld, newVer)
+    gc(f, p, Seq(newManifest) ++ existing)
     MergeStats(newVer, (dropFromOld ++ present).size, nBuckets, bytes)
   }
 
-  /** Delete superseded bucket dirs + manifests older than `newVer - 1`
-    * (the immediately previous manifest is kept as the corrupt-newest
-    * fallback). Best-effort: failures leave garbage, never break state. */
-  private def gc(f: FileSystem, p: Path, existing: Option[Manifest],
-                 dropped: Set[Int], newVer: Long): Unit = {
+  /** Garbage collection by RETAINED SET, not by numeric version gap: keep
+    * the new manifest plus the previous committed one (the corrupt-newest
+    * fallback), delete every other manifest, and delete only bucket dirs
+    * referenced by NEITHER retained manifest. This makes the fallback
+    * actually usable — a reader that falls back to the previous manifest
+    * finds every bucket directory it references still on disk; those dirs
+    * are reclaimed one commit later, when their manifest leaves the
+    * retained set. Numbering gaps (orphan version dirs from crashed
+    * writers) cannot widen the window. Best-effort: failures leave
+    * garbage, never break state. */
+  private def gc(f: FileSystem, p: Path, keep: Seq[Manifest]): Unit = {
     try {
-      for (m <- existing; (b, ver) <- m.buckets if dropped.contains(b))
-        f.delete(new Path(p, s"${versionDirName(ver)}/$BucketCol=$b"), true)
-      // empty version dirs left behind
-      for (m <- existing; ver <- m.buckets.values.toSet[Long]) {
-        val vd = new Path(p, versionDirName(ver))
-        if (f.exists(vd) && !f.listStatus(vd).exists(_.getPath.getName.startsWith(BucketCol + "=")))
-          f.delete(vd, true)
-      }
+      val keepVers = keep.map(_.version).toSet
+      // toSeq first: mapping a Map to swapped pairs would re-key by version
+      // and collapse every bucket in the same version dir to one entry
+      val referenced: Set[(Long, Int)] =
+        keep.flatMap(_.buckets.toSeq.map { case (b, v) => (v, b) }).toSet
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
-        case ManifestRe(v) if v.toLong < newVer - 1 =>
-          f.delete(new Path(p, s"_graft_manifest_v$v.json"), false)
+        case n @ ManifestRe(v) if !keepVers.contains(v.toLong) =>
+          f.delete(new Path(p, n), false); ()
+        case _ => ()
+      }
+      val VerDirRe = raw"_v(\d{9})".r
+      f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+        case n @ VerDirRe(vs) =>
+          val ver = vs.toLong
+          val vd = new Path(p, n)
+          f.listStatus(vd).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(BucketCol + "="))
+            .foreach { bn =>
+              val b = bn.drop(BucketCol.length + 1).toInt
+              if (!referenced.contains((ver, b))) { f.delete(new Path(vd, bn), true); () }
+            }
+          if (!f.listStatus(vd).exists(_.getPath.getName.startsWith(BucketCol + "=")))
+            { f.delete(vd, true); () }
         case _ => ()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Total committed rows as manifest metadata — no file listing, no
+    * footer reads. `None` only for a manifest predating rowCounts. */
+  def rowCount(spark: SparkSession, path: String): Option[Long] =
+    currentManifest(spark, path).flatMap(_.totalRows)
 
   /** Cursor-aware upsert of a change batch. I/O ∝ batch size (plus the
     * current contents of the buckets the batch touches), never ∝ target

@@ -44,10 +44,14 @@ object CopyLoader {
   def copySql(table: String): String =
     s"""COPY "$table" (id, data, _source_type) FROM STDIN WITH (FORMAT text)"""
 
-  /** One COPY text line: `id\tdata\tsource_type\n` (`writer.rs:274-281`). */
-  def formatRow(id: String, data: String, sourceType: String): String =
-    escapeCopyText(id) + "\t" + escapeCopyText(data) + "\t" +
-      escapeCopyText(sourceType) + "\n"
+  /** One COPY text line: `id\tdata\tsource_type\n` (`writer.rs:274-281`).
+    * A null value is written as the COPY text NULL marker `\N` (the
+    * reference never produces nulls here — its model columns are NOT
+    * NULL — but a null cell must not NPE the whole partition task). */
+  def formatRow(id: String, data: String, sourceType: String): String = {
+    def field(s: String): String = if (s == null) "\\N" else escapeCopyText(s)
+    field(id) + "\t" + field(data) + "\t" + field(sourceType) + "\n"
+  }
 
   /** The COPY-IN seam: production = reflective CopyManager; tests = a
     * recording mock. Must be serializable (captured by task closures). */

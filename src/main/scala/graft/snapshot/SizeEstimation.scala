@@ -2,7 +2,7 @@ package graft.snapshot
 
 import java.sql.Connection
 
-import graft.core.ReplicationFilter
+import graft.core.{Identifiers, ReplicationFilter}
 import graft.sources.JdbcCatalog
 
 /** A5 — size estimation + ETA preflight, reference
@@ -21,8 +21,13 @@ object SizeEstimation {
 
   val databaseSizeSql: String = "SELECT pg_database_size(?::text)"
 
-  def tableSizeSql(schema: String, table: String): String =
-    s"SELECT pg_total_relation_size('$schema.$table'::regclass)"
+  /** Catalog-supplied names are still identifiers: quote each part (so
+    * mixed-case/special-char tables resolve) and quote the whole thing as
+    * a literal (so a hostile name can't inject into this SQL). */
+  def tableSizeSql(schema: String, table: String): String = {
+    val regclass = Identifiers.quoteIdent(schema) + "." + Identifiers.quoteIdent(table)
+    s"SELECT pg_total_relation_size(${Identifiers.quoteLiteral(regclass)}::regclass)"
+  }
 
   // ---- ETA math (estimation.rs:223-231) --------------------------------
 

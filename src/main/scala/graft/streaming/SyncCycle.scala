@@ -80,7 +80,8 @@ object SyncCycle {
     * are rewritten — the reference's per-batch upsert contract,
     * `daemon.rs:336-461`), never ∝ the accumulated target; commits are
     * atomic manifest flips, so a crash mid-cycle loses nothing. The
-    * per-cycle row count is a parquet footer-metadata count (no data read). */
+    * per-cycle row count comes from the manifest's per-bucket counts —
+    * pure metadata, no listing or reads of the accumulated target. */
   def runLoop(sourceProvider: () => DataFrame, targetPath: String,
               schema: String, table: String, versionCol: String,
               pkCols: Seq[String], store: SyncStateStore,
@@ -97,13 +98,19 @@ object SyncCycle {
           // full resync (read_all_rows branch): target replaced wholesale
           BucketedMergeTarget.replaceAll(source, targetPath, pkCols, versionCol, nBuckets)
           Report(source.count(), sourceMax, fullResync = true)
+        } else if (!BucketedMergeTarget.exists(spark, targetPath)) {
+          // A missing target with a nonzero stored watermark (wiped or
+          // relocated dir) must reseed from the FULL source — merging only
+          // post-watermark changes would silently drop every row at or
+          // below the watermark, a permanent hole reconciliation can never
+          // repair (it only deletes orphans, never restores rows).
+          BucketedMergeTarget.replaceAll(source, targetPath, pkCols, versionCol, nBuckets)
+          Report(source.count(), math.max(wm, sourceMax), fullResync = true)
         } else {
           val changes = IncrementalSync.readChanges(source, versionCol, wm)
           val n = changes.count()
           if (n > 0)
             BucketedMergeTarget.merge(changes, targetPath, pkCols, versionCol, nBuckets)
-          else if (!BucketedMergeTarget.exists(spark, targetPath))
-            BucketedMergeTarget.replaceAll(source, targetPath, pkCols, versionCol, nBuckets)
           if (i % reconcileEvery == 0) {
             // delete reconciliation (T5): orphan keys → bucket-pruned delete
             val orphans = BucketedMergeTarget.read(spark, targetPath)
@@ -115,7 +122,11 @@ object SyncCycle {
         }
       store.update(TableSyncState(schema, table, report.newWatermark,
         System.currentTimeMillis(),
-        BucketedMergeTarget.read(spark, targetPath).count()))
+        // manifest metadata, not a target scan — per-cycle cost must not
+        // grow with accumulated data (count fallback only for manifests
+        // predating per-bucket rowCounts)
+        BucketedMergeTarget.rowCount(spark, targetPath)
+          .getOrElse(BucketedMergeTarget.read(spark, targetPath).count())))
       report
     }
   }

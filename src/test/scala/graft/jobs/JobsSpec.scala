@@ -203,4 +203,23 @@ class JobsSpec extends AnyFunSuite {
     assert(Checksum.tablesMatch(source,
       graft.sinks.BucketedMergeTarget.read(s, tgtDir)))
   }
+
+  test("runLoop reseeds a MISSING target from the full source, never from changes only") {
+    val s = spark
+    import s.implicits._
+    // A nonzero stored watermark + no target (dir wiped/relocated): merging
+    // only post-watermark changes would silently drop rows 1..5 forever —
+    // reconciliation deletes orphans but never restores missing rows.
+    val tgtDir = tmpDir("sync-reseed").toString + "/t.parquet"
+    val statePath = tmpDir("sync-reseed-state").resolve("state.jsonl")
+    val source = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val store = new SyncStateStore(statePath)
+    store.update(TableSyncState("public", "t", 5L, 0L, 0L))
+    val reports = SyncCycle.runLoop(() => source, tgtDir, "public", "t", "id",
+      Seq("id"), store, cycles = 1, nBuckets = 4)
+    assert(reports.head.fullResync && reports.head.changes == 20)
+    assert(Checksum.tablesMatch(source,
+      graft.sinks.BucketedMergeTarget.read(s, tgtDir)))
+    assert(store.watermark("public", "t") == 20L)
+  }
 }

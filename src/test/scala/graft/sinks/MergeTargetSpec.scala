@@ -144,6 +144,54 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(names.count(_.startsWith("_v")) <= 2, names.mkString(","))
   }
 
+  test("gc keeps the fallback manifest's bucket dirs: same-bucket rewrite still recovers") {
+    val dir = tmp("mt-fallback").resolve("t").toString
+    // same key twice → the SAME bucket is rewritten; gc must not delete the
+    // old bucket dir while the previous manifest (which references it) is
+    // retained as the torn-newest fallback
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
+    BucketedMergeTarget.merge(kv(Seq((1L, 2L, "a2"))), dir, Seq("id"), "cursor", 4)
+    val (f, p) = hfs(dir)
+    val newest = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_manifest_v")).max
+    val out = f.create(new Path(p, newest), true)
+    out.write("{ torn".getBytes("UTF-8")); out.close()
+    // fallback must read the previous state, not throw PATH_NOT_FOUND
+    assert(contents(dir) == Set((1L, 1L, "a")))
+  }
+
+  test("manifest pruning survives version-number gaps (keeps the real previous manifest)") {
+    val dir = tmp("mt-gap").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4) // manifest v1
+    val (f, p) = hfs(dir)
+    // crashed writer left an orphan version dir and NO manifest → next commit is v3;
+    // numeric-gap pruning (v < newVer-1) would delete manifest v1, the only
+    // previous committed state
+    f.mkdirs(new Path(p, "_v000000002/_graft_bucket=1"))
+    BucketedMergeTarget.merge(kv(Seq((1L, 2L, "a2"))), dir, Seq("id"), "cursor", 4)
+    val manifests = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_manifest_v")).sorted
+    assert(manifests.length == 2 && manifests.head.contains("v000000001"),
+      manifests.mkString(","))
+    val out = f.create(new Path(p, manifests.last), true)
+    out.write("{ torn".getBytes("UTF-8")); out.close()
+    assert(contents(dir) == Set((1L, 1L, "a")))
+  }
+
+  test("rowCount is manifest metadata and tracks merges and deletes") {
+    val dir = tmp("mt-count").resolve("t").toString
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))), dir, Seq("id"), "cursor", 4)
+    assert(BucketedMergeTarget.rowCount(spark, dir).contains(3L))
+    BucketedMergeTarget.merge(
+      kv(Seq((3L, 2L, "c2"), (4L, 1L, "d"))), dir, Seq("id"), "cursor", 4)
+    assert(BucketedMergeTarget.rowCount(spark, dir).contains(4L))
+    val s = spark
+    import s.implicits._
+    BucketedMergeTarget.deleteKeys(Seq(1L, 2L).toDF("id"), dir, Seq("id"))
+    assert(BucketedMergeTarget.rowCount(spark, dir).contains(2L))
+  }
+
   test("scheme-qualified (file://) paths work — Hadoop FS, not java.io.File") {
     val dir = "file://" + tmp("mt-scheme").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)

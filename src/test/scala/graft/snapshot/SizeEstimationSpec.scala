@@ -10,10 +10,16 @@ import graft.core.ReplicationFilter
   * format_duration fixtures from the reference's own tests). */
 class SizeEstimationSpec extends AnyFunSuite {
 
-  test("SQL is the reference's (estimation.rs:89-92,158-163)") {
+  test("SQL is the reference's, with identifier quoting (estimation.rs:89-92,158-163)") {
     assert(SizeEstimation.databaseSizeSql == "SELECT pg_database_size(?::text)")
     assert(SizeEstimation.tableSizeSql("public", "users") ==
-      "SELECT pg_total_relation_size('public.users'::regclass)")
+      """SELECT pg_total_relation_size('"public"."users"'::regclass)""")
+    // mixed-case names resolve (unquoted would lower-case and miss), and a
+    // hostile name cannot break out of the literal
+    assert(SizeEstimation.tableSizeSql("public", "MyTable") ==
+      """SELECT pg_total_relation_size('"public"."MyTable"'::regclass)""")
+    assert(SizeEstimation.tableSizeSql("public", "it's_data") ==
+      """SELECT pg_total_relation_size('"public"."it''s_data"'::regclass)""")
   }
 
   test("format_bytes fixtures (estimation.rs:313-321)") {
@@ -49,8 +55,8 @@ class SizeEstimationSpec extends AnyFunSuite {
         Seq(Seq("public", "big", Long.box(0L)),
             Seq("public", "skipme", Long.box(0L)),
             Seq("audit", "log", Long.box(0L)))
-      case sql if sql.contains("'public.big'") => Seq(Seq(Long.box(3000L)))
-      case sql if sql.contains("'audit.log'")  => Seq(Seq(Long.box(500L)))
+      case sql if sql.contains("\"public\".\"big\"") => Seq(Seq(Long.box(3000L)))
+      case sql if sql.contains("\"audit\".\"log\"")  => Seq(Seq(Long.box(500L)))
       case sql => throw new IllegalStateException(s"unexpected sql: $sql")
     })
 
