@@ -305,6 +305,19 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // Duplicate-CLUSTER resolution — the stage after pair verification:
+    // Jaccard-verified candidate pairs become edges, connected components
+    // (min-label propagation + pointer jumping) turn them into clusters,
+    // and every doc gets its cluster representative + size. Dedup = keep
+    // doc_id == cluster_rep.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val edges = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterRepresentatives(corpus, "doc_id", edges)
+    }),
+
     // Exact brute-force cosine top-20 against the stored vec_id=0
     // embedding — the ANN baseline (TakeOrderedAndProject, no full sort).
     "q_ann_topk" -> ((s, dir) =>
@@ -478,6 +491,36 @@ object QueriesPipeline {
       "q_minhash_pairs" ->
         s"""$sqlCandidatePairs
            |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+      // Transitive closure by recursive CTE: components = min reachable
+      // id — the oracle for the Spark-side label-propagation operator.
+      "q_dedup_cluster" ->
+        s"""${sqlCandidatePairs.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |jac AS (
+           |  SELECT p.id_a, p.id_b
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.id_a
+           |  JOIN grams gb ON gb.doc_id = p.id_b
+           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jac
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jac
+           |),
+           |walk(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+           |),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           |         FROM walk GROUP BY src),
+           |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
+           |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
+           |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
+           |          FROM rep GROUP BY cluster_rep)
+           |SELECT r.doc_id, r.cluster_rep, s.cluster_size
+           |FROM rep r JOIN sizes s USING (cluster_rep)""".stripMargin,
 
       "q_jaccard" ->
         s"""$sqlCandidatePairs

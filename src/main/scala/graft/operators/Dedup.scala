@@ -167,6 +167,83 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list `(id_a, id_b)` —
+    * the final stage of fuzzy dedup: verified near-dup PAIRS become
+    * duplicate CLUSTERS, so one representative per cluster can be kept.
+    *
+    * Algorithm: min-label propagation with pointer jumping (the
+    * MapReduce-CC family of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Each round:
+    *
+    *   1. neighbor min: l(v) ← min(l(v), min over neighbors' labels) —
+    *      one shuffle keyed by node id;
+    *   2. pointer jump: l(v) ← l(l(v)) — path halving, one self-join.
+    *
+    * Pointer jumping makes convergence O(log diameter) rounds, not
+    * O(diameter) — dup clusters are tiny (diameter ≤ 3 via shared LSH
+    * buckets) so 2–3 rounds suffice, but a pathological chain of
+    * borderline pairs cannot blow the round count. Every round
+    * `localCheckpoint`s the label frame: iterative self-joins otherwise
+    * grow the lineage (and the codegen'd plan) exponentially. At 100 TB
+    * the same loop writes labels to a PK-bucketed table per round
+    * (co-located joins, restartable), and the edge list — already cut to
+    * verified pairs — is a sliver of the corpus.
+    *
+    * Returns `(id, comp)` where `comp` is the minimum id reachable in the
+    * component. Nodes absent from `edges` are absent from the result
+    * (callers coalesce to self — see [[clusterRepresentatives]]). */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        // 1. neighbor min
+        val nbrMin = sym
+          .join(labels.select(col("id").as("dst"), col("comp").as("__dc")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("__dc")).as("__nc"))
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        // 2. pointer jump: follow the label one hop (comp's own label)
+        val jumped = stepped.alias("l")
+          .join(stepped.select(col("id").as("comp"), col("comp").as("__pc")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("__pc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        val changed = jumped.alias("n")
+          .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+          .filter(col("comp") =!= col("__old")).limit(1).count()
+        labels = jumped
+        done = changed == 0
+        iter += 1
+      }
+      labels
+    } finally { sym.unpersist(); () }
+  }
+
+  /** Cluster-representative mapping for a corpus: every row of `df` gets
+    * `cluster_rep` (the minimum id of its duplicate cluster — itself when
+    * it has no verified duplicate) and `cluster_size`. Downstream dedup
+    * keeps `id == cluster_rep` rows; the mapping itself is the audit
+    * trail of what was dropped and why. */
+  def clusterRepresentatives(df: DataFrame, idCol: String,
+                             edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges)
+    val withRep = df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_rep"))
+    val sizes = withRep.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withRep.join(sizes, Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"), col("cluster_size"))
+  }
+
   /** Generic SimHash over word tokens: bit i of the signature is the sign
     * of Σ_tokens (bitOf(hash(token), i) ? +1 : -1). Expressed as nBits
     * shifted bit-sums over exploded tokens — pure aggregates, shuffle

@@ -439,6 +439,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(framed.select("__id").collect().map(_.getString(0)).toSet == Set("1", "2"))
   }
 
+  test("connectedComponents resolves chains, islands, and long paths") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3, pair 10-11, long path 20..28 (diameter 8 — pointer
+    // jumping must converge it well inside maxIter), cycle 30-31-32-30
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L), (32L, 30L))
+      ++ (20L until 28L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert((20L to 28L).forall(comp(_) == 20L))
+    assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
+  }
+
+  test("clusterRepresentatives keeps singletons as their own rep with size 1") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterRepresentatives(corpus, "doc_id", edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (99L, 99L, 1L)))
+    // dedup = keep id == rep: exactly one doc per cluster survives
+    assert(out.count { case (id, rep, _) => id == rep } == 2)
+  }
+
   test("rowNumberIds assigns stable 1-based global numbers without a global window") {
     val s = spark
     import s.implicits._
