@@ -293,6 +293,22 @@ object QueriesPipeline {
       Dedup.simhashMd5_16(t(s, dir, "documents"), "doc_id", col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // SimHash near-dup property, oracle-checked: each planted near-dup
+    // (base text + two extra tokens) must stay Hamming-CLOSE to its
+    // original in signature space — the invariant the banded
+    // simhashCandidates operator exploits (its 64-bit banding itself is
+    // pinned by unit tests; xxhash64 isn't replayable in SQL).
+    "q_simhash_verify" -> ((s, dir) => {
+      val sims = Dedup.simhashMd5_16(nearDupCorpus(s, dir), "doc_id", col("text"))
+      val base = sims.filter(col("id") < 100000)
+        .select(col("id").as("doc_id"), col("simhash").as("__sa"))
+      val planted = sims.filter(col("id") >= 100000)
+        .select((col("id") - 100000).as("doc_id"), col("simhash").as("__sb"))
+      base.join(planted, Seq("doc_id"))
+        .select(col("doc_id"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+    }),
+
     // MinHash-LSH candidate pairs over the planted near-dup corpus:
     // shingle → 8 md5 minhashes → 4 bands → capped bucket join.
     "q_minhash_pairs" -> ((s, dir) => lshCandidates(s, dir)),
@@ -486,6 +502,25 @@ object QueriesPipeline {
            |$bitSums
            |FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b""".stripMargin
+      },
+
+      "q_simhash_verify" -> {
+        val bitSums = (0 until 16).map { i =>
+          s"  SUM(CASE WHEN contains('13579bdf', substr(h, ${i + 1}, 1)) THEN 1 ELSE -1 END) AS b$i"
+        }.mkString(",\n")
+        val pack = (0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $sqlCorpus,
+           |toks AS (SELECT doc_id, unnest($sqlWords) AS tok FROM corpus3),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+           |b AS (SELECT doc_id,
+           |$bitSums
+           |FROM h GROUP BY doc_id),
+           |sims AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b)
+           |SELECT sa.doc_id,
+           |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+           |FROM sims sa JOIN sims sb ON sb.doc_id = sa.doc_id + 100000
+           |WHERE sa.doc_id < 100000""".stripMargin
       },
 
       "q_minhash_pairs" ->

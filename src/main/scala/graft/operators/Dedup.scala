@@ -278,6 +278,57 @@ object Dedup {
     simhashGeneric(df, idCol, text, 16, md5Hex,
       (h, i) => contains(lit("13579bdf"), substring(h, i + 1, 1)).cast("int"))
 
+  /** SimHash near-dup pairs from a signature frame `(id, sig)`: split
+    * each signature into `bands` contiguous bit blocks and bucket-join on
+    * block equality. By pigeonhole, two signatures within Hamming
+    * distance `< bands` agree on at least one whole block, so with
+    * `maxHamming <= bands - 1` the bucketing is COMPLETE — every
+    * qualifying pair is a candidate; the `bit_count(xor)` verify then
+    * removes the false positives exactly. Returns
+    * `(id_a, id_b, hamming)` with `id_a < id_b`.
+    *
+    * Same 100 TB shape as MinHash-LSH: block values (nBits/bands wide —
+    * 16 bits for the 64/4 default, 65 k buckets) spread the self-join,
+    * joins carry `(id, band, block)` only, and `maxBucket` caps
+    * degenerate buckets (boilerplate corpora collapse to few signatures;
+    * an uncapped bucket of identical sigs goes quadratic). The signature
+    * frame is persisted for the duration of the call — it feeds the cap
+    * aggregation, both join sides, and the verify. */
+  def simhashCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                        nBits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+                        maxBucket: Int = 200): DataFrame = {
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    require(maxHamming < bands,
+      s"completeness needs maxHamming ($maxHamming) < bands ($bands) — pigeonhole")
+    val width = nBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = s.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "block")))
+      val keep = banded.groupBy(col("band"), col("block"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+        .select("band", "block")
+      val capped = banded.join(keep, Seq("band", "block"))
+      val pairs = capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      pairs
+        .join(s.select(col("id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
+        .join(s.select(col("id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint(true) // materialize before the persist below is released
+    } finally { s.unpersist(); () }
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs (or all
     * pairs of a small frame): |A∩B| / |A∪B| over word n-gram sets.
     * Used to verify LSH candidates — the expensive exact step runs only

@@ -439,6 +439,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(framed.select("__id").collect().map(_.getString(0)).toSet == Set("1", "2"))
   }
 
+  test("simhashCandidates matches brute force exactly within maxHamming (pigeonhole)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // random sigs (almost never close) + planted families at hamming 1..5
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 6).flatMap { f =>
+      val sig = rnd.nextLong()
+      Seq((100L + f * 10, sig), (101L + f * 10, sig ^ ((1L << f) | 1L))) // hamming 1 or 2
+    }
+    val far = Seq((900L, 0L), (901L, (1L << 5) - 1)) // hamming 5: must be excluded
+    val all = base ++ planted ++ far
+    val out = Dedup.simhashCandidates(all.toDF("id", "simhash"), "id", "simhash",
+        64, 4, 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(out == expected)
+    assert(expected.nonEmpty && !out.exists { case (a, b, _) => a == 900L && b == 901L })
+  }
+
+  test("simhashCandidates hot-bucket cap drops degenerate buckets") {
+    val s = spark
+    import s.implicits._
+    val same = (0 until 50).map(i => (i.toLong, 42L)).toDF("id", "simhash")
+    val capped = Dedup.simhashCandidates(same, "id", "simhash", 64, 4, 3, maxBucket = 10)
+    assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
+  }
+
   test("connectedComponents resolves chains, islands, and long paths") {
     val s = spark
     import s.implicits._
