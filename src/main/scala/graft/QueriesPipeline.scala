@@ -321,6 +321,20 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // Decontamination: training corpus (documents) swept against a
+    // "benchmark" set (every 10th doc, lightly edited) — cross-corpus
+    // LSH banding finds the contaminated docs without any self-join.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+      Dedup.crossMinhashCandidates(docs, bench, "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 3,
+        hashFn = Dedup.md5Hex, maxBucket = 200)
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -526,6 +540,43 @@ object QueriesPipeline {
       "q_minhash_pairs" ->
         s"""$sqlCandidatePairs
            |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+      // Cross-corpus banding with the side carried through the chain;
+      // pairs form only across sides, cap on the combined population.
+      "q_decontaminate" -> {
+        val sig = (0 until 12)
+          .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
+          .mkString("[", ", ", "]")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, side, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, 0 AS side FROM documents WHERE len($sqlWords) >= 3
+           |  UNION ALL
+           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text, 1 AS side
+           |  FROM documents WHERE doc_id % 10 = 0 AND len($sqlWords) >= 3
+           |),
+           |toks AS (SELECT doc_id, side, $sqlWords AS w FROM corpus),
+           |grams AS (SELECT doc_id, side,
+           |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+           |FROM toks),
+           |sig AS (SELECT doc_id, side, $sig AS sig FROM grams),
+           |banded AS (
+           |  $bandRows
+           |),
+           |keep AS (
+           |  SELECT band, bh
+           |  FROM (SELECT band, bh, count(*) AS na FROM banded WHERE side = 0 GROUP BY 1, 2) a
+           |  JOIN (SELECT band, bh, count(*) AS nb FROM banded WHERE side = 1 GROUP BY 1, 2) b
+           |    USING (band, bh)
+           |  WHERE na + nb <= 200
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a
+           |JOIN keep USING (band, bh)
+           |JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.side = 1
+           |WHERE a.side = 0""".stripMargin
+      },
 
       // Transitive closure by recursive CTE: components = min reachable
       // id — the oracle for the Spark-side label-propagation operator.

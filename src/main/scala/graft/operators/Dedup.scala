@@ -148,6 +148,41 @@ object Dedup {
         .as(Seq("band", "bh")))
   }
 
+  /** Cross-corpus MinHash-LSH candidates — the DECONTAMINATION shape:
+    * find documents of corpus `a` that near-duplicate documents of corpus
+    * `b` (e.g. training data vs held-out benchmarks). Same banding as
+    * [[minhashCandidates]], but the bucket join is A×B instead of a
+    * self-join: a bucket yields pairs only when BOTH sides populate it,
+    * and the hot-bucket cap applies to the combined population (an
+    * uncapped boilerplate bucket would go quadratic in |A_bucket|·|B_bucket|).
+    * Returns `(id_a, id_b)` — id_a from `a`, id_b from `b`, distinct.
+    *
+    * 100 TB shape: the benchmark side is typically tiny (thousands of
+    * docs) — its banded frame broadcast-joins against A's, so the
+    * contamination sweep costs one scan of A plus a broadcast, no
+    * shuffle of A at all (Spark picks the broadcast automatically under
+    * the 10 MB default; force with `broadcast()` when B is known-small). */
+  def crossMinhashCandidates(a: DataFrame, b: DataFrame, idCol: String, text: Column,
+                             ngramN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                             hashFn: Column => Column = xxhash,
+                             maxBucket: Int = 200): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ba = bandedSignatures(a, idCol, text, ngramN, bands, rowsPerBand, hashFn).persist(lvl)
+    val bb = bandedSignatures(b, idCol, text, ngramN, bands, rowsPerBand, hashFn).persist(lvl)
+    try {
+      val keep = ba.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__na"))
+        .join(bb.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__nb")),
+          Seq("band", "bh")) // inner: both sides must populate the bucket
+        .filter(col("__na") + col("__nb") <= maxBucket)
+        .select("band", "bh")
+      ba.join(keep, Seq("band", "bh"))
+        .join(bb.select(col("band"), col("bh"), col("id").as("__idb")), Seq("band", "bh"))
+        .select(col("id").as("id_a"), col("__idb").as("id_b"))
+        .distinct()
+        .localCheckpoint(true) // materialize before the persists are released
+    } finally { ba.unpersist(); bb.unpersist(); () }
+  }
+
   /** Candidate pairs from a banded frame (callers persist `banded` —
     * it is consumed four times here). */
   def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {

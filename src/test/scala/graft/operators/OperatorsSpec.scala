@@ -470,6 +470,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
   }
 
+  test("crossMinhashCandidates pairs only across corpora and finds planted contamination") {
+    val s = spark
+    import s.implicits._
+    val training = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")) // dup of 1 WITHIN A
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (101L, "completely unrelated benchmark prompt with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossMinhashCandidates(training, benchmark, "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 2, hashFn = Dedup.md5Hex, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // contaminated: 1 and 3 match benchmark 100; the A-internal dup (1,3)
+    // must NOT appear — this operator only crosses corpora
+    assert(out == Set((1L, 100L), (3L, 100L)))
+  }
+
   test("connectedComponents resolves chains, islands, and long paths") {
     val s = spark
     import s.implicits._
