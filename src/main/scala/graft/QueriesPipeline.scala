@@ -422,6 +422,15 @@ object QueriesPipeline {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // Top-3 characteristic terms per doc by TF-IDF (raw N/df idf — the
+    // log-free variant is bit-identical across engines; see the
+    // operator's scaladoc). The corpus size is a driver-side metadata
+    // count, mirroring the oracle's scalar subquery.
+    "q_tfidf_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tfIdfTopTerms(docs, "doc_id", col("text"), 3, docs.count())
+    }),
+
     // Gopher-style repetition signal: fraction of 2-gram occurrences
     // taken by the most frequent 2-gram per doc (boilerplate detector).
     // Tokens projected once; the gram/array math reads the attribute.
@@ -718,6 +727,24 @@ object QueriesPipeline {
         s"""SELECT token, count(*) AS n
            |FROM (SELECT unnest($sqlWords) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+      "q_tfidf_terms" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+           |          FROM toks WHERE len(term) > 0 GROUP BY 1),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    round(tf.tf * (SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df, 6) AS tfidf
+           |  FROM tf JOIN dfreq USING (term)),
+           |ranked AS (
+           |  SELECT doc_id, term, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+           |  FROM scored)
+           |SELECT doc_id, term, tfidf, CAST(term_rank AS INTEGER) AS term_rank
+           |FROM ranked WHERE term_rank <= 3""".stripMargin,
 
       "q_repetition" ->
         s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),

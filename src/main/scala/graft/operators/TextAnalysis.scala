@@ -198,4 +198,34 @@ object TextAnalysis {
       .join(ratios, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__r"), lit(0.0)).as("rep_ratio"))
   }
+
+  /** Top-k characteristic terms per document by TF-IDF, with the RAW idf
+    * variant (N/df, no logarithm) — deliberately: tf, N, and df are
+    * integers, so `tf·N/df` is one correctly-rounded IEEE division and
+    * every engine produces the bit-identical score, whereas `ln` is only
+    * 1-ulp-accurate and can flip near-tie rankings across engines.
+    * Monotone in the classic score for fixed tf, and fully
+    * oracle-checkable. Swap `ln(N/df)` in where cross-engine parity
+    * doesn't matter.
+    *
+    * Shape: explode → two hash aggregations (tf per (doc, term), df per
+    * term — both map-side combinable) → broadcast-friendly join on term
+    * → per-doc top-k window (partitioned by doc: parallel, no global
+    * sort). `nDocs` is passed by the caller (a metadata count) so the
+    * operator stays a pure transform. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, text: Column, k: Int,
+                    nDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(Dedup.tokens(text)).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf", round(col("tf") * lit(nDocs.toDouble) / col("df"), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("term_rank"))
+  }
 }

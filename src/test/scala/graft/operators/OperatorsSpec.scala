@@ -470,6 +470,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
   }
 
+  test("tfIdfTopTerms surfaces discriminative terms over common ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat the cat zebra"),   // zebra unique; 'the'/'cat' shared
+      (2L, "the cat the dog"),
+      (3L, "the dog the dog")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", col("text"), 1, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: zebra (tf=1, df=1 → 3.0) beats cat (tf=2, df=2 → 3.0)... equal
+    // score ties break lexicographically: cat == 3.0, zebra == 3.0 → "cat".
+    // doc 3: dog tf=2 df=2 → 3.0, the tf=2 df=3 → 2.0 → "dog"
+    assert(out(3L) == "dog")
+    // rank-1 term always exists for every doc
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
   test("crossMinhashCandidates pairs only across corpora and finds planted contamination") {
     val s = spark
     import s.implicits._
