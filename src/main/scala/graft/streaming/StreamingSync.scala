@@ -65,6 +65,25 @@ object StreamingSync {
         col("n_events"))
   }
 
+  /** Streaming exact dedup: first occurrence of each content fingerprint
+    * wins; later copies are dropped. `withWatermark` +
+    * `dropDuplicatesWithinWatermark` bounds the dedup state — a
+    * fingerprint older than the watermark delay is forgotten, so state is
+    * O(throughput × delay), never O(stream history). That bound is the
+    * 100 TB decision: unbounded `dropDuplicates` state on an infinite
+    * stream eventually evicts to nothing or OOMs; the batch-side global
+    * answer is [[graft.operators.Dedup.exactDedup]] over the accumulated
+    * store. The fingerprint column is computed here (md5 of normalized
+    * text) so batch and stream agree on what "identical" means. */
+  def streamingDedup(docs: DataFrame, textCol: String,
+                     watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__fp",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class Change(key: String, cursor: Long, payload: String)
   final case class Latest(key: String, cursor: Long, payload: String)
 

@@ -136,6 +136,30 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.contains(("u2", "2024-05-01 10:05:00", 1L)))
   }
 
+  test("streamingDedup keeps first occurrence per fingerprint, state watermark-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingSync.streamingDedup(docs, "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-05-01 10:00:00"), 1L, "Hello  World"),
+        (Timestamp.valueOf("2024-05-01 10:01:00"), 2L, "hello world"), // same normalized fp
+        (Timestamp.valueOf("2024-05-01 10:02:00"), 3L, "something else"))
+      q.processAllAvailable()
+      // a later micro-batch replaying the same content is still dropped
+      // (fp within the watermark window)
+      input.addData((Timestamp.valueOf("2024-05-01 10:03:00"), 4L, "HELLO WORLD"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = s.sql("SELECT doc_id FROM dedup_sink").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L)) // 2 and 4 are dups of 1 under normalization
+  }
+
   test("foreachBatch streaming merge converges the parquet target") {
     val s = spark
     import s.implicits._
