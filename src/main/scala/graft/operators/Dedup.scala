@@ -170,17 +170,24 @@ object Dedup {
     val ba = bandedSignatures(a, idCol, text, ngramN, bands, rowsPerBand, hashFn).persist(lvl)
     val bb = bandedSignatures(b, idCol, text, ngramN, bands, rowsPerBand, hashFn).persist(lvl)
     try {
-      val keep = ba.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__na"))
-        .join(bb.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__nb")),
-          Seq("band", "bh")) // inner: both sides must populate the bucket
-        .filter(col("__na") + col("__nb") <= maxBucket)
-        .select("band", "bh")
-      ba.join(keep, Seq("band", "bh"))
-        .join(bb.select(col("band"), col("bh"), col("id").as("__idb")), Seq("band", "bh"))
-        .select(col("id").as("id_a"), col("__idb").as("id_b"))
-        .distinct()
-        .localCheckpoint(true) // materialize before the persists are released
+      // materialize before the persists are released
+      crossCandidatePairs(ba, bb, maxBucket).localCheckpoint(true)
     } finally { ba.unpersist(); bb.unpersist(); () }
+  }
+
+  /** The lazy A×B pair plan (exposed for plan-shape tests — the public
+    * operator checkpoints it eagerly, which hides the plan). */
+  private[graft] def crossCandidatePairs(ba: DataFrame, bb: DataFrame,
+                                         maxBucket: Int): DataFrame = {
+    val keep = ba.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__na"))
+      .join(bb.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__nb")),
+        Seq("band", "bh")) // inner: both sides must populate the bucket
+      .filter(col("__na") + col("__nb") <= maxBucket)
+      .select("band", "bh")
+    ba.join(keep, Seq("band", "bh"))
+      .join(bb.select(col("band"), col("bh"), col("id").as("__idb")), Seq("band", "bh"))
+      .select(col("id").as("id_a"), col("__idb").as("id_b"))
+      .distinct()
   }
 
   /** Candidate pairs from a banded frame (callers persist `banded` —

@@ -73,6 +73,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort"), p)
   }
 
+  test("q_tfidf_terms pushes the rank limit below the window (WindowGroupLimit, per-doc)") {
+    val p = plan("q_tfidf_terms")
+    // top-k per doc must prune BEFORE the final window pass, partitioned
+    // by doc_id — never a global sort of all (doc, term) scores
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("windowspecdefinition(doc_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cross-corpus decontamination joins only on (band, bh) buckets — no cross product") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    // pin the LAZY pair plan (the public operator checkpoints eagerly)
+    val ba = graft.operators.Dedup.bandedSignatures(docs, "doc_id", col("text"), 3, 4, 3,
+      graft.operators.Dedup.md5Hex)
+    val bb = graft.operators.Dedup.bandedSignatures(bench, "doc_id", col("text"), 3, 4, 3,
+      graft.operators.Dedup.md5Hex)
+    val p = graft.operators.Dedup.crossCandidatePairs(ba, bb, 200)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // signatures aggregate map-side before any shuffle
+    assert(p.contains("partial_min"))
+  }
+
   test("bucketed merge-target reads list only manifest-referenced bucket dirs") {
     import org.apache.spark.sql.functions.col
     val s = spark
