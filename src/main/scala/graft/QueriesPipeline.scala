@@ -348,6 +348,20 @@ object QueriesPipeline {
       Dedup.clusterRepresentatives(corpus, "doc_id", edges)
     }),
 
+    // k-NN label annotation: vectors 0..9 take the majority label of
+    // their 15 nearest labeled neighbors (vec_id >= 10) — the
+    // semi-supervised labeling step; query side broadcast, corpus
+    // scanned once.
+    "q_knn_label" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label",
+        "query_id", "qv", 15)
+    }),
+
     // Exact brute-force cosine top-20 against the stored vec_id=0
     // embedding — the ANN baseline (TakeOrderedAndProject, no full sort).
     "q_ann_topk" -> ((s, dir) =>
@@ -632,6 +646,31 @@ object QueriesPipeline {
            |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
            |FROM embeddings
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      "q_knn_label" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id, c.label,
+           |    round(${sqlDot("c.embedding", "q.qv")}
+           |      / (${sqlNorm("c.embedding")} * ${sqlNorm("q.qv")}), 6) AS cos_sim
+           |  FROM c CROSS JOIN q),
+           |nn AS (
+           |  SELECT query_id, label,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cos_sim DESC, vec_id ASC) AS r
+           |  FROM scored),
+           |votes AS (
+           |  SELECT query_id, label, count(*) AS votes
+           |  FROM nn WHERE r <= 15 GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, label, votes,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY votes DESC, label ASC) AS m
+           |  FROM votes)
+           |SELECT query_id, label AS predicted_label, votes
+           |FROM ranked WHERE m = 1""".stripMargin,
 
       "q_ann_lsh" ->
         s"""SELECT vec_id,

@@ -31,6 +31,41 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** k-NN label annotation: each query vector takes the majority label of
+    * its k nearest corpus neighbors by cosine — the standard
+    * semi-supervised step for labeling new training data from a seed set.
+    * Returns `(qid, predicted_label, votes)`.
+    *
+    * Shape: the query side is BROADCAST (annotation batches are small
+    * relative to the corpus), so the corpus is scanned exactly once with
+    * a per-row narrow cosine map — no corpus shuffle for scoring. The
+    * per-query top-k is a `row_number` window partitioned by query
+    * (WindowGroupLimit prunes to k per partition before the exchange);
+    * the vote is one hash aggregation over k·|queries| rows. Everything
+    * after the scan is proportional to |queries|·k, not the corpus.
+    * Ties are deterministic: neighbors break on id, votes break on the
+    * smaller label. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, qidCol: String,
+                  qVecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qVecCol))))
+      .select(col(qidCol), col(idCol), col(labelCol),
+        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
+    val nn = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    val votes = scored.withColumn("__r", row_number().over(nn))
+      .filter(col("__r") <= k)
+      .groupBy(col(qidCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val majority = Window.partitionBy(col(qidCol))
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    votes.withColumn("__m", row_number().over(majority))
+      .filter(col("__m") === 1)
+      .select(col(qidCol), col(labelCol).as("predicted_label"), col("votes"))
+  }
+
   /** Exact top-k by cosine against `queryVec` (a literal vector).
     * The per-row cosine is a narrow map; the top-k is a sort-limit that
     * Spark executes as per-partition top-k + merge (TakeOrderedAndProject)

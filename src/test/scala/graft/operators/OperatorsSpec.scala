@@ -470,6 +470,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
   }
 
+  test("knnClassify takes the majority label of the nearest neighbors") {
+    val s = spark
+    import s.implicits._
+    // axis-aligned clusters: label 1 near (1,0), label 2 near (0,1)
+    val corpus = Seq(
+      (10L, Array(1.0, 0.1), 1), (11L, Array(1.0, 0.2), 1), (12L, Array(0.9, 0.0), 1),
+      (20L, Array(0.1, 1.0), 2), (21L, Array(0.0, 0.9), 2), (22L, Array(0.2, 1.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("query_id", "qv")
+    val out = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label",
+        "query_id", "qv", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1, 3L), (2L, 2, 3L)))
+  }
+
   test("tfIdfTopTerms surfaces discriminative terms over common ones") {
     val s = spark
     import s.implicits._
