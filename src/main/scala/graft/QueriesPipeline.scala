@@ -348,6 +348,19 @@ object QueriesPipeline {
       Dedup.clusterRepresentatives(corpus, "doc_id", edges)
     }),
 
+    // Corpus-mix report: the curation dashboard query — docs, bytes, and
+    // average tokens per (source, lang) slice. Token sums are exact
+    // integers, so the averages are deterministic single divisions.
+    "q_corpus_mix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCountWs(col("text")).as("__tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("__tok")).cast("double") / count(lit(1)), 6).as("avg_tokens"))),
+
     // k-NN label annotation: vectors 0..9 take the majority label of
     // their 15 nearest labeled neighbors (vec_id >= 10) — the
     // semi-supervised labeling step; query side broadcast, corpus
@@ -646,6 +659,13 @@ object QueriesPipeline {
            |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
            |FROM embeddings
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      "q_corpus_mix" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          | round(CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+          |   / count(*), 6) AS avg_tokens
+          |FROM documents GROUP BY source, lang""".stripMargin,
 
       "q_knn_label" ->
         s"""WITH q AS (
