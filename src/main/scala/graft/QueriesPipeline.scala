@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -413,6 +413,35 @@ object QueriesPipeline {
 
     // T8 sliding windows (1 h wide, 30 min slide — every event in two
     // windows); the oracle replays the two alignment buckets as a union.
+    // As-of join (beyond the reference): each purchase gets the NEWEST
+    // prior click of the same user — union-scan form, one shuffle, no
+    // range-join blowup. Clicks pre-deduped per (user, ts) so "newest"
+    // is well-defined; inner semantics match DuckDB's ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+      TemporalJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_id", "click_id")
+        .filter(col("click_id").isNotNull)
+        .select("event_id", "user_id", "click_id")
+    }),
+
+    // Bucketed range join (beyond the reference): purchase × clicks of
+    // the same user within the preceding day — coarse time-bucket join
+    // keeps the pair space O(matches), never O(|L|·|R|/user).
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+      TemporalJoin.rangeJoin(purchases, clicks, Seq("user_id"), "ts", 86400L,
+          "click_id", "click_id")
+        .select("event_id", "user_id", "click_id")
+    }),
+
     "q_sliding_window" -> ((s, dir) =>
       graft.streaming.StreamingSync.slidingEventCounts(
         Tables.events(s, dir), "1 hour", "30 minutes")),
@@ -747,6 +776,23 @@ object QueriesPipeline {
           |SELECT doc_id, len(fps) AS n_fps,
           | list_min(fps) AS min_fp, list_max(fps) AS max_fp
           |FROM f""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH p AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, max(event_id) AS click_id
+          |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+          |SELECT p.event_id, p.user_id, c.click_id
+          |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+      "q_range_join" ->
+        """WITH p AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, max(event_id) AS click_id
+          |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+          |SELECT p.event_id, p.user_id, c.click_id
+          |FROM p JOIN c ON p.user_id = c.user_id
+          | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 86400 SECONDS""".stripMargin,
 
       "q_sliding_window" ->
         """SELECT window_start, event_type, count(*) AS n_events FROM (

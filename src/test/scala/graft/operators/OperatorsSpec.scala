@@ -470,6 +470,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
   }
 
+  test("asofJoin attaches the newest prior right value, inclusive at equal ts") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val left = Seq(
+      (1L, "u1", ts("2024-05-01 10:00:00")),  // after r@09:00 and r@10:00 → 20 (equal ts wins)
+      (2L, "u1", ts("2024-05-01 09:30:00")),  // after r@09:00 only → 10
+      (3L, "u1", ts("2024-05-01 08:00:00")),  // before all right rows → null
+      (4L, "u2", ts("2024-05-01 12:00:00")))  // other key, no right rows → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-05-01 09:00:00"), 10L),
+      ("u1", ts("2024-05-01 10:00:00"), 20L))
+      .toDF("user_id", "ts", "click_id")
+    val out = TemporalJoin.asofJoin(left, right, Seq("user_id"), "ts", "click_id", "click_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(1L -> Some(20L), 2L -> Some(10L), 3L -> None, 4L -> None))
+  }
+
+  test("rangeJoin finds exactly the pairs inside the window, including bucket borders") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val left = Seq((1L, "u1", ts("2024-05-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-05-01 09:00:01"), 10L), // inside (59m59s before)
+      ("u1", ts("2024-05-01 09:00:00"), 11L), // exactly at the window edge → inside
+      ("u1", ts("2024-05-01 08:59:59"), 12L), // 1s outside
+      ("u1", ts("2024-05-01 10:00:00"), 13L), // equal ts → inside
+      ("u1", ts("2024-05-01 10:00:01"), 14L), // future → outside
+      ("u2", ts("2024-05-01 09:30:00"), 15L)) // other key
+      .toDF("user_id", "ts", "click_id")
+    val got = TemporalJoin.rangeJoin(left, right, Seq("user_id"), "ts", 3600L,
+        "click_id", "click_id")
+      .collect().map(_.getLong(3)).toSet
+    assert(got == Set(10L, 11L, 13L))
+  }
+
   test("knnClassify takes the majority label of the nearest neighbors") {
     val s = spark
     import s.implicits._
