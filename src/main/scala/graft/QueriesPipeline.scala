@@ -413,6 +413,12 @@ object QueriesPipeline {
 
     // T8 sliding windows (1 h wide, 30 min slide — every event in two
     // windows); the oracle replays the two alignment buckets as a union.
+    // Funnel: users progressing view → click → purchase IN ORDER (each
+    // stage at or after the first qualifying event of the previous one).
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.counts(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
     // As-of join (beyond the reference): each purchase gets the NEWEST
     // prior click of the same user — union-scan form, one shuffle, no
     // range-join blowup. Clicks pre-deduped per (user, ts) so "newest"
@@ -776,6 +782,29 @@ object QueriesPipeline {
           |SELECT doc_id, len(fps) AS n_fps,
           | list_min(fps) AS min_fp, list_max(fps) AS max_fp
           |FROM f""".stripMargin,
+
+      "q_funnel" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS m0 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |s1 AS (
+          |  SELECT s0.user_id, s0.m0,
+          |    min(CASE WHEN e.ts >= s0.m0 THEN e.ts END) AS m1
+          |  FROM s0 LEFT JOIN events e
+          |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+          |  GROUP BY s0.user_id, s0.m0),
+          |s2 AS (
+          |  SELECT s1.user_id, s1.m0, s1.m1,
+          |    min(CASE WHEN e.ts >= s1.m1 THEN e.ts END) AS m2
+          |  FROM s1 LEFT JOIN events e
+          |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+          |  GROUP BY s1.user_id, s1.m0, s1.m1)
+          |SELECT stage_idx, stage, n_users FROM (
+          |  SELECT 0 AS stage_idx, 'view' AS stage, count(m0) AS n_users FROM s2
+          |  UNION ALL
+          |  SELECT 1, 'click', count(m1) FROM s2
+          |  UNION ALL
+          |  SELECT 2, 'purchase', count(m2) FROM s2)""".stripMargin,
 
       "q_asof_join" ->
         """WITH p AS (

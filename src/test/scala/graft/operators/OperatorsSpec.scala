@@ -470,6 +470,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // C(50,2) pairs suppressed, not materialized
   }
 
+  test("funnel counts users progressing through stages in order only") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val events = Seq(
+      // u1 completes in order
+      ("u1", ts("2024-05-01 10:00:00"), "view"),
+      ("u1", ts("2024-05-01 10:05:00"), "click"),
+      ("u1", ts("2024-05-01 10:10:00"), "purchase"),
+      // u2 clicked BEFORE viewing: click must not count, purchase neither
+      ("u2", ts("2024-05-01 09:00:00"), "click"),
+      ("u2", ts("2024-05-01 09:30:00"), "view"),
+      ("u2", ts("2024-05-01 09:40:00"), "purchase"),
+      // u3 only views
+      ("u3", ts("2024-05-01 08:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.counts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("asofJoin attaches the newest prior right value, inclusive at equal ts") {
     val s = spark
     import s.implicits._
