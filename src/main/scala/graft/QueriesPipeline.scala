@@ -419,6 +419,11 @@ object QueriesPipeline {
       graft.operators.Funnel.counts(Tables.events(s, dir), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    // Cohort retention: distinct users active N days after their first
+    // active day, per first-day cohort.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
+
     // As-of join (beyond the reference): each purchase gets the NEWEST
     // prior click of the same user — union-scan form, one shuffle, no
     // range-join blowup. Clicks pre-deduped per (user, ts) so "newest"
@@ -782,6 +787,14 @@ object QueriesPipeline {
           |SELECT doc_id, len(fps) AS n_fps,
           | list_min(fps) AS min_fp, list_max(fps) AS max_fp
           |FROM f""".stripMargin,
+
+      "q_retention" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          |first AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id),
+          |act AS (SELECT DISTINCT f.cohort, e.d - f.cohort AS day_offset, e.user_id
+          |        FROM e JOIN first f USING (user_id))
+          |SELECT cohort, CAST(day_offset AS INTEGER) AS day_offset, count(*) AS n_users
+          |FROM act GROUP BY cohort, day_offset""".stripMargin,
 
       "q_funnel" ->
         """WITH s0 AS (

@@ -53,4 +53,22 @@ object Funnel {
     totals.select(explode(rows).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
   }
+
+  /** Cohort retention: users are cohorted by their first active day; for
+    * each (cohort, day_offset) the count of distinct users active that
+    * many days after their cohort day. Two hash aggregations and one
+    * user-keyed join — the first-day frame is (user, date), a sliver, so
+    * at scale it broadcast-joins back onto the event scan; the distinct
+    * collapses each user to one row per (cohort, offset) before the
+    * final count, keyed by (cohort, offset) — a handful of groups. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val e = events.select(col(userCol), to_date(col(tsCol)).as("__d"))
+    val first = e.groupBy(col(userCol)).agg(min(col("__d")).as("cohort"))
+    e.join(first, Seq(userCol))
+      .select(col("cohort"), datediff(col("__d"), col("cohort")).as("day_offset"),
+        col(userCol))
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

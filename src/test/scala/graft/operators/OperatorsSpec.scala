@@ -492,6 +492,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("cohortRetention counts distinct users per (cohort day, offset)") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val events = Seq(
+      ("u1", ts("2024-05-01 10:00:00")), ("u1", ts("2024-05-01 18:00:00")), // same day twice → 1
+      ("u1", ts("2024-05-03 09:00:00")),                                    // day 2
+      ("u2", ts("2024-05-01 11:00:00")),                                    // cohort-mate of u1
+      ("u3", ts("2024-05-02 12:00:00")))                                    // own cohort
+      .toDF("user_id", "ts")
+    val out = graft.operators.Funnel.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-05-01", 0, 2L), ("2024-05-01", 2, 1L), ("2024-05-02", 0, 1L)))
+  }
+
   test("asofJoin attaches the newest prior right value, inclusive at equal ts") {
     val s = spark
     import s.implicits._
