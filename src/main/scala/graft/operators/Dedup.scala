@@ -258,9 +258,15 @@ object Dedup {
           .join(stepped.select(col("id").as("comp"), col("comp").as("__pc")), Seq("comp"), "left")
           .select(col("id"), coalesce(col("__pc"), col("comp")).as("comp"))
           .localCheckpoint(true)
-        val changed = jumped.alias("n")
-          .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-          .filter(col("comp") =!= col("__old")).limit(1).count()
+        // round 1 always changes something when any non-self edge exists
+        // (labels start distinct), so its convergence count is a wasted
+        // job — skip it; the worst case (all self-loops) costs one extra
+        // cheap round, not correctness
+        val changed =
+          if (iter == 0) 1L
+          else jumped.alias("n")
+            .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+            .filter(col("comp") =!= col("__old")).limit(1).count()
         labels = jumped
         done = changed == 0
         iter += 1
