@@ -527,6 +527,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(20L), 2L -> Some(10L), 3L -> None, 4L -> None))
   }
 
+  test("asofJoin matches driver-side brute force on random event sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // many collisions on purpose: 4 keys, timestamps on a coarse grid
+    val leftRows = (1L to 120L).map(i =>
+      (i, s"k${rnd.nextInt(4)}", new java.sql.Timestamp(1700000000000L + rnd.nextInt(50) * 60000L)))
+    val rightRows = (1L to 80L).map(i =>
+      (s"k${rnd.nextInt(4)}", new java.sql.Timestamp(1700000000000L + rnd.nextInt(50) * 60000L), i))
+    // pre-dedupe right per (key, ts) — the operator's documented contract
+    val rightDedup = rightRows.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val out = TemporalJoin.asofJoin(
+        leftRows.toDF("event_id", "k", "ts"),
+        rightDedup.toDF("k", "ts", "v"),
+        Seq("k"), "ts", "v", "asof_v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val expected = leftRows.map { case (id, k, ts) =>
+      id -> rightDedup.filter(r => r._1 == k && !r._2.after(ts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+  }
+
   test("rangeJoin finds exactly the pairs inside the window, including bucket borders") {
     val s = spark
     import s.implicits._
