@@ -424,6 +424,15 @@ object QueriesPipeline {
     "q_retention" -> ((s, dir) =>
       graft.operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
 
+    // Debounce: clicks thinned to one per user per 30 minutes (vs the
+    // immediately preceding click, kept or not — lag semantics).
+    "q_debounce" -> ((s, dir) =>
+      Sampling.debounce(
+          Tables.events(s, dir).filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          Seq("user_id"), "ts", "event_id", 1800L)
+        .select("event_id", "user_id")),
+
     // As-of join (beyond the reference): each purchase gets the NEWEST
     // prior click of the same user — union-scan form, one shuffle, no
     // range-join blowup. Clicks pre-deduped per (user, ts) so "newest"
@@ -787,6 +796,14 @@ object QueriesPipeline {
           |SELECT doc_id, len(fps) AS n_fps,
           | list_min(fps) AS min_fp, list_max(fps) AS max_fp
           |FROM f""".stripMargin,
+
+      "q_debounce" ->
+        """WITH c AS (
+          |  SELECT event_id, user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+          |  FROM events WHERE event_type = 'click')
+          |SELECT event_id, user_id FROM c
+          |WHERE prev IS NULL OR ts >= prev + INTERVAL 1800 SECONDS""".stripMargin,
 
       "q_retention" ->
         """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

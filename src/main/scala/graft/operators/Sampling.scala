@@ -44,4 +44,23 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Temporal thinning (debounce): keep a row only when it is at least
+    * `minGapSeconds` after the PREVIOUS row of the same keys (lag
+    * semantics — each row compares to its immediate predecessor in
+    * (ts, tieCol) order, kept or not; the first row per key always
+    * survives). One window partitioned by the keys — parallel per key,
+    * no global sort. Comparison is on full-precision timestamps
+    * (`prev + INTERVAL` — never unix-seconds truncation), and the
+    * explicit `tieCol` makes equal-timestamp runs deterministic: the
+    * lowest tie value survives, the rest see a zero gap and drop. */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+               minGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col(tsCol) >= col("__prev") + expr(s"INTERVAL $minGapSeconds SECONDS"))
+      .drop("__prev")
+  }
 }

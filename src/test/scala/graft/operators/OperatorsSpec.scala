@@ -492,6 +492,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("debounce keeps the first of each equal-ts run and drops close followers") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val events = Seq(
+      (1L, "u1", ts("2024-05-01 10:00:00")), // kept (first)
+      (2L, "u1", ts("2024-05-01 10:00:00")), // equal ts, higher tie → dropped
+      (3L, "u1", ts("2024-05-01 10:20:00")), // 20m after previous → dropped (gap 30m)
+      (4L, "u1", ts("2024-05-01 10:50:00")), // 30m after previous row exactly → kept
+      (5L, "u2", ts("2024-05-01 10:01:00"))) // other key → kept
+      .toDF("event_id", "user_id", "ts")
+    val kept = graft.operators.Sampling.debounce(events, Seq("user_id"), "ts", "event_id", 1800L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("cohortRetention counts distinct users per (cohort day, offset)") {
     val s = spark
     import s.implicits._
