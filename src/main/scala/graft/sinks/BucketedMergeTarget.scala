@@ -291,6 +291,30 @@ object BucketedMergeTarget {
   def rowCount(spark: SparkSession, path: String): Option[Long] =
     currentManifest(spark, path).flatMap(_.totalRows)
 
+  /** Bucket-pruned point lookup: the stored rows whose PK may appear in
+    * `keys` — only the buckets `keys` hashes into are listed or read, so
+    * a small probe against a huge target costs O(probe buckets), never a
+    * target scan. Returns the matching stored rows (semi-joined on the
+    * exact PK). An empty/missing target yields an empty frame with the
+    * keys' schema restricted to `pkCols`. */
+  def readMatching(keys: DataFrame, path: String, pkCols: Seq[String]): DataFrame = {
+    val spark = keys.sparkSession
+    currentManifest(spark, path) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(keys.select(pkCols.map(col): _*).schema))
+      case Some(m) =>
+        val keyed = withBucket(keys.select(pkCols.map(col): _*).distinct(), pkCols, m.nBuckets)
+        val touched = keyed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet.intersect(m.buckets.keySet)
+        if (touched.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+        else
+          readBuckets(spark, path, m, touched).drop(BucketCol)
+            .join(keyed.drop(BucketCol), pkCols, "left_semi")
+    }
+  }
+
   /** Cursor-aware upsert of a change batch. I/O ∝ batch size (plus the
     * current contents of the buckets the batch touches), never ∝ target
     * size. Replays are idempotent: max-cursor-per-key over target ∪ batch. */
