@@ -45,9 +45,29 @@ object QueriesPipeline {
     * no per-query recompute of the shingle→hash lineage — round-2
     * verdict items #3/#5). The single cache is session-scoped and
     * bounded (one (id,band,hash) frame per sf dir); callers that need
-    * explicit release use [[Dedup.minhashCandidatesManaged]] directly. */
+    * explicit release use [[Dedup.minhashCandidatesManaged]] directly.
+    *
+    * CONTRACT: the parquet under a memoized dir must be immutable for the
+    * session's lifetime (true for the driver's read-only sf dirs). A
+    * caller that rewrites a dir mid-session must call
+    * [[invalidateLshCache]] first, or the memo serves results computed
+    * over the old files. */
   private val lshMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, () => Unit)]
+
+  /** Drop (and unpersist, via the managed release thunk) the memoized LSH
+    * candidate frame for `dir` — every entry when `dir` is None. Call
+    * before re-reading a rewritten corpus directory within the same
+    * session. */
+  def invalidateLshCache(dir: Option[String] = None): Unit =
+    lshMemo.synchronized {
+      val doomed = lshMemo.filter { case ((_, d), _) => dir.forall(_ == d) }.keys.toSeq
+      doomed.foreach { k =>
+        try lshMemo(k)._2.apply()
+        catch { case scala.util.control.NonFatal(_) => () }
+        lshMemo.remove(k); ()
+      }
+    }
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
     // synchronized: a non-atomic getOrElseUpdate would let two concurrent
     // queries both persist a banded frame, leaking the loser's cache —
@@ -61,9 +81,9 @@ object QueriesPipeline {
         // the pair frame too was measured WORSE (the cache fill becomes a
         // barrier that outweighs re-deriving pairs from the warm banded
         // cache — see the ngramJaccard scaladoc)
-        Dedup.minhashCandidates(nearDupCorpus(s, dir), "doc_id", col("text"),
+        Dedup.minhashCandidatesManaged(nearDupCorpus(s, dir), "doc_id", col("text"),
           ngramN = 3, bands = 4, rowsPerBand = 3,
-          hashFn = Dedup.md5Hex, maxBucket = 200))
+          hashFn = Dedup.md5Hex, maxBucket = 200))._1
     }
 
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies

@@ -141,16 +141,19 @@ object QueriesRelational {
 
     // W1 row_number over a total order (checksum.rs:82). Since only
     // rn <= 50 survives, take the top-50 FIRST (TakeOrderedAndProject:
-    // per-partition top-k + merge, no shuffle-to-one-partition) and only
-    // then number the 50 surviving rows — the global window never sees
-    // more than k rows, so the single-partition WindowExec is harmless.
+    // per-partition top-k + merge, no shuffle-to-one-partition), then
+    // number the 50 survivors via range-partition + per-partition offsets
+    // (IdExtraction.rowNumberIds) — no partition-less global window, so
+    // the plan is warning-free AND the same numbering scales to frames
+    // where k isn't tiny.
     "q_rownumber" -> ((s, dir) =>
-      t(s, dir, "part")
-        .select(col("p_partkey"))
-        .orderBy(col("p_partkey"))
-        .limit(50)
-        .select(col("p_partkey"),
-          row_number().over(Window.orderBy(col("p_partkey"))).as("rn"))),
+      graft.types.IdExtraction.rowNumberIds(
+          t(s, dir, "part")
+            .select(col("p_partkey"))
+            .orderBy(col("p_partkey"))
+            .limit(50),
+          Seq(col("p_partkey")))
+        .select(col("p_partkey"), col("__rid").cast("int").as("rn"))),
 
     // O1/S11/S16 keyset pagination: one page of the batched reader.
     "q_keyset_page" -> ((s, dir) =>

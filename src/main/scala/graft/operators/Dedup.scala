@@ -233,9 +233,34 @@ object Dedup {
     *
     * Returns `(id, comp)` where `comp` is the minimum id reachable in the
     * component. Nodes absent from `edges` are absent from the result
-    * (callers coalesce to self — see [[clusterRepresentatives]]). */
+    * (callers coalesce to self — see [[clusterRepresentatives]]).
+    *
+    * SMALL-GRAPH FAST PATH: verified near-dup edge lists are usually a
+    * sliver of the corpus (pairs survive banding + capping + Jaccard), so
+    * when the distinct edge count is at most `driverEdgeThreshold` and the
+    * ids are integral, the edges are collected and resolved with one
+    * driver-side union-find instead of ~8 Spark jobs of fixed overhead
+    * (propagation rounds + convergence checks). Above the threshold — or
+    * for non-integral ids — the distributed loop runs unchanged; the two
+    * paths are pinned equivalent by a property test. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          driverEdgeThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = edges.schema(idA).dataType
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType) &&
+      idType == edges.schema(idB).dataType
+    if (integral && driverEdgeThreshold > 0) {
+      // bounded probe: materializes at most threshold+1 distinct edges,
+      // never the full edge set, before deciding the path
+      val cap = math.min(driverEdgeThreshold + 1, Int.MaxValue.toLong).toInt
+      val distinctEdges = edges.select(col(idA).as("src"), col(idB).as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (distinctEdges.limit(cap).count() <= driverEdgeThreshold)
+          return driverUnionFind(distinctEdges, idType)
+      } finally { distinctEdges.unpersist(); () }
+    }
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -273,6 +298,46 @@ object Dedup {
       }
       labels
     } finally { sym.unpersist(); () }
+  }
+
+  /** Driver-side union-find over a collected edge list — the small-graph
+    * fast path of [[connectedComponents]]. Union-by-min-root (the smaller
+    * root absorbs the larger) with full path compression on find, so the
+    * final root of every tree is the minimum member id — exactly the
+    * `comp` contract of the distributed loop. Near-linear for the ≤1 M
+    * edges the threshold admits; one collect + one parallelize, zero
+    * shuffles. */
+  private def driverUnionFind(distinctEdges: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = distinctEdges.sparkSession
+    val collected = distinctEdges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    collected.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toArray.sorted.map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.length / 10000 + 1))),
+        schema)
+      .select(col("id").cast(idType), col("comp").cast(idType))
   }
 
   /** Cluster-representative mapping for a corpus: every row of `df` gets

@@ -34,6 +34,14 @@ object TemporalJoin {
     * payloads. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightValCol: String, outCol: String): DataFrame = {
+    // the union-scan encoding owns these scratch names; silently replacing
+    // a caller column (withColumn semantics) would corrupt the result
+    Seq("__side", "__rv").foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asofJoin reserves column name '$n' — rename it on the input")
+    }
+    require(!left.columns.contains(outCol),
+      s"outCol '$outCol' already exists on the left frame — pick a fresh name")
     val leftCols = left.columns.toSeq
     val valType = right.schema(rightValCol).dataType
     val l = left

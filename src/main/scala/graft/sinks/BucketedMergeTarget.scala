@@ -266,6 +266,11 @@ object BucketedMergeTarget {
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
         case n @ ManifestRe(v) if !keepVers.contains(v.toLong) =>
           f.delete(new Path(p, n), false); ()
+        // a writer that crashed between create and rename leaves its temp
+        // manifest behind; safe to reap here because a LIVE commit renames
+        // its temp away before gc runs in the same commitVersion call
+        case n if n.startsWith("_graft_manifest_tmp_") =>
+          f.delete(new Path(p, n), false); ()
         case _ => ()
       }
       val VerDirRe = raw"_v(\d{9})".r

@@ -8,19 +8,21 @@ import graft.core.Identifiers
   *
   *   - collection listing excluding `system.*` (`reader.rs:37-60`);
   *   - estimated document count, name-validated (`reader.rs:94-117`);
-  *   - full collection read via cursor drain (`reader.rs:153-193`).
+  *   - full collection read (`reader.rs:153-193`) — either the
+  *     reference's single cursor drain (small collections, guarded) or a
+  *     PARTITIONED read where every Spark task opens its own split cursor.
   *
   * The sandbox has no Mongo driver (and no live Mongo), so — mirroring the
   * MySQL/JDBC treatment, where the SQL text + executors are pinned against
   * a recording mock Connection — the driver surface is expressed as the
   * minimal [[MongoClientContract]] the reference actually uses. In
   * production that trait wraps the Mongo Java driver (documents as
-  * canonical Extended JSON via `Document.toJson`); at 100 TB the cursor
-  * drain is replaced by the Spark Mongo connector's partitioned read, and
-  * everything downstream of [[readCollection]] (Extended-JSON decode, id
-  * dispatch, tagged encode — see [[graft.jsonb.MongoIngest]]) is already a
-  * distributed DataFrame pipeline that doesn't care which of the two
-  * produced the rows.
+  * canonical Extended JSON via `Document.toJson`), and
+  * [[MongoClientContract.findSplit]] maps to the standard split strategies
+  * (`$sample`-derived `_id` range bounds, or `splitVector`). Everything
+  * downstream of [[readCollection]] (Extended-JSON decode, id dispatch,
+  * tagged encode — see [[graft.jsonb.MongoIngest]]) is a distributed
+  * DataFrame pipeline that doesn't care which read path produced the rows.
   */
 trait MongoClientContract {
   /** All collection names in `database` (unfiltered — the contract the
@@ -32,9 +34,34 @@ trait MongoClientContract {
 
   /** `find({})` cursor drain: every document as an Extended-JSON string. */
   def findAll(database: String, collection: String): Iterator[String]
+
+  /** One split's documents, for a partitioned read: split `i` of
+    * `nSplits` must be disjoint across `i` and cover the collection when
+    * unioned. A real driver implements this with `_id` range bounds (the
+    * connector's partitioner); this default — a deterministic round-robin
+    * decimation of the full cursor — preserves the disjoint-and-covering
+    * contract for drivers that haven't, at the cost of each split
+    * re-scanning the cursor (correct, not fast: override it). */
+  def findSplit(database: String, collection: String,
+                split: Int, nSplits: Int): Iterator[String] =
+    findAll(database, collection).zipWithIndex.collect {
+      case (doc, i) if i % nSplits == split => doc
+    }
+}
+
+/** Serializable handle that opens a client ON THE EXECUTOR — the
+  * partitioned read ships this (never a live connection) to tasks, the
+  * same connection-per-task discipline as the JDBC readers. */
+trait MongoClientFactory extends Serializable {
+  def open(): MongoClientContract
 }
 
 object MongoCatalog {
+
+  /** Driver-side materialization guard for [[readCollectionRaw]]: above
+    * this estimated count the single cursor drain would risk a driver
+    * OOM, so the read refuses and points at the partitioned path. */
+  val MaxDriverDrainDocs = 1000000L
 
   private def validated(collection: String): String =
     Identifiers.validateTableName(collection) match {
@@ -53,11 +80,20 @@ object MongoCatalog {
     client.estimatedDocumentCount(database, validated(collection))
 
   /** S19 raw form: the cursor drain as a Dataset of Extended-JSON strings
-    * (name-validated, read-only — `reader.rs:153-193`). */
+    * (name-validated, read-only — `reader.rs:153-193`). Faithful to the
+    * reference's whole-collection drain, therefore DRIVER-BOUND: the
+    * estimated count is checked against `maxDriverRows` first and large
+    * collections are refused — use [[readCollectionPartitioned]] there. */
   def readCollectionRaw(spark: SparkSession, client: MongoClientContract,
-                        database: String, collection: String): Dataset[String] = {
+                        database: String, collection: String,
+                        maxDriverRows: Long = MaxDriverDrainDocs): Dataset[String] = {
     import spark.implicits._
-    val docs = client.findAll(database, validated(collection)).toSeq
+    val coll = validated(collection)
+    val estimated = client.estimatedDocumentCount(database, coll)
+    require(estimated <= maxDriverRows,
+      s"$database.$coll has ~$estimated docs > $maxDriverRows: the single-cursor " +
+        "drain materializes on the driver — use readCollectionPartitioned")
+    val docs = client.findAll(database, coll).toSeq
     spark.createDataset(docs)
   }
 
@@ -66,4 +102,34 @@ object MongoCatalog {
   def readCollection(spark: SparkSession, client: MongoClientContract,
                      database: String, collection: String): DataFrame =
     spark.read.json(readCollectionRaw(spark, client, database, collection))
+
+  /** S19 at scale: the partitioned read. `nSplits` tasks each open their
+    * OWN client (via `factory`, on the executor) and drain only their
+    * split cursor — no document ever lands on the driver, and the decode
+    * downstream starts already distributed. This is the shape the Spark
+    * Mongo connector implements natively; the contract keeps it testable
+    * against recording mocks in a driver-less sandbox. */
+  def readCollectionPartitionedRaw(spark: SparkSession, factory: MongoClientFactory,
+                                   database: String, collection: String,
+                                   nSplits: Int): Dataset[String] = {
+    import spark.implicits._
+    require(nSplits > 0, "nSplits must be positive")
+    val coll = validated(collection) // validate BEFORE distributing
+    spark.createDataset(0 until nSplits)
+      .repartition(nSplits)
+      .mapPartitions { splits =>
+        splits.flatMap { split =>
+          // one client per task, opened executor-side — connections are
+          // never serialized, mirroring the JDBC executor discipline
+          factory.open().findSplit(database, coll, split, nSplits)
+        }
+      }
+  }
+
+  /** Typed partitioned read (schema inferred from the distributed rows). */
+  def readCollectionPartitioned(spark: SparkSession, factory: MongoClientFactory,
+                                database: String, collection: String,
+                                nSplits: Int): DataFrame =
+    spark.read.json(readCollectionPartitionedRaw(spark, factory, database,
+      collection, nSplits))
 }

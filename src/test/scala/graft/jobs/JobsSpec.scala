@@ -47,14 +47,21 @@ class JobsSpec extends AnyFunSuite {
     assert(newFilter.completed.isEmpty) // incompatible → fresh
   }
 
-  test("table names that would corrupt the checkpoint json are rejected") {
-    val cp = Checkpoint("a" * 64, "b" * 64, "c" * 64, Set("good_table"))
-    // a comma would split into two bogus completed entries on resume —
-    // silently marking never-copied tables done (round-2 advice)
-    intercept[IllegalArgumentException] { cp.markCompleted("evil,table") }
-    intercept[IllegalArgumentException] { cp.markCompleted("evil]table") }
-    intercept[IllegalArgumentException] { cp.markCompleted("evil\"table") }
-    assert(cp.markCompleted("fine").completed.contains("fine"))
+  test("table names with json metacharacters round-trip the checkpoint intact") {
+    // legal quoted PostgreSQL identifiers: commas, brackets, quotes,
+    // backslashes, control chars. Round 2 silently corrupted these; round
+    // 3 rejected them (fail-loud); now they are escaped and round-trip —
+    // no snapshot job aborts mid-copy over a weird-but-legal name
+    // (round-3 advice).
+    val weird = Set("evil,table", "evil]table", "evil\"table",
+      "back\\slash", "tab\tname", "bracket[both]", "plain")
+    val cp = Checkpoint("a" * 64, "b" * 64, "c" * 64, Set.empty)
+    val marked = weird.foldLeft(cp)(_ markCompleted _)
+    assert(Checkpoint.fromJson(marked.toJson) == Right(marked))
+    // and via the file path too
+    val p = tmpDir("cpw").resolve("cp.json")
+    marked.save(p)
+    assert(Checkpoint.load(p).contains(marked))
   }
 
   test("checkpoint roundtrip with an empty completed set") {

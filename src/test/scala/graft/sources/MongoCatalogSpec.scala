@@ -114,6 +114,49 @@ class MongoCatalogSpec extends AnyFunSuite {
     assert(row.getAs[String]("_source_type") == "mongodb")
   }
 
+  test("readCollectionRaw refuses a collection too big to drain on the driver") {
+    val m = new MockMongo(Nil, Map("big" -> Seq("""{"_id":1}""", """{"_id":2}""")))
+    // mock reports 2 docs; cap at 1 → the drain must refuse BEFORE find()
+    val e = intercept[IllegalArgumentException] {
+      MongoCatalog.readCollectionRaw(spark, m, "mydb", "big", maxDriverRows = 1L)
+    }
+    assert(e.getMessage.contains("readCollectionPartitioned"))
+    assert(m.calls.toList == List("count:mydb.big")) // cursor never opened
+  }
+
+  test("default findSplit is disjoint and covering") {
+    val docs = (1 to 10).map(i => s"""{"_id":$i}""")
+    val m = new MockMongo(Nil, Map("c" -> docs))
+    val splits = (0 until 3).map(i => m.findSplit("db", "c", i, 3).toSeq)
+    assert(splits.flatten.sorted == docs.sorted)                  // covering
+    assert(splits.map(_.toSet).reduce(_ intersect _).isEmpty)     // disjoint
+  }
+
+  test("partitioned read matches the cursor drain and never lands on the driver") {
+    val docs = (1 to 20).map(i =>
+      s"""{"_id":{"$$oid":"${"%024x".format(i)}"},"n":$i}""")
+    val data = Map("events" -> docs)
+    val factory = new MockFactory(data)
+    val part = MongoCatalog.readCollectionPartitionedRaw(spark, factory,
+      "mydb", "events", nSplits = 4)
+    // distribution: the read plans as nSplits partitions, each draining
+    // its own split cursor — no driver-side materialization anywhere
+    assert(part.rdd.getNumPartitions == 4)
+    val drained = MongoCatalog.readCollectionRaw(spark,
+      new MockMongo(Nil, data), "mydb", "events").collect().sorted
+    assert(part.collect().sorted.toSeq == drained.toSeq)
+    // typed form agrees with the drain-based reader
+    val typedPart = MongoCatalog.readCollectionPartitioned(spark, factory,
+      "mydb", "events", nSplits = 4)
+    assert(typedPart.count() == 20)
+    assert(typedPart.select(sum(col("n"))).head().getLong(0) == (1 to 20).sum.toLong)
+    // name validation happens before any task launches
+    intercept[IllegalArgumentException] {
+      MongoCatalog.readCollectionPartitionedRaw(spark, factory, "mydb",
+        "bad; name", 4)
+    }
+  }
+
   test("full pipeline: list → read → documents over the mock (S18+S19 end-to-end)") {
     val m = new MockMongo(Seq("users", "system.views"), Map("users" -> Seq(
       """{"_id":{"$oid":"64b0000000000000000000aa"},"email":"a@x.io"}""",
@@ -125,5 +168,20 @@ class MongoCatalogSpec extends AnyFunSuite {
     assert(docs.count() == 2)
     assert(docs.select("id").collect().map(_.getString(0)).toSet ==
       Set("64b0000000000000000000aa", "64b0000000000000000000bb"))
+  }
+}
+
+/** Serializable factory over plain data — clients open executor-side, so
+  * nothing observable can be recorded driver-side; the partitioned-read
+  * test pins the observable contract instead (distribution + content
+  * equality). File-scoped: an inner class would capture the
+  * non-serializable suite via `$outer`. */
+private class MockFactory(docs: Map[String, Seq[String]]) extends MongoClientFactory {
+  def open(): MongoClientContract = new MongoClientContract {
+    def listCollectionNames(db: String): Seq[String] = docs.keys.toSeq
+    def estimatedDocumentCount(db: String, coll: String): Long =
+      docs.getOrElse(coll, Nil).size.toLong
+    def findAll(db: String, coll: String): Iterator[String] =
+      docs.getOrElse(coll, Nil).iterator
   }
 }
