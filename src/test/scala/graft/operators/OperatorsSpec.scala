@@ -654,6 +654,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
   }
 
+  test("connectedComponents: driver union-find and distributed loop agree") {
+    val s = spark
+    import s.implicits._
+    // seeded random graphs across shapes (sparse, dense-ish, self-loops,
+    // duplicate + reversed edges) — the small-graph fast path must be
+    // indistinguishable from the distributed pointer-jumping loop
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 4).foreach { trial =>
+      val n = 50 + rnd.nextInt(150)
+      val m = n + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // threshold 0 disables the probe entirely → distributed loop
+      val dist = Dedup.connectedComponents(edges, driverEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"trial $trial (n=$n m=$m) diverged")
+    }
+    // above-threshold graphs fall back to the distributed loop (same contract)
+    val big = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaDist = Dedup.connectedComponents(big, driverEdgeThreshold = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 40L).forall(viaDist(_) == 0L))
+    // non-integral ids can't take the fast path — distributed loop handles them
+    val strEdges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val strComp = Dedup.connectedComponents(strEdges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c").forall(strComp(_) == "a") && strComp("y") == "x")
+  }
+
   test("clusterRepresentatives keeps singletons as their own rep with size 1") {
     val s = spark
     import s.implicits._
