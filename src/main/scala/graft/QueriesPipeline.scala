@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
+import graft.operators.{Dedup, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -355,6 +355,31 @@ object QueriesPipeline {
         hashFn = Dedup.md5Hex, maxBucket = 200)
     }),
 
+    // INCREMENTAL corpus dedup — the 100 TB ingestion shape: the
+    // accumulated corpus's banded signatures live in a probe-key-bucketed
+    // BucketedMergeTarget store on disk; an incoming batch (edited
+    // near-dups of stored docs + novel docs) probes ONLY the buckets its
+    // bands hash into, then appends itself. This query exercises the real
+    // store write+probe path end-to-end — the oracle replays both sides'
+    // signatures from scratch.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
+      val accumulated = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0))
+      val store = java.nio.file.Files.createTempDirectory("graft-sigstore")
+        .resolve("sigs").toString
+      val p = IncrementalDedup.LshParams(ngramN = 3, bands = 4, rowsPerBand = 3,
+        hashFn = Dedup.md5Hex, maxBucket = 200)
+      IncrementalDedup.appendBatch(accumulated, "doc_id", col("text"), store, 1L, p)
+      val (cands, _) =
+        IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p)
+      cands
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -681,6 +706,48 @@ object QueriesPipeline {
            |JOIN keep USING (band, bh)
            |JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.side = 1
            |WHERE a.side = 0""".stripMargin
+      },
+
+      // The incremental ingest replayed from scratch: side 0 = the
+      // accumulated store, side 1 = the incoming batch; identical banding
+      // to the Spark path (the store is just persistence — the candidate
+      // semantics are the batch×store cross sweep).
+      "q_incremental_dedup" -> {
+        val sig = (0 until 12)
+          .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
+          .mkString("[", ", ", "]")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, side, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE len($sqlWords) >= 3),
+           |corpus AS (
+           |  SELECT doc_id, text, 0 AS side FROM base WHERE doc_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id, text || ' zz zz' AS text, 1 AS side
+           |  FROM base WHERE doc_id % 5 = 1
+           |  UNION ALL
+           |  SELECT doc_id, text, 1 AS side FROM base WHERE doc_id % 5 = 0
+           |),
+           |toks AS (SELECT doc_id, side, $sqlWords AS w FROM corpus),
+           |grams AS (SELECT doc_id, side,
+           |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+           |FROM toks),
+           |sig AS (SELECT doc_id, side, $sig AS sig FROM grams),
+           |banded AS (
+           |  $bandRows
+           |),
+           |keep AS (
+           |  SELECT band, bh
+           |  FROM (SELECT band, bh, count(*) AS na FROM banded WHERE side = 1 GROUP BY 1, 2) a
+           |  JOIN (SELECT band, bh, count(*) AS nb FROM banded WHERE side = 0 GROUP BY 1, 2) b
+           |    USING (band, bh)
+           |  WHERE na + nb <= 200
+           |)
+           |SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+           |FROM banded a
+           |JOIN keep USING (band, bh)
+           |JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.side = 0
+           |WHERE a.side = 1""".stripMargin
       },
 
       // Transitive closure by recursive CTE: components = min reachable

@@ -57,9 +57,14 @@ object BucketedMergeTarget {
     * `schemaB64` is the base64 of the user-facing StructType JSON so an
     * emptied target still reads with its schema. `rowCounts` carries the
     * per-bucket row counts so the total target size is manifest metadata
-    * (no listing or footer reads — O(1) at any scale). */
+    * (no listing or footer reads — O(1) at any scale). `bucketCols`, when
+    * non-empty, records that rows are bucketed by THOSE columns rather
+    * than the full PK (probe-key bucketing — see [[merge]]); recording it
+    * in the manifest makes a mismatched caller fail loudly instead of
+    * silently pruning the wrong buckets. */
   final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, Long],
-                            schemaB64: String, rowCounts: Map[Int, Long] = Map.empty) {
+                            schemaB64: String, rowCounts: Map[Int, Long] = Map.empty,
+                            bucketCols: Seq[String] = Nil) {
     def schema: StructType =
       DataType.fromJson(new String(Base64.getDecoder.decode(schemaB64), "UTF-8"))
         .asInstanceOf[StructType]
@@ -79,9 +84,15 @@ object BucketedMergeTarget {
   private def intMapJson(m: Map[Int, Long]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
 
-  private[sinks] def manifestToJson(m: Manifest): String =
+  private[sinks] def manifestToJson(m: Manifest): String = {
+    // each name base64'd individually (names may hold any character),
+    // then comma-joined — same quote-free-by-construction trick as schema
+    val bc = m.bucketCols
+      .map(n => Base64.getEncoder.encodeToString(n.getBytes("UTF-8"))).mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}",""" +
+      s""""bucketCols":"$bc",""" +
       s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${intMapJson(m.buckets)}}}"""
+  }
 
   /** The `{…}` object block for `name`, as an int→long map (flat values —
     * no nested objects in this format). Absent block → empty map, so
@@ -106,8 +117,13 @@ object BucketedMergeTarget {
     val schemaRe = "\"schema\":\"([A-Za-z0-9+/=]*)\"".r
     val schemaB64 = schemaRe.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("manifest missing 'schema'"))
+    // absent block (pre-bucketCols manifests) → Nil = bucketed by PK
+    val bcRe = "\"bucketCols\":\"([A-Za-z0-9+/=,]*)\"".r
+    val bucketCols = bcRe.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
+      .getOrElse(Nil)
     Manifest(num("version"), num("nBuckets").toInt, intMapFromJson(s, "buckets"),
-      schemaB64, intMapFromJson(s, "rowCounts"))
+      schemaB64, intMapFromJson(s, "rowCounts"), bucketCols)
   }
 
   // ---- filesystem plumbing (Hadoop FS — works on any scheme) ----------
@@ -208,7 +224,8 @@ object BucketedMergeTarget {
     * only leaves unreferenced files). */
   private def commitVersion(spark: SparkSession, path: String,
                             existing: Option[Manifest], data: DataFrame,
-                            dropFromOld: Set[Int], nBuckets: Int): MergeStats = {
+                            dropFromOld: Set[Int], nBuckets: Int,
+                            bucketCols: Seq[String] = Nil): MergeStats = {
     val (f, p) = fileSystem(spark, path)
     val newVer = nextVersion(f, p, existing)
     val verDir = new Path(p, versionDirName(newVer))
@@ -237,7 +254,8 @@ object BucketedMergeTarget {
     val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
       ++ newCounts)
 
-    val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts)
+    val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
+      bucketCols)
     writeManifest(f, p, newManifest)
 
     val bytes =
@@ -296,40 +314,69 @@ object BucketedMergeTarget {
   def rowCount(spark: SparkSession, path: String): Option[Long] =
     currentManifest(spark, path).flatMap(_.totalRows)
 
-  /** Bucket-pruned point lookup: the stored rows whose PK may appear in
-    * `keys` — only the buckets `keys` hashes into are listed or read, so
-    * a small probe against a huge target costs O(probe buckets), never a
-    * target scan. Returns the matching stored rows (semi-joined on the
-    * exact PK). An empty/missing target yields an empty frame with the
-    * keys' schema restricted to `pkCols`. */
-  def readMatching(keys: DataFrame, path: String, pkCols: Seq[String]): DataFrame = {
+  /** Bucket-pruned point lookup: the stored rows whose probe key may
+    * appear in `keys` — only the buckets `keys` hashes into are listed or
+    * read, so a small probe against a huge target costs O(probe buckets),
+    * never a target scan. `probeCols` must be the target's bucket-key
+    * columns (the PK by default; the recorded `bucketCols` for a
+    * probe-key-bucketed target — enforced). Returns the matching stored
+    * rows (semi-joined on the exact probe key). An empty/missing target
+    * yields an empty frame with the keys' schema restricted to
+    * `probeCols`. */
+  def readMatching(keys: DataFrame, path: String, probeCols: Seq[String]): DataFrame = {
     val spark = keys.sparkSession
     currentManifest(spark, path) match {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(keys.select(pkCols.map(col): _*).schema))
+          StructType(keys.select(probeCols.map(col): _*).schema))
       case Some(m) =>
-        val keyed = withBucket(keys.select(pkCols.map(col): _*).distinct(), pkCols, m.nBuckets)
+        require(m.bucketCols.isEmpty || m.bucketCols == probeCols,
+          s"target is bucketed by ${m.bucketCols} — probe with exactly those columns")
+        val keyed = withBucket(keys.select(probeCols.map(col): _*).distinct(), probeCols, m.nBuckets)
         val touched = keyed.select(BucketCol).distinct()
           .collect().map(_.getInt(0)).toSet.intersect(m.buckets.keySet)
         if (touched.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
         else
           readBuckets(spark, path, m, touched).drop(BucketCol)
-            .join(keyed.drop(BucketCol), pkCols, "left_semi")
+            .join(keyed.drop(BucketCol), probeCols, "left_semi")
     }
+  }
+
+  /** The bucket-key columns in force for a target: what the manifest
+    * recorded, else the caller's request, else the PK. A non-empty
+    * request against a target recorded differently is a hard error —
+    * bucket membership is baked into the files, so a silent switch would
+    * prune the wrong buckets. Requested cols must be a subset of the PK:
+    * that is what guarantees two versions of the same key land in the
+    * same bucket (the merge-visibility invariant). */
+  private def resolveBucketCols(existing: Option[Manifest], pkCols: Seq[String],
+                                requested: Seq[String]): Seq[String] = {
+    val recorded = existing.map(_.bucketCols).getOrElse(Nil)
+    require(recorded.isEmpty || requested.isEmpty || recorded == requested,
+      s"target is bucketed by $recorded but caller asked for $requested")
+    require(requested.forall(pkCols.contains),
+      s"bucketCols $requested must be a subset of pkCols $pkCols")
+    if (recorded.nonEmpty) recorded else if (requested.nonEmpty) requested else pkCols
   }
 
   /** Cursor-aware upsert of a change batch. I/O ∝ batch size (plus the
     * current contents of the buckets the batch touches), never ∝ target
-    * size. Replays are idempotent: max-cursor-per-key over target ∪ batch. */
+    * size. Replays are idempotent: max-cursor-per-key over target ∪ batch.
+    *
+    * `bucketCols` (default: the PK) switches the target to PROBE-KEY
+    * bucketing: rows are placed by a PK-subset the reader later probes
+    * with, so [[readMatching]] on those columns prunes to just their
+    * buckets. The LSH signature store buckets by `(band, bh)` this way —
+    * an incoming batch's bands probe only the buckets they hash into. */
   def merge(batch: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,
-            nBuckets: Int = DefaultBuckets): MergeStats = {
+            nBuckets: Int = DefaultBuckets, bucketCols: Seq[String] = Nil): MergeStats = {
     val spark = batch.sparkSession
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bc = resolveBucketCols(existing, pkCols, bucketCols)
     val bucketed = withBucket(
-      IncrementalSync.latestByKey(batch, pkCols, cursorCol), pkCols, nb)
+      IncrementalSync.latestByKey(batch, pkCols, cursorCol), bc, nb)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = bucketed.select(BucketCol).distinct()
@@ -343,7 +390,8 @@ object BucketedMergeTarget {
             pkCols, cursorCol)
         case _ => bucketed
       }
-      commitVersion(spark, path, existing, merged, touched, nb)
+      commitVersion(spark, path, existing, merged, touched, nb,
+        if (bc == pkCols) Nil else bc)
     } finally { bucketed.unpersist(); () }
   }
 
@@ -355,7 +403,11 @@ object BucketedMergeTarget {
     val existing = currentManifest(spark, path)
     val m = existing.getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
-    val keyed = withBucket(keys.select(pkCols.map(col): _*).distinct(), pkCols, m.nBuckets)
+    // a probe-key-bucketed target places rows by its recorded bucketCols
+    // (⊆ pk, so present in `keys`); bucketing the delete keys the same way
+    // is what makes the touched-bucket set correct
+    val bc = resolveBucketCols(existing, pkCols, Nil)
+    val keyed = withBucket(keys.select(pkCols.map(col): _*).distinct(), bc, m.nBuckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = keyed.select(BucketCol).distinct()
@@ -363,20 +415,23 @@ object BucketedMergeTarget {
       if (touched.isEmpty) return MergeStats(m.version, 0, m.nBuckets, 0L)
       val remaining = readBuckets(spark, path, m, touched)
         .join(keyed.drop(BucketCol), pkCols, "left_anti")
-      commitVersion(spark, path, existing, remaining, touched, m.nBuckets)
+      commitVersion(spark, path, existing, remaining, touched, m.nBuckets,
+        m.bucketCols)
     } finally { keyed.unpersist(); () }
   }
 
   /** Full replacement (seed / wraparound resync): every old bucket is
     * dropped; the new contents own the whole keyspace. */
   def replaceAll(data: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,
-                 nBuckets: Int = DefaultBuckets): MergeStats = {
+                 nBuckets: Int = DefaultBuckets, bucketCols: Seq[String] = Nil): MergeStats = {
     val spark = data.sparkSession
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bc = resolveBucketCols(existing, pkCols, bucketCols)
     val bucketed = withBucket(
-      IncrementalSync.latestByKey(data, pkCols, cursorCol), pkCols, nb)
+      IncrementalSync.latestByKey(data, pkCols, cursorCol), bc, nb)
     commitVersion(spark, path, existing, bucketed,
-      existing.map(_.buckets.keySet).getOrElse(Set.empty), nb)
+      existing.map(_.buckets.keySet).getOrElse(Set.empty), nb,
+      if (bc == pkCols) Nil else bc)
   }
 }

@@ -38,6 +38,13 @@ class MergeTargetSpec extends AnyFunSuite {
     val back = BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(m))
     assert(back == m)
     assert(back.schema.fieldNames.toSeq == Seq("id"))
+    // probe-key bucketing survives the round trip (names b64'd — any chars)
+    val mb = m.copy(bucketCols = Seq("band", "weird,name"))
+    assert(BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(mb)) == mb)
+    // pre-bucketCols manifests (no field at all) parse as PK-bucketed
+    val legacy = BucketedMergeTarget.manifestToJson(m)
+      .replace(""""bucketCols":"",""", "")
+    assert(BucketedMergeTarget.manifestFromJson(legacy) == m)
   }
 
   test("merge seeds, upserts, and a stale cursor never regresses") {
