@@ -450,6 +450,28 @@ object QueriesPipeline {
         col("doc_id") +: meta.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // END-TO-END media path: documents as binary payloads → media frame →
+    // partition-wise codec featurization (deterministic stub: L1-normalized
+    // float32 byte histogram) → SRP bucket index → multi-probe ANN top-20
+    // for the features of doc 0. The mapPartitions codec plumbing, the
+    // persisted srp_bucket column, AND the bucketed top-k all execute
+    // inside the oracle gate — DuckDB replays the histogram (docs are
+    // ASCII; REAL division is float32-correctly-rounded in both engines),
+    // the md5 planes, and the Hamming-1 probe set.
+    "q_multimodal_ann" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.toMediaFrame(t(s, dir, "documents"),
+        col("doc_id"), encode(col("text"), "UTF-8"), "image", "utf8")
+      val feats = Multimodal.featurize(media, Multimodal.StubCodec, dim = 16)
+      val indexed = Similarity.withSrpBucket(feats, "features", hPlanes = 4,
+        portable = true)
+      val text0 = t(s, dir, "documents").filter(col("doc_id") === 0)
+        .select("text").head().getString(0) // one driver row: the query doc
+      val qv = Multimodal.StubCodec.extractFeatures(text0.getBytes("UTF-8"), 16)
+      Similarity.lshBucketedTopK(indexed, "media_id", "features", qv, k = 20,
+        hPlanes = 4, portable = true, probeRadius = 1)
+    }),
+
     // T8 watermarked tumbling-window aggregation (Structured Streaming
     // shape, run here in batch mode so the oracle can replay it).
     "q_tumbling_window" -> ((s, dir) =>
@@ -835,6 +857,28 @@ object QueriesPipeline {
            |FROM embeddings
            |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      // StubCodec.extractFeatures replayed exactly: count of bytes per
+      // bucket (ASCII text → chars == bytes) / total length, both as
+      // float32 (REAL/REAL division is float32-correctly-rounded in both
+      // engines); then the same md5-plane SRP bucketing as q_ann_lsh and
+      // a Hamming-≤1 multi-probe (xor bit_count — the probe-set filter's
+      // algebraic form).
+      "q_multimodal_ann" -> {
+        val qfeat = "(SELECT features FROM feats WHERE doc_id = 0)"
+        s"""WITH feats AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 16), b ->
+           |      CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) % 16) = b)) AS REAL)
+           |      / CAST(greatest(length(text), 1) AS REAL)) AS features
+           |  FROM documents)
+           |SELECT doc_id AS media_id,
+           | round(${sqlDot("features", qfeat)}
+           |   / (${sqlNorm("features")} * ${sqlNorm(qfeat)}), 6) AS cos_sim
+           |FROM feats
+           |WHERE bit_count(xor(${sqlSrpBucket("features", 4)}, ${sqlSrpBucket(qfeat, 4)})) <= 1
+           |ORDER BY cos_sim DESC, media_id ASC LIMIT 20""".stripMargin
+      },
 
       "q_multimodal_meta" ->
         """SELECT doc_id,

@@ -221,7 +221,23 @@ object BucketedMergeTarget {
     * pointing at their previous versions and every bucket materialized by
     * this write points at the new version. Finally GC the superseded
     * bucket directories and stale manifests (best-effort — a crash here
-    * only leaves unreferenced files). */
+    * only leaves unreferenced files).
+    *
+    * CONCURRENCY: the target is a SINGLE-WRITER sink (like every
+    * manifest-file table format without an external lock service).
+    * Concurrent writer ATTEMPTS are detected and fail loudly, never
+    * corrupt, and never silently drop a batch:
+    *   - data is written to a writer-unique `_staging_*` dir, then
+    *     atomically renamed to the version slot — the rename fails if
+    *     another writer claimed the slot first (and the parquet job can
+    *     never collide in a shared `_temporary` dir);
+    *   - the manifest commit is itself a rename to a version-named file —
+    *     second writer of the same version fails;
+    *   - after committing, any OTHER manifest that landed between our base
+    *     and our version means our merge was computed against stale state:
+    *     we roll our manifest back and throw.
+    * The thrown IOException means "replay the batch" — merges are
+    * idempotent, so the caller retries against the fresh state. */
   private def commitVersion(spark: SparkSession, path: String,
                             existing: Option[Manifest], data: DataFrame,
                             dropFromOld: Set[Int], nBuckets: Int,
@@ -229,8 +245,16 @@ object BucketedMergeTarget {
     val (f, p) = fileSystem(spark, path)
     val newVer = nextVersion(f, p, existing)
     val verDir = new Path(p, versionDirName(newVer))
-    // overwrite handles a leftover dir from a crashed previous attempt
-    data.write.mode("overwrite").partitionBy(BucketCol).parquet(verDir.toString)
+    val staging = new Path(p,
+      s"_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    data.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    // empty batches write no partition dirs — an empty staging dir renames
+    // fine and yields present = ∅ below, same as before
+    if (!f.rename(staging, verDir)) {
+      f.delete(staging, true)
+      throw new java.io.IOException(
+        s"version slot $verDir already claimed (concurrent writer?) — replay the batch")
+    }
 
     val present: Set[Int] =
       if (!f.exists(verDir)) Set.empty
@@ -257,6 +281,29 @@ object BucketedMergeTarget {
     val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
       bucketCols)
     writeManifest(f, p, newManifest)
+
+    // post-commit conflict check: a manifest from ANOTHER writer with a
+    // version in (base, ours) means our merge read stale buckets — undo
+    // our manifest (the competing state is intact) and ask for a replay.
+    // Only manifests that PARSE count: a torn file there is a crashed
+    // writer nextVersion already skipped, not a competing commit.
+    val base = existing.map(_.version).getOrElse(0L)
+    val intermediate = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n @ ManifestRe(v) if v.toLong > base && v.toLong < newVer => (n, v.toLong) }
+      .filter { case (n, _) =>
+        try {
+          val in = f.open(new Path(p, n))
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+          manifestFromJson(txt); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }.map(_._2)
+    if (intermediate.nonEmpty) {
+      f.delete(new Path(p, s"_graft_manifest_v${"%09d".format(newVer)}.json"), false)
+      f.delete(verDir, true)
+      throw new java.io.IOException(
+        s"concurrent commit(s) v${intermediate.mkString(",")} landed under our v$newVer — replay the batch")
+    }
 
     val bytes =
       if (f.exists(verDir)) f.getContentSummary(verDir).getLength else 0L
@@ -291,6 +338,14 @@ object BucketedMergeTarget {
           f.delete(new Path(p, n), false); ()
         case _ => ()
       }
+      // staging dirs from crashed writers: age-gated (an in-flight writer's
+      // staging is at most minutes old; an hour-old one is dead) — the
+      // standard object-store orphan-TTL policy
+      val staleBefore = System.currentTimeMillis() - 3600000L
+      f.listStatus(p).toSeq
+        .filter(st => st.getPath.getName.startsWith("_staging_") &&
+          st.getModificationTime < staleBefore)
+        .foreach(st => { f.delete(st.getPath, true); () })
       val VerDirRe = raw"_v(\d{9})".r
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
         case n @ VerDirRe(vs) =>

@@ -229,4 +229,78 @@ class JobsSpec extends AnyFunSuite {
       graft.sinks.BucketedMergeTarget.read(s, tgtDir)))
     assert(store.watermark("public", "t") == 20L)
   }
+
+  test("soak: 100 sync cycles with churn, reconciles, and concurrent writers") {
+    import graft.sinks.BucketedMergeTarget
+    val s = spark
+    import s.implicits._
+    val tgtDir = tmpDir("sync-soak").toString + "/t.parquet"
+    val statePath = tmpDir("sync-soak-state").resolve("state.jsonl")
+    val store = new SyncStateStore(statePath)
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(tgtDir)
+      (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+    }
+    // evolving source: inserts + updates every cycle, a delete every 10th
+    // (picked up by the reconcile pass, which also runs every 10th cycle)
+    var rows = (1L to 50L).map(i => i -> (0L, s"v$i")).toMap
+    var lastVersion = 0L
+    (1 to 100).foreach { c =>
+      rows += (1000L + c) -> (c.toLong, s"new$c")              // insert
+      rows += ((c % 50) + 1L) -> (c.toLong, s"upd$c")          // update
+      if (c % 10 == 0) rows -= (1000L + c - 5)                 // delete
+      val source = rows.toSeq.map { case (id, (ver, v)) => (id, ver, v) }
+        .toDF("id", "ver", "v")
+      SyncCycle.runLoop(() => source, tgtDir, "public", "t", "ver",
+        Seq("id"), store, cycles = 1, reconcileEvery = 1, nBuckets = 8)
+      val m = BucketedMergeTarget.currentManifest(s, tgtDir).get
+      assert(m.version > lastVersion, s"cycle $c: version not monotonic")
+      lastVersion = m.version
+      if (c % 10 == 0) {
+        // bounded disk: retained-set GC keeps ≤ 2 manifests + the version
+        // dirs they reference; crashed-writer temp manifests never linger
+        val names = fs.listStatus(root).map(_.getPath.getName)
+        assert(names.count(_.startsWith("_graft_manifest_v")) <= 2,
+          s"cycle $c: manifests accumulate: ${names.mkString(",")}")
+        assert(names.count(_.startsWith("_v")) <= 8,
+          s"cycle $c: version dirs accumulate: ${names.mkString(",")}")
+        assert(!names.exists(_.startsWith("_graft_manifest_tmp_")))
+        // converged contents + O(1) metadata row count agree with truth
+        assert(Checksum.tablesMatch(source, BucketedMergeTarget.read(s, tgtDir)),
+          s"cycle $c: target diverged from source")
+        assert(BucketedMergeTarget.rowCount(s, tgtDir).contains(rows.size.toLong))
+      }
+      if (c % 25 == 0) {
+        // concurrent writers on disjoint keys: the loser of the atomic
+        // manifest rename throws and REPLAYS — the documented contract —
+        // and both batches must land with versions still monotonic
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        def mergeWithReplay(id: Long): Unit = {
+          val batch = Seq((id, c.toLong, s"cc$id")).toDF("id", "ver", "v")
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            try { BucketedMergeTarget.merge(batch, tgtDir, Seq("id"), "ver", 8); done = true }
+            catch { case e: java.io.IOException if attempts < 4 => () }
+          }
+        }
+        val (ka, kb) = (5000L + c, 6000L + c)
+        Await.result(Future.sequence(Seq(Future(mergeWithReplay(ka)),
+          Future(mergeWithReplay(kb)))), 120.seconds)
+        val got = BucketedMergeTarget.read(s, tgtDir)
+          .filter(col("id").isin(ka, kb)).count()
+        assert(got == 2, s"cycle $c: concurrent merge lost a batch")
+        val mv = BucketedMergeTarget.currentManifest(s, tgtDir).get.version
+        assert(mv > lastVersion)
+        lastVersion = mv
+        // fold the concurrent rows into the source so convergence checks
+        // (and the reconcile delete pass) stay truthful
+        rows += ka -> (c.toLong, s"cc$ka"); rows += kb -> (c.toLong, s"cc$kb")
+      }
+    }
+    assert(store.watermark("public", "t") == 100L)
+  }
 }
