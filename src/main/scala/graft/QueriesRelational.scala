@@ -225,6 +225,24 @@ object QueriesRelational {
           count(when(col("k") >= 80, 1)).as("n_high"))
     }),
 
+    // VariantType twin of q_json_extract (survey §1.3): Spark 4's VARIANT
+    // parses the JSON once into a binary-encoded value and path-extracts
+    // from that — the engine-native answer to the reference's JSONB+GIN
+    // model (shredded storage rather than per-query path engines). Same
+    // aggregation, same oracle; SCALE.md records the measured from_json
+    // vs variant cost.
+    "q_json_variant" -> ((s, dir) => {
+      val k = variant_get(parse_json(col("props")), "$.k", "long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") >= 80, 1)).as("n_high"))
+    }),
+
     // T1–T5 full sync cycle end-to-end: a stale target (rows at/below the
     // watermark, plus planted orphan rows whose keys no longer exist in
     // the source) is driven through one incremental-upsert + delete-
@@ -350,6 +368,15 @@ object QueriesRelational {
         |FROM customer""".stripMargin,
 
     "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // identical result to q_json_extract — only the Spark-side parse
+    // representation differs (VARIANT vs typed struct)
+    "q_json_variant" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,

@@ -247,7 +247,14 @@ object BucketedMergeTarget {
     val verDir = new Path(p, versionDirName(newVer))
     val staging = new Path(p,
       s"_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    data.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    // co-locate each bucket's rows before the partitioned write: without
+    // this, partitionBy emits one file per (writer task × bucket) — up to
+    // shufflePartitions × nBuckets tiny files per commit (measured: the
+    // dominant cost of signature-store appends). One batch-sized shuffle
+    // buys ~one file per bucket, which is also what keeps NameNode/object
+    // listing pressure flat over long merge histories at scale.
+    data.repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
     // empty batches write no partition dirs — an empty staging dir renames
     // fine and yields present = ∅ below, same as before
     if (!f.rename(staging, verDir)) {
