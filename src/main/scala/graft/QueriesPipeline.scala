@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
@@ -152,6 +153,33 @@ object QueriesPipeline {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |)""".stripMargin
+
+  /** Candidates → Jaccard-verified edges → recursive transitive closure →
+    * per-doc cluster representative (`rep(doc_id, cluster_rep)`). Shared by
+    * the clustering oracle and the dedup-resolution oracle. */
+  private val sqlClusterClosure =
+    s"""${sqlCandidatePairs.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |jac AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p
+       |  JOIN grams ga ON ga.doc_id = p.id_a
+       |  JOIN grams gb ON gb.doc_id = p.id_b
+       |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jac
+       |  UNION SELECT id_b AS src, id_a AS dst FROM jac
+       |),
+       |walk(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+       |),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+       |         FROM walk GROUP BY src),
+       |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
+       |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id))""".stripMargin
 
   /** Sequential double fold of Σ f(x_i) over a list — DuckDB's
     * list_reduce starts from the first element, Spark's aggregate from
@@ -589,7 +617,72 @@ object QueriesPipeline {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"),
         median(col("n_chars")).as("median_chars"),
-        round(avg(col("n_chars")), 6).as("avg_chars")))
+        round(avg(col("n_chars")), 6).as("avg_chars"))),
+
+    // Dedup RESOLUTION: the step after clustering — keep exactly one doc
+    // per duplicate cluster (longest text; ties → smallest id) and report
+    // what the dedup pass drops. The keeper window partitions by cluster
+    // (bounded, parallel — never a global window); joins carry (id, len)
+    // only, never text.
+    "q_cluster_keep" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val edges = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+      val multi = Dedup.clusterRepresentatives(corpus, "doc_id", edges)
+        .filter(col("cluster_size") > 1)
+      val lens = corpus.select(col("doc_id"), length(col("text")).as("len"))
+      val ranked = multi.join(lens, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_rep"))
+            .orderBy(col("len").desc, col("doc_id").asc)))
+      ranked.groupBy(col("cluster_rep")).agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+        max(when(col("rk") === 1, col("len"))).cast("long").as("keep_len"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        (sum(col("len")) - max(when(col("rk") === 1, col("len"))))
+          .cast("long").as("chars_dropped"))
+    }),
+
+    // Chunk-level exact dedup (the "exact substring dedup" of Lee et al.
+    // 2022, approximated by fixed 8-word chunks): fraction of each doc's
+    // chunks that occur anywhere else in the corpus. Chunks travel as md5
+    // hashes — the global frequency shuffle and the join back to docs
+    // never carry text, so shuffle bytes ∝ chunk COUNT, not corpus bytes.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val k = 8
+      val words = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val withW = t(s, dir, "documents").select(col("doc_id"), words.as("w"))
+      val nChunks = ((size(col("w")) + lit(k - 1)) / lit(k)).cast("int")
+      val chunks = withW.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => md5(concat_ws(" ", slice(col("w"), i * lit(k) + 1, lit(k)))))).as("ch"))
+      val counts = chunks.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+      chunks.join(counts, "ch")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+            .as("dup_frac"))
+    }),
+
+    // Per-language length-distribution quantiles — the corpus-curation
+    // histogram. Exact linear-interpolation percentiles over ints (the
+    // same definition in both engines); the scale path is
+    // approx_percentile (t-digest, one pass, no sort), pinned by a unit
+    // test to stay within its rsd bound of these exact values.
+    "q_quantiles" -> ((s, dir) => {
+      val ps = percentile(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99)))
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(element_at(ps, 1), 6).as("p25"),
+        round(element_at(ps, 2), 6).as("p50"),
+        round(element_at(ps, 3), 6).as("p75"),
+        round(element_at(ps, 4), 6).as("p90"),
+        round(element_at(ps, 5), 6).as("p99"))
+    })
   )
 
   val oracleSql: Map[String, String] = {
@@ -775,32 +868,31 @@ object QueriesPipeline {
       // Transitive closure by recursive CTE: components = min reachable
       // id — the oracle for the Spark-side label-propagation operator.
       "q_dedup_cluster" ->
-        s"""${sqlCandidatePairs.replaceFirst("WITH ", "WITH RECURSIVE ")},
-           |jac AS (
-           |  SELECT p.id_a, p.id_b
-           |  FROM pairs p
-           |  JOIN grams ga ON ga.doc_id = p.id_a
-           |  JOIN grams gb ON gb.doc_id = p.id_b
-           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6
-           |),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM jac
-           |  UNION SELECT id_b AS src, id_a AS dst FROM jac
-           |),
-           |walk(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
-           |),
-           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-           |         FROM walk GROUP BY src),
-           |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
-           |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
+        s"""$sqlClusterClosure,
            |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
            |          FROM rep GROUP BY cluster_rep)
            |SELECT r.doc_id, r.cluster_rep, s.cluster_size
            |FROM rep r JOIN sizes s USING (cluster_rep)""".stripMargin,
+
+      // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
+      // longest doc (ties → smallest id) and account for what gets dropped.
+      "q_cluster_keep" ->
+        s"""$sqlClusterClosure,
+           |lens AS (SELECT doc_id, length(text) AS len FROM corpus3),
+           |multi AS (SELECT cluster_rep, count(*) AS n FROM rep
+           |          GROUP BY cluster_rep HAVING count(*) > 1),
+           |ranked AS (
+           |  SELECT r.doc_id, r.cluster_rep, l.len,
+           |    row_number() OVER (PARTITION BY r.cluster_rep
+           |                       ORDER BY l.len DESC, r.doc_id ASC) AS rk
+           |  FROM rep r JOIN multi m USING (cluster_rep)
+           |             JOIN lens l USING (doc_id))
+           |SELECT cluster_rep,
+           | max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+           | CAST(max(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS keep_len,
+           | CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           | CAST(sum(len) - max(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS chars_dropped
+           |FROM ranked GROUP BY cluster_rep""".stripMargin,
 
       "q_jaccard" ->
         s"""$sqlCandidatePairs
@@ -1056,6 +1148,32 @@ object QueriesPipeline {
           | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
           | median(n_chars) AS median_chars,
           | round(avg(n_chars), 6) AS avg_chars
+          |FROM documents GROUP BY lang""".stripMargin,
+
+      // 8-word chunks, md5'd; a chunk is "duplicated" when its md5 occurs
+      // more than once corpus-wide (mirrors the Spark chunk pipeline).
+      "q_chunk_dedup" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |chunks AS (SELECT doc_id,
+           |  unnest(list_transform(range(CAST(ceil(len(w) / 8.0) AS BIGINT)),
+           |    i -> md5(array_to_string(w[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ')))) AS ch
+           |FROM toks),
+           |c AS (SELECT ch, count(*) AS cnt FROM chunks GROUP BY ch)
+           |SELECT doc_id, count(*) AS n_chunks,
+           | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           | round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+           |FROM chunks JOIN c USING (ch)
+           |GROUP BY doc_id""".stripMargin,
+
+      // quantile_cont = Spark's exact `percentile`: rank p*(n-1), linear
+      // interpolation between the two straddling order statistics.
+      "q_quantiles" ->
+        """SELECT lang, count(*) AS n_docs,
+          | round(quantile_cont(n_chars, 0.25), 6) AS p25,
+          | round(quantile_cont(n_chars, 0.5), 6) AS p50,
+          | round(quantile_cont(n_chars, 0.75), 6) AS p75,
+          | round(quantile_cont(n_chars, 0.9), 6) AS p90,
+          | round(quantile_cont(n_chars, 0.99), 6) AS p99
           |FROM documents GROUP BY lang""".stripMargin,
 
       "q_cosine_pairs" ->

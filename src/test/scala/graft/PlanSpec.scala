@@ -118,4 +118,21 @@ class PlanSpec extends AnyFunSuite {
     val scanned = out.queryExecution.executedPlan.toString
     assert(scanned.contains("_v000000001") && scanned.contains("_v000000002"))
   }
+
+  test("q_chunk_dedup shuffles md5 chunk hashes with map-side combine — never text") {
+    val p = plan("q_chunk_dedup")
+    // global chunk-frequency agg keys on the hash and partial-aggregates
+    // before its shuffle; the doc-side rollup keys on doc_id
+    assert(p.contains("HashAggregate(keys=[ch"))
+    assert(p.contains("partial_count"))
+    assert(p.contains("hashpartitioning(ch"))
+    // the only operator allowed to touch `text` is the scan-side project
+    // that tokenizes it; no exchange partitions on text
+    assert(!p.contains("hashpartitioning(text"))
+  }
+
+  test("q_cluster_keep's keeper window partitions by cluster (no global window)") {
+    val p = plan("q_cluster_keep")
+    assert(p.contains("windowspecdefinition(cluster_rep"))
+  }
 }

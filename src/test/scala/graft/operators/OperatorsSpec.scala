@@ -706,4 +706,27 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     assert(pairs.map(_._2).toSeq == (1L to 100L)) // rid follows k order exactly
   }
+
+  // q_quantiles' registered query uses exact `percentile` for oracle
+  // parity; the 100 TB path is approx_percentile (t-digest: one pass, no
+  // sort, mergeable across partitions). Its contract is a RANK error of
+  // at most 1/accuracy — pin that every approximate value lands between
+  // the exact percentiles at p ± 1/accuracy.
+  test("approx_percentile stays within its rank-error bound of exact percentile") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val acc = 100
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val a = d.agg(percentile_approx(col("n_chars"),
+      array(ps.map(lit): _*), lit(acc)).as("a")).head().getSeq[Long](0)
+    // the returned value is an actual data value, so the bound is on
+    // ORDER STATISTICS at rank p ± 1/accuracy (not interpolated values)
+    val vals = d.select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    ps.indices.foreach { i =>
+      val lo = vals(math.max(0, math.floor((ps(i) - 1.0 / acc) * (n - 1)).toInt))
+      val hi = vals(math.min(n - 1, math.ceil((ps(i) + 1.0 / acc) * (n - 1)).toInt))
+      assert(lo <= a(i) && a(i) <= hi,
+        s"p=${ps(i)}: approx ${a(i)} outside rank bound [$lo, $hi]")
+    }
+  }
 }
