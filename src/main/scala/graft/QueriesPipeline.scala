@@ -667,6 +667,19 @@ object QueriesPipeline {
             .as("dup_frac"))
     }),
 
+    // Distinct-cardinality report: exact distinct users per event type.
+    // Exact count-distinct shuffles every distinct (type, user) pair once
+    // (two-level agg, map-side partial dedup); the 100 TB path is
+    // approx_count_distinct — a fixed-size mergeable HyperLogLog++ sketch
+    // per group, no pair shuffle at all — rsd-bound-pinned by unit test
+    // against these exact counts.
+    "q_distinct_stats" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 6)
+          .as("events_per_user"))),
+
     // Per-language length-distribution quantiles — the corpus-curation
     // histogram. Exact linear-interpolation percentiles over ints (the
     // same definition in both engines); the scale path is
@@ -1164,6 +1177,13 @@ object QueriesPipeline {
            | round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM chunks JOIN c USING (ch)
            |GROUP BY doc_id""".stripMargin,
+
+      "q_distinct_stats" ->
+        """SELECT event_type,
+          | count(DISTINCT user_id) AS n_users,
+          | count(*) AS n_events,
+          | round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 6) AS events_per_user
+          |FROM events GROUP BY event_type""".stripMargin,
 
       // quantile_cont = Spark's exact `percentile`: rank p*(n-1), linear
       // interpolation between the two straddling order statistics.

@@ -49,6 +49,31 @@ object StreamingSync {
         col("n_events"))
   }
 
+  /** Stream-stream interval join (beyond the reference): attribute each
+    * right-stream event to a left-stream event of the same key that
+    * happened at most `within` earlier (click → the impression that
+    * caused it). Both sides are watermarked — REQUIRED for stream-stream
+    * joins, since the interval condition plus the watermarks is what lets
+    * Spark expire buffered rows: left state is held `within` + left
+    * delay, right state the right delay, so state is
+    * O(throughput × (within + delay)), never O(stream).
+    *
+    * Column contract: `left` has (key, lts), `right` has (key, rts), plus
+    * any payload columns; the join emits every (left ⋈ right) pair with
+    * rts ∈ [lts, lts + within]. Batch frames run the identical plan (the
+    * watermark degrades to a no-op), preserving the batch/stream duality
+    * of the window operators. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String, leftDelay: String = "10 minutes",
+                   rightDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("lts", leftDelay)
+    val r = right.withWatermark("rts", rightDelay)
+    l.join(r, l(key) === r(key) &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Session-window aggregation per user (T8, beyond the reference):
     * events closer than `gap` merge into one session; a gap ≥ `gap`
     * starts a new one. In streaming this is Spark's dynamic-gap session

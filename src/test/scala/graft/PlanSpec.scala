@@ -135,4 +135,42 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_cluster_keep")
     assert(p.contains("windowspecdefinition(cluster_rep"))
   }
+
+  test("co-located bucketed tables join with no exchange and no per-run sort") {
+    val s = spark
+    val savedBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val savedOrdering =
+      s.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try {
+      // force the SMJ path: broadcast would hide the co-location question
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // sort elision rides on the scan exposing the in-bucket order,
+      // which trades read parallelism (one task per bucket) — opt-in
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val items = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      graft.operators.Colocate.writeBucketed(orders, "colo_orders", 8, Seq("o_orderkey"))
+      graft.operators.Colocate.writeBucketed(items, "colo_items", 8, Seq("l_orderkey"))
+      val joined = s.table("colo_items").join(s.table("colo_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+      assert(!p.contains("Sort "), s"in-bucket sortBy should elide the per-run sort:\n$p")
+      // and the result is actually right
+      assert(joined.count() == items.count())
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", savedOrdering)
+      s.sql("DROP TABLE IF EXISTS colo_orders")
+      s.sql("DROP TABLE IF EXISTS colo_items")
+      ()
+    }
+  }
 }

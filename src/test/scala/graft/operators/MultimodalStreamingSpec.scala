@@ -136,6 +136,40 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.contains(("u2", "2024-05-01 10:05:00", 1L)))
   }
 
+  test("stream-stream interval join attributes clicks to impressions, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val impressions = MemoryStream[(String, Timestamp, String)]
+    val clicks = MemoryStream[(String, Timestamp)]
+    val joined = StreamingSync.intervalJoin(
+      impressions.toDF().toDF("user_id", "lts", "ad"),
+      clicks.toDF().toDF("user_id", "rts"),
+      "user_id", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(
+        ("u1", Timestamp.valueOf("2024-05-01 10:00:00"), "adA"),
+        ("u2", Timestamp.valueOf("2024-05-01 10:05:00"), "adB"))
+      clicks.addData(
+        ("u1", Timestamp.valueOf("2024-05-01 10:20:00")), // within 30 min → match
+        ("u2", Timestamp.valueOf("2024-05-01 11:05:00"))) // 60 min later → no match
+      q.processAllAvailable()
+      // advance both watermarks far enough to expire every buffered row
+      impressions.addData(("wmL", Timestamp.valueOf("2024-05-01 14:00:00"), "x"))
+      clicks.addData(("wmR", Timestamp.valueOf("2024-05-01 14:00:00")))
+      q.processAllAvailable()
+      val out = s.sql("SELECT user_id, ad, CAST(rts AS STRING) FROM attr_sink")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(out == Set(("u1", "adA", "2024-05-01 10:20:00")))
+      // a click arriving after the impression's state expired finds nothing
+      clicks.addData(("u1", Timestamp.valueOf("2024-05-01 10:21:00")))
+      q.processAllAvailable()
+      assert(s.sql("SELECT count(*) FROM attr_sink").head().getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first occurrence per fingerprint, state watermark-bounded") {
     val s = spark
     import s.implicits._

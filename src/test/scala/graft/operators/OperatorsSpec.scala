@@ -729,4 +729,22 @@ class OperatorsSpec extends AnyFunSuite {
         s"p=${ps(i)}: approx ${a(i)} outside rank bound [$lo, $hi]")
     }
   }
+
+  // q_distinct_stats' registered query uses exact countDistinct for
+  // oracle parity; the 100 TB path is approx_count_distinct (HLL++:
+  // fixed-size sketch per group, mergeable, no distinct-pair shuffle).
+  // Pin the estimate within 5 standard deviations of its configured rsd.
+  test("approx_count_distinct stays within its rsd bound of exact distinct") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val rsd = 0.02
+    val rows = e.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), rsd).as("approx")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val approx = r.getLong(2)
+      assert(math.abs(approx - exact) <= math.max(1.0, 5 * rsd * exact),
+        s"${r.getString(0)}: approx $approx vs exact $exact beyond 5*rsd")
+    }
+  }
 }
