@@ -17,9 +17,9 @@ import graft.streaming.IncrementalSync
   *
   * Layout under `targetPath`:
   * {{{
-  *   _graft_manifest_v000000003.json   // committed state (highest wins)
-  *   _v000000001/_graft_bucket=0/…     // immutable version directories
-  *   _v000000003/_graft_bucket=7/…
+  *   _graft_manifest_v000000003.json          // committed state (highest wins)
+  *   _v000000001_9f2ab41c/_graft_bucket=0/…   // immutable version directories
+  *   _v000000003_04d7e8aa/_graft_bucket=7/…   // (writer-unique names)
   * }}}
   *
   * Every row lives in bucket `pmod(hash(pk…), nBuckets)` (Murmur3 — stable
@@ -53,7 +53,8 @@ object BucketedMergeTarget {
 
   private val ManifestRe = raw"_graft_manifest_v(\d{9})\.json".r
 
-  /** Committed state: which version directory owns each bucket's data.
+  /** Committed state: which version DIRECTORY (by name — dir names are
+    * writer-unique, `_v<version>_<uuid>`) owns each bucket's data.
     * `schemaB64` is the base64 of the user-facing StructType JSON so an
     * emptied target still reads with its schema. `rowCounts` carries the
     * per-bucket row counts so the total target size is manifest metadata
@@ -62,7 +63,7 @@ object BucketedMergeTarget {
     * than the full PK (probe-key bucketing — see [[merge]]); recording it
     * in the manifest makes a mismatched caller fail loudly instead of
     * silently pruning the wrong buckets. */
-  final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, Long],
+  final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, String],
                             schemaB64: String, rowCounts: Map[Int, Long] = Map.empty,
                             bucketCols: Seq[String] = Nil) {
     def schema: StructType =
@@ -84,6 +85,11 @@ object BucketedMergeTarget {
   private def intMapJson(m: Map[Int, Long]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
 
+  // dir names are `_v<9 digits>_<hex uuid>` by construction — quote-free,
+  // so emitting them as bare JSON strings needs no escaping
+  private def dirMapJson(m: Map[Int, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+
   private[sinks] def manifestToJson(m: Manifest): String = {
     // each name base64'd individually (names may hold any character),
     // then comma-joined — same quote-free-by-construction trick as schema
@@ -91,7 +97,7 @@ object BucketedMergeTarget {
       .map(n => Base64.getEncoder.encodeToString(n.getBytes("UTF-8"))).mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}",""" +
       s""""bucketCols":"$bc",""" +
-      s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${intMapJson(m.buckets)}}}"""
+      s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${dirMapJson(m.buckets)}}}"""
   }
 
   /** The `{…}` object block for `name`, as an int→long map (flat values —
@@ -108,6 +114,18 @@ object BucketedMergeTarget {
       .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
   }
 
+  /** The `{…}` block for `name`, as an int→dir-name map. */
+  private def dirMapFromJson(s: String, name: String): Map[Int, String] = {
+    val at = s.indexOf("\"" + name + "\"")
+    if (at < 0) return Map.empty
+    val open = s.indexOf('{', at)
+    val close = s.indexOf('}', open)
+    if (open < 0 || close < 0) return Map.empty
+    val pairRe = "\"(\\d+)\":\"([_A-Za-z0-9]+)\"".r
+    pairRe.findAllMatchIn(s.substring(open, close + 1))
+      .map(mm => mm.group(1).toInt -> mm.group(2)).toMap
+  }
+
   private[sinks] def manifestFromJson(s: String): Manifest = {
     def num(name: String): Long = {
       val re = ("\"" + name + "\":(\\d+)").r
@@ -122,7 +140,7 @@ object BucketedMergeTarget {
     val bucketCols = bcRe.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(',').toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
       .getOrElse(Nil)
-    Manifest(num("version"), num("nBuckets").toInt, intMapFromJson(s, "buckets"),
+    Manifest(num("version"), num("nBuckets").toInt, dirMapFromJson(s, "buckets"),
       schemaB64, intMapFromJson(s, "rowCounts"), bucketCols)
   }
 
@@ -133,7 +151,18 @@ object BucketedMergeTarget {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def versionDirName(v: Long): String = f"_v$v%09d"
+  /** Writer-unique version dir name. The numeric part orders dirs for
+    * gc's newer-than-us guard; the uuid suffix makes the name unique, so
+    * two writers racing on the same version NEVER contend on a dir rename
+    * (Hadoop local-FS rename of a dir onto an existing dir "succeeds" by
+    * nesting the source INSIDE the destination — a silent data mixup, so
+    * dir names must simply never collide). */
+  private def versionDirName(v: Long): String =
+    f"_v$v%09d_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+
+  /** Version-dir pattern: versioned prefix + optional writer-unique
+    * suffix (pre-suffix dirs from older layouts still parse). */
+  private val VerDirRe = raw"_v(\d{9})(?:_[0-9a-f]+)?".r
 
   /** Newest manifest that parses — a torn/corrupt newest file falls back
     * to the previous committed state instead of failing the reader. */
@@ -158,17 +187,37 @@ object BucketedMergeTarget {
   def exists(spark: SparkSession, path: String): Boolean =
     currentManifest(spark, path).isDefined
 
+  /** THE commit lock: renaming the writer-unique tmp to the version-named
+    * manifest file. File renames onto an existing destination FAIL on
+    * local FS and HDFS (unlike dir renames), so exactly one writer per
+    * version wins; every loser throws the replay IOException. A torn
+    * (unparseable) file in the destination slot is a crashed writer's
+    * debris, never a committed state — clear it and replay; the replay
+    * retries the same version against a now-free slot. */
   private def writeManifest(f: FileSystem, p: Path, m: Manifest): Unit = {
     f.mkdirs(p)
-    val tmp = new Path(p, s"_graft_manifest_tmp_${m.version}")
+    val tmp = new Path(p, "_graft_manifest_tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
     val out = f.create(tmp, true)
     try out.write(manifestToJson(m).getBytes("UTF-8")) finally out.close()
     val dest = new Path(p, s"_graft_manifest_v${"%09d".format(m.version)}.json")
     if (!f.rename(tmp, dest)) {
       f.delete(tmp, false)
-      throw new java.io.IOException(s"manifest commit failed (concurrent writer?): $dest")
+      val tornDebris = f.exists(dest) && !parses(f, dest)
+      if (tornDebris) { f.delete(dest, false); () }
+      throw new java.io.IOException(
+        if (tornDebris) s"torn manifest debris cleared at $dest — replay the batch"
+        else s"manifest v${m.version} already committed by a concurrent writer — replay the batch")
     }
   }
+
+  private def parses(f: FileSystem, mp: Path): Boolean =
+    try {
+      val in = f.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      manifestFromJson(txt); true
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- read paths ------------------------------------------------------
 
@@ -185,9 +234,9 @@ object BucketedMergeTarget {
       val schema = m.schema.add(BucketCol, "int")
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
-    val byVersion = owned.groupBy(_._2).view.mapValues(_.keySet).toMap
-    byVersion.toSeq.sortBy(_._1).map { case (ver, bs) =>
-      val base = s"$path/${versionDirName(ver)}"
+    val byDir = owned.groupBy(_._2).view.mapValues(_.keySet).toMap
+    byDir.toSeq.sortBy(_._1).map { case (dirName, bs) =>
+      val base = s"$path/$dirName"
       val dirs = bs.toSeq.sorted.map(b => s"$base/$BucketCol=$b")
       spark.read.option("basePath", base).parquet(dirs: _*)
     }.reduce(_.unionByName(_))
@@ -202,40 +251,27 @@ object BucketedMergeTarget {
 
   // ---- write paths -----------------------------------------------------
 
-  /** Next free version: past the committed manifest AND past any torn
-    * manifest file or leftover version dir a crashed writer left behind
-    * (a torn `_graft_manifest_vN` must never block committing version N). */
-  private def nextVersion(f: FileSystem, p: Path, existing: Option[Manifest]): Long = {
-    val VerDirRe = raw"_v(\d{9})".r
-    val onDisk =
-      if (!f.exists(p)) Seq.empty[Long]
-      else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
-        case ManifestRe(v) => v.toLong
-        case VerDirRe(v)   => v.toLong
-      }
-    (onDisk ++ existing.map(_.version)).foldLeft(0L)(math.max) + 1
-  }
-
-  /** Write `data` (already carrying [[BucketCol]]) as version `old+1`,
+  /** Write `data` (already carrying [[BucketCol]]) as version `base+1`,
     * then atomically commit a manifest where `dropFromOld` buckets stop
-    * pointing at their previous versions and every bucket materialized by
-    * this write points at the new version. Finally GC the superseded
-    * bucket directories and stale manifests (best-effort — a crash here
-    * only leaves unreferenced files).
+    * pointing at their previous dirs and every bucket materialized by
+    * this write points at the new dir. Finally GC the superseded bucket
+    * directories and stale manifests (best-effort — a crash here only
+    * leaves unreferenced files).
     *
     * CONCURRENCY: the target is a SINGLE-WRITER sink (like every
-    * manifest-file table format without an external lock service).
-    * Concurrent writer ATTEMPTS are detected and fail loudly, never
-    * corrupt, and never silently drop a batch:
-    *   - data is written to a writer-unique `_staging_*` dir, then
-    *     atomically renamed to the version slot — the rename fails if
-    *     another writer claimed the slot first (and the parquet job can
-    *     never collide in a shared `_temporary` dir);
-    *   - the manifest commit is itself a rename to a version-named file —
-    *     second writer of the same version fails;
-    *   - after committing, any OTHER manifest that landed between our base
-    *     and our version means our merge was computed against stale state:
-    *     we roll our manifest back and throw.
+    * manifest-file table format without an external lock service), but
+    * concurrent writer ATTEMPTS must fail loudly, never corrupt, and
+    * never silently drop a batch. The protocol has exactly ONE contended
+    * operation — the manifest rename ([[writeManifest]]):
+    *   - data goes to a writer-unique `_staging_*` dir renamed to a
+    *     writer-UNIQUE version dir — no other writer can touch either
+    *     name, so data writes never race anything;
+    *   - the manifest version is strictly base+1, so two writers that
+    *     read the same base state fight over ONE manifest filename, and
+    *     the file rename's fail-if-destination-exists atomicity picks the
+    *     single winner. A writer computing from stale state CANNOT land a
+    *     higher version (its base+1 is already taken) — the lost-update
+    *     window of version-skipping schemes is closed by construction.
     * The thrown IOException means "replay the batch" — merges are
     * idempotent, so the caller retries against the fresh state. */
   private def commitVersion(spark: SparkSession, path: String,
@@ -243,8 +279,9 @@ object BucketedMergeTarget {
                             dropFromOld: Set[Int], nBuckets: Int,
                             bucketCols: Seq[String] = Nil): MergeStats = {
     val (f, p) = fileSystem(spark, path)
-    val newVer = nextVersion(f, p, existing)
-    val verDir = new Path(p, versionDirName(newVer))
+    val newVer = existing.map(_.version).getOrElse(0L) + 1
+    val dirName = versionDirName(newVer)
+    val verDir = new Path(p, dirName)
     val staging = new Path(p,
       s"_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     // co-locate each bucket's rows before the partitioned write: without
@@ -256,11 +293,13 @@ object BucketedMergeTarget {
     data.repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
     // empty batches write no partition dirs — an empty staging dir renames
-    // fine and yields present = ∅ below, same as before
+    // fine and yields present = ∅ below, same as before. The destination
+    // name is writer-unique, so this rename is uncontended by design; a
+    // failure is a filesystem fault, not a race.
     if (!f.rename(staging, verDir)) {
       f.delete(staging, true)
       throw new java.io.IOException(
-        s"version slot $verDir already claimed (concurrent writer?) — replay the batch")
+        s"could not move staging into place at $verDir — replay the batch")
     }
 
     val present: Set[Int] =
@@ -271,15 +310,20 @@ object BucketedMergeTarget {
 
     val userSchema = StructType(data.schema.filterNot(_.name == BucketCol))
     val schemaB64 = Base64.getEncoder.encodeToString(userSchema.json.getBytes("UTF-8"))
-    val oldBuckets = existing.map(_.buckets).getOrElse(Map.empty[Int, Long])
-    val newBuckets = (oldBuckets -- dropFromOld) ++ present.map(_ -> newVer).toMap
+    val oldBuckets = existing.map(_.buckets).getOrElse(Map.empty[Int, String])
+    val newBuckets = (oldBuckets -- dropFromOld) ++ present.map(_ -> dirName).toMap
 
     // Per-bucket row counts for the NEW version dir only — a zero-data-column
     // scan of just-written files (footer row counts), cost ∝ the batch.
     // Untouched buckets carry their previous counts forward.
+    // list the bucket dirs explicitly (basePath recovers the partition
+    // column): handing the `_v…` root to spark.read makes the hidden-path
+    // filter log a spurious "All paths were ignored" on every commit
     val newCounts: Map[Int, Long] =
       if (present.isEmpty) Map.empty
-      else spark.read.parquet(verDir.toString).groupBy(col(BucketCol)).count()
+      else spark.read.option("basePath", verDir.toString)
+        .parquet(present.toSeq.sorted.map(b => s"$verDir/$BucketCol=$b"): _*)
+        .groupBy(col(BucketCol)).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val oldCounts = existing.map(_.rowCounts).getOrElse(Map.empty[Int, Long])
     val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
@@ -287,29 +331,14 @@ object BucketedMergeTarget {
 
     val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
       bucketCols)
-    writeManifest(f, p, newManifest)
-
-    // post-commit conflict check: a manifest from ANOTHER writer with a
-    // version in (base, ours) means our merge read stale buckets — undo
-    // our manifest (the competing state is intact) and ask for a replay.
-    // Only manifests that PARSE count: a torn file there is a crashed
-    // writer nextVersion already skipped, not a competing commit.
-    val base = existing.map(_.version).getOrElse(0L)
-    val intermediate = f.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case n @ ManifestRe(v) if v.toLong > base && v.toLong < newVer => (n, v.toLong) }
-      .filter { case (n, _) =>
-        try {
-          val in = f.open(new Path(p, n))
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                    finally in.close()
-          manifestFromJson(txt); true
-        } catch { case scala.util.control.NonFatal(_) => false }
-      }.map(_._2)
-    if (intermediate.nonEmpty) {
-      f.delete(new Path(p, s"_graft_manifest_v${"%09d".format(newVer)}.json"), false)
-      f.delete(verDir, true)
-      throw new java.io.IOException(
-        s"concurrent commit(s) v${intermediate.mkString(",")} landed under our v$newVer — replay the batch")
+    // the single linearization point: winner takes version base+1; a
+    // loser cleans up its (unreferenced, uniquely-named) data dir and
+    // replays against the winner's state
+    try writeManifest(f, p, newManifest)
+    catch {
+      case e: java.io.IOException =>
+        f.delete(verDir, true)
+        throw e
     }
 
     val bytes =
@@ -320,27 +349,34 @@ object BucketedMergeTarget {
 
   /** Garbage collection by RETAINED SET, not by numeric version gap: keep
     * the new manifest plus the previous committed one (the corrupt-newest
-    * fallback), delete every other manifest, and delete only bucket dirs
+    * fallback), delete other OLDER manifests, and delete only bucket dirs
     * referenced by NEITHER retained manifest. This makes the fallback
     * actually usable — a reader that falls back to the previous manifest
     * finds every bucket directory it references still on disk; those dirs
     * are reclaimed one commit later, when their manifest leaves the
-    * retained set. Numbering gaps (orphan version dirs from crashed
-    * writers) cannot widen the window. Best-effort: failures leave
-    * garbage, never break state. */
+    * retained set. Best-effort: failures leave garbage, never break state.
+    *
+    * NEWER-THAN-US GUARD: gc runs after our commit, by which time a
+    * successor may already have chained a commit on top of ours. Nothing
+    * at a version ≥ ours that isn't ours is ever touched — not manifests
+    * (a successor's committed state!) and not version dirs (a successor's
+    * data, or a same-version loser still cleaning itself up). An orphan
+    * dir from a crashed writer at version V is reaped once the committed
+    * version passes V — one-commit delay, bounded. */
   private def gc(f: FileSystem, p: Path, keep: Seq[Manifest]): Unit = {
     try {
       val keepVers = keep.map(_.version).toSet
-      // toSeq first: mapping a Map to swapped pairs would re-key by version
+      val ourVer = keep.map(_.version).max
+      // toSeq first: mapping a Map to swapped pairs would re-key by dir
       // and collapse every bucket in the same version dir to one entry
-      val referenced: Set[(Long, Int)] =
-        keep.flatMap(_.buckets.toSeq.map { case (b, v) => (v, b) }).toSet
+      val referenced: Set[(String, Int)] =
+        keep.flatMap(_.buckets.toSeq.map { case (b, d) => (d, b) }).toSet
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
-        case n @ ManifestRe(v) if !keepVers.contains(v.toLong) =>
+        case n @ ManifestRe(v) if v.toLong < ourVer && !keepVers.contains(v.toLong) =>
           f.delete(new Path(p, n), false); ()
         // a writer that crashed between create and rename leaves its temp
-        // manifest behind; safe to reap here because a LIVE commit renames
-        // its temp away before gc runs in the same commitVersion call
+        // manifest behind. Reaping a LIVE concurrent writer's tmp is safe:
+        // its rename then fails and it replays (fail-loud, no data loss).
         case n if n.startsWith("_graft_manifest_tmp_") =>
           f.delete(new Path(p, n), false); ()
         case _ => ()
@@ -353,16 +389,14 @@ object BucketedMergeTarget {
         .filter(st => st.getPath.getName.startsWith("_staging_") &&
           st.getModificationTime < staleBefore)
         .foreach(st => { f.delete(st.getPath, true); () })
-      val VerDirRe = raw"_v(\d{9})".r
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
-        case n @ VerDirRe(vs) =>
-          val ver = vs.toLong
+        case n @ VerDirRe(vs) if vs.toLong < ourVer =>
           val vd = new Path(p, n)
           f.listStatus(vd).toSeq.map(_.getPath.getName)
             .filter(_.startsWith(BucketCol + "="))
             .foreach { bn =>
               val b = bn.drop(BucketCol.length + 1).toInt
-              if (!referenced.contains((ver, b))) { f.delete(new Path(vd, bn), true); () }
+              if (!referenced.contains((n, b))) { f.delete(new Path(vd, bn), true); () }
             }
           if (!f.listStatus(vd).exists(_.getPath.getName.startsWith(BucketCol + "=")))
             { f.delete(vd, true); () }

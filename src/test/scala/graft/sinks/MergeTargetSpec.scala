@@ -32,7 +32,8 @@ class MergeTargetSpec extends AnyFunSuite {
   }
 
   test("manifest JSON round-trips") {
-    val m = BucketedMergeTarget.Manifest(7L, 16, Map(0 -> 3L, 5 -> 7L, 15 -> 1L),
+    val m = BucketedMergeTarget.Manifest(7L, 16,
+      Map(0 -> "_v000000003_9f2ab41c", 5 -> "_v000000007_04d7e8aa", 15 -> "_v000000001_cc01beef"),
       java.util.Base64.getEncoder.encodeToString(
         new org.apache.spark.sql.types.StructType().add("id", "long").json.getBytes("UTF-8")))
     val back = BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(m))
@@ -76,10 +77,11 @@ class MergeTargetSpec extends AnyFunSuite {
     // one bucket of 16 rewritten: bytes well under a quarter of the seed write
     assert(stats.bytesWritten > 0 && stats.bytesWritten < seed.bytesWritten / 4,
       s"bytesWritten=${stats.bytesWritten} vs seed=${seed.bytesWritten}")
-    // 15 of 16 buckets still point at the seed version — untouched on disk
+    // 15 of 16 buckets still point at the seed version's dir — untouched
+    // on disk (dir names embed the version they were committed at)
     val m = BucketedMergeTarget.currentManifest(spark, dir).get
-    assert(m.buckets.values.count(_ == seed.version) == 15)
-    assert(m.buckets.values.count(_ == stats.version) == 1)
+    assert(m.buckets.values.count(_.startsWith(f"_v${seed.version}%09d")) == 15)
+    assert(m.buckets.values.count(_.startsWith(f"_v${stats.version}%09d")) == 1)
     // and the data is right
     val out = BucketedMergeTarget.read(spark, dir)
     assert(out.count() == 5000)
@@ -118,12 +120,17 @@ class MergeTargetSpec extends AnyFunSuite {
     out.write("{ not json".getBytes("UTF-8")); out.close()
     // reader recovers the v1 state: id=1 only
     assert(contents(dir) == Set((1L, 1L, "a")))
-    // and the next merge re-applies on top of the recovered state
+    // the next merge targets the torn slot (base+1 = the torn version):
+    // first attempt clears the debris and demands a replay, the replay
+    // lands — the fail-loud half of the single-lock commit protocol
+    intercept[java.io.IOException] {
+      BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 4)
+    }
     BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 4)
     assert(contents(dir) == Set((1L, 1L, "a"), (2L, 1L, "b")))
   }
 
-  test("a leftover version dir from a crashed write is ignored, then overwritten") {
+  test("a leftover version dir from a crashed write is ignored, then superseded") {
     val dir = tmp("mt-leftover").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
     val (f, p) = hfs(dir)
@@ -219,5 +226,39 @@ class MergeTargetSpec extends AnyFunSuite {
     val out = BucketedMergeTarget.read(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
     assert(out == Set(("a", 1L, "x"), ("a", 2L, "y2"), ("b", 1L, "z")))
+  }
+
+  // Regression for a diagnosed lost-update race: under version-SKIPPING
+  // commit schemes, a writer that observed a competitor's data dir but
+  // not yet its manifest could commit a HIGHER version computed from the
+  // stale base, silently dropping the competitor's buckets — and gc could
+  // reap a competing newer manifest outright. The strict base+1 manifest
+  // lock makes both impossible: every round below, all four writers'
+  // batches must survive, however the replays interleave.
+  test("four concurrent writers per round never lose a batch (manifest lock)") {
+    val dir = tmp("mt-race").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((0L, 1L, "seed"))), dir, Seq("id"), "cursor", 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def mergeWithReplay(id: Long): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try { BucketedMergeTarget.merge(kv(Seq((id, 2L, s"w$id"))), dir, Seq("id"), "cursor", 8); done = true }
+        catch { case _: java.io.IOException if attempts < 20 => () }
+      }
+    }
+    val ids = for (round <- 1 to 3; w <- 1 to 4) yield round * 10L + w
+    for (round <- 1 to 3) {
+      val batch = ids.filter(_ / 10 == round)
+      Await.result(Future.sequence(batch.map(id => Future(mergeWithReplay(id)))), 180.seconds)
+    }
+    val got = BucketedMergeTarget.read(spark, dir)
+      .filter(col("id") > 0L).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ids.toSet, s"lost batches: ${ids.toSet -- got}")
+    // versions stayed consecutive: 1 seed + 12 writer commits = v13
+    assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == 13L)
   }
 }
