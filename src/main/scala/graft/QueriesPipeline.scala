@@ -680,6 +680,22 @@ object QueriesPipeline {
         round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 6)
           .as("events_per_user"))),
 
+    // Distributed cluster assignment — the hot half of Lloyd k-means
+    // (the centroid UPDATE is an ordinary groupBy-avg): every embedding
+    // goes to its nearest of 8 seed centroids (the vec_id<8 vectors, so
+    // the oracle can replay them). Centroids ride as literals — a narrow
+    // codegen'd map, no shuffle, the same argmin shape [[Similarity.withIvfCell]]
+    // uses for IVF cells; iterating assign+update driver-side is
+    // [[Similarity.kmeansCentroids]], unit-pinned.
+    "q_vec_cluster" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.withIvfCell(e.select("vec_id", "embedding"), "embedding", seeds)
+        .select(col("vec_id"), col("ivf_cell").as("cell"))
+    }),
+
     // Per-language length-distribution quantiles — the corpus-curation
     // histogram. Exact linear-interpolation percentiles over ints (the
     // same definition in both engines); the scale path is
@@ -1177,6 +1193,23 @@ object QueriesPipeline {
            | round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM chunks JOIN c USING (ch)
            |GROUP BY doc_id""".stripMargin,
+
+      // exact mirror of withIvfCell's zip_with/left-fold distance (0.0
+      // seed is IEEE-neutral for the first term, so list_reduce matches)
+      // and its first-match argmin (ORDER BY d2, cell)
+      "q_vec_cluster" -> {
+        val d2 = "list_reduce(list_transform(list_zip(e.embedding, s.c), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+        s"""WITH seeds AS (
+           |  SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT e.vec_id, s.cell, $d2 AS d2
+           |      FROM embeddings e CROSS JOIN seeds s),
+           |r AS (SELECT vec_id, cell,
+           |        row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+           |      FROM d)
+           |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM r WHERE rk = 1""".stripMargin
+      },
 
       "q_distinct_stats" ->
         """SELECT event_type,

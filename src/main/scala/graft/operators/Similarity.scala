@@ -323,4 +323,94 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  // ---- product quantization (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) -------------
+
+  /** PQ codebooks: `m` independent k-means runs, one per contiguous
+    * subspace of `dim/m` dimensions, trained on the same deterministic
+    * driver-side sample discipline as [[kmeansCentroids]]. Shape:
+    * codebooks(sub)(code) = centroid of that subspace.
+    *
+    * Why PQ at 100 TB: a 128-dim float32 embedding is 512 bytes; its
+    * m=8/k=256 PQ code is 8 bytes — a 64× compression that lets the
+    * WHOLE corpus's codes sit in executor memory (or a fraction of the
+    * scan I/O), with search accuracy degrading gracefully. The encode and
+    * the ADC scan below are both narrow codegen'd maps — no shuffle
+    * anywhere in the PQ path. */
+  def pqTrain(df: DataFrame, vecCol: String, m: Int, k: Int,
+              iters: Int = 5, sampleCap: Int = 10000): Array[Array[Array[Double]]] = {
+    val dim = peekDim(df, vecCol).getOrElse(
+      throw new IllegalArgumentException("cannot infer vector dimension"))
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val slice = df.select(transform(
+        sequence(lit(s * sub), lit((s + 1) * sub - 1)),
+        i => element_at(col(vecCol), i + 1).cast("double")).as("__sub"))
+      kmeansCentroids(slice, "__sub", k, iters, sampleCap)
+    }.toArray
+  }
+
+  /** Attach the `pq_code` column: for each subspace, the index of its
+    * nearest codeword (int — write as tinyint when k ≤ 256). Codebooks
+    * ride as literals; the assignment is the same argmin-over-literals
+    * shape as [[withIvfCell]], once per subspace. Narrow map, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // each subspace slice and its k-wide distance array materialize as
+    // intermediate columns so every distance expression is built exactly
+    // once — inlining the slice into all m×k distance expressions (the
+    // naive form) explodes the codegen tree at k=16+. The argmin is
+    // array_position(min): first match, ties break to the lowest code.
+    var cur = df
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+    val codeCols = (0 until m).map { s =>
+      val sliceName = s"__pq_sub$s"; val distName = s"__pq_d$s"
+      scratch += sliceName; scratch += distName
+      cur = cur.withColumn(sliceName,
+        transform(sequence(lit(s * sub), lit((s + 1) * sub - 1)),
+          i => element_at(col(vecCol), i + 1).cast("double")))
+      cur = cur.withColumn(distName, array(codebooks(s).toIndexedSeq.map { c =>
+        aggregate(
+          zip_with(col(sliceName), array(c.toIndexedSeq.map(lit(_)): _*),
+            (v, cc) => (v - cc) * (v - cc)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*))
+      (array_position(col(distName), array_min(col(distName))) - 1).cast("int")
+    }
+    cur.withColumn("pq_code", array(codeCols: _*))
+      .drop(scratch.toSeq: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's distance
+    * to every codeword of every subspace is precomputed DRIVER-side into
+    * one m×k literal table; each row's approximate squared distance is
+    * then m table lookups summed — the scan never touches the original
+    * vectors. `TakeOrderedAndProject` merges per-partition top-k. */
+  def pqTopK(encoded: DataFrame, idCol: String, queryVec: Array[Float], k: Int,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.length
+    val table: Array[Array[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = queryVec(s * sub + i).toDouble - c(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    val tableLit = array(table.toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit(_)): _*)): _*)
+    val adc = aggregate(
+      zip_with(col("pq_code"), tableLit,
+        (code, row) => element_at(row, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    encoded
+      .select(col(idCol), round(adc, 6).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

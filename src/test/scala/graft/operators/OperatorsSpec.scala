@@ -730,6 +730,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- product quantization ------------------------------------------
+
+  // Lossless regime: subvector vocabulary of exactly k values, all
+  // present among the first k sample rows (the Lloyd seeds) → codewords
+  // converge onto the exact points, ADC distance equals true distance,
+  // and PQ top-k equals brute force.
+  test("PQ with a k-coverable vocabulary is lossless: ADC top-k == exact") {
+    val s = spark
+    import s.implicits._
+    // dim 4, m=2 subspaces of 2; subvector vocab {00,10,01,11} in both
+    val vocab = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (vocab(i % 4) ++ vocab((i / 2) % 4)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "embedding", m = 2, k = 4, iters = 5, sampleCap = 8)
+    val enc = Similarity.pqEncode(df, "embedding", cb)
+    val codes = enc.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 2 && c.forall(j => j >= 0 && j < 4)))
+    val q = Array(0.9f, 0.1f, 0.1f, 0.9f) // nearest true vector: (1,0,0,1)
+    val top = Similarity.pqTopK(enc, "vec_id", q, k = 3, cb).collect()
+    // mirror pqTopK's round-to-6 (equidistant rows tie, id-broken) —
+    // raw-double comparison would be sensitive to summation order
+    val exact = vecs.sortBy { case (id, v) =>
+      (math.round(v.zip(q.map(_.toDouble))
+        .map { case (a, b) => (a - b) * (a - b) }.sum * 1e6), id)
+    }.take(3).map(_._1)
+    assert(top.map(_.getLong(0)).toSeq == exact.toSeq)
+  }
+
+  test("PQ on real embeddings: the query's own row attains the ADC minimum") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.pqTrain(e, "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
+    val enc = Similarity.pqEncode(e, "embedding", cb)
+    val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // encoding picks the per-subspace nearest codeword, so the query's own
+    // code minimizes every ADC table row — row 0 must rank first
+    val top = Similarity.pqTopK(enc, "vec_id", q, k = 5, cb)
+    assert(top.head().getLong(0) == 0L)
+    // and the scan stays a top-k merge, not a global sort
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   // q_distinct_stats' registered query uses exact countDistinct for
   // oracle parity; the 100 TB path is approx_count_distinct (HLL++:
   // fixed-size sketch per group, mergeable, no distinct-pair shuffle).
