@@ -136,6 +136,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(cluster_rep"))
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    val s = spark
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join (broadcast would use its own dynamic pruning)
+      // and drop the size thresholds to local-test scale
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1000MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val items = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val sel = s.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 290000.0)
+        .select("o_orderkey")
+      val joined = items.join(sel,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      // the optimizer injects a bloom filter built from the selective side
+      // and applies it as might_contain on the big side's scan subtree —
+      // at 100 TB this is the difference between shuffling the whole fact
+      // table and shuffling the ~matching sliver
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("co-located bucketed tables join with no exchange and no per-run sort") {
     val s = spark
     val savedBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
