@@ -43,5 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_json_double"),
       new ExpressionInfo(classOf[JsonDoubleText].getName, "graft_json_double"),
       (children: Seq[Expression]) => JsonDoubleText(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_shingle_hash"),
+      new ExpressionInfo(classOf[RollingShingleHashExpr].getName,
+        "graft_rolling_shingle_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_rolling_shingle_hash(text, k): k must be a literal")
+        RollingShingleHashExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -156,6 +156,23 @@ object TextAnalysis {
           i => array_min(slice(col("__h"), i + lit(1), lit(w))))).as("fps"))
   }
 
+  /** Winnowing over the native one-pass rolling-hash expression
+    * (`graft_rolling_shingle_hash`, [[graft.functions.RollingShingleHash]]):
+    * identical window-min selection to [[winnowingFingerprints]], but the
+    * shingle hashes come from a single byte walk instead of one substring
+    * allocation + hash per window — the production fast path (requires
+    * `GraftExtensions`; measured vs the substring path in SCALE.md). */
+  def winnowingFingerprintsRolling(df: DataFrame, idCol: String, text: Column,
+                                   k: Int, w: Int): DataFrame = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    df.select(col(idCol).as("id"),
+        call_function("graft_rolling_shingle_hash", norm, lit(k)).as("__h"))
+      .select(col("id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__h")) - w, lit(0))),
+          i => array_min(slice(col("__h"), i + lit(1), lit(w))))).as("fps"))
+  }
+
   /** All word n-grams WITH duplicates from a token-array attribute —
     * occurrence counting needs the multiset, unlike Dedup's distinct
     * shingle sets. */

@@ -339,6 +339,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps.values.forall(_.nonEmpty))
   }
 
+  test("rolling shingle hash equals the per-window polynomial, and winnowing still matches") {
+    val s = spark
+    import s.implicits._
+    // reference: each window hashed from scratch with the same polynomial
+    def reference(text: String, k: Int): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val kk = math.max(k, 1)
+      val wins =
+        if (bytes.length <= kk) Seq(bytes.toSeq)
+        else bytes.sliding(kk).map(_.toSeq).toSeq
+      wins.map(_.foldLeft(0L)((h, b) =>
+        h * graft.functions.RollingShingleHash.B + ((b & 0xff) + 1)))
+    }
+    val texts = Seq("", "ab", "abcdef", "the quick brown fox", "aaaaaaa",
+      "ünïcödé bytes too")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), call_function("graft_rolling_shingle_hash", col("t"), lit(4)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t, 4), s"text '$t'")
+    }
+    // the rolling-path winnowing keeps the match guarantee
+    val shared = "quantum entanglement experiment"
+    val docs3 = Seq(
+      (1L, s"alpha preamble $shared tail one"),
+      (2L, s"totally different intro $shared closing remarks"),
+      (3L, "zzz qqq xxx vvv kkk jjj www")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprintsRolling(docs3, "doc_id", col("text"), 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // and the expression stays inside whole-stage codegen (a parquet scan
+    // — a local relation would collapse to LocalTableScan with no stage)
+    val plan = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(call_function("graft_rolling_shingle_hash", col("text"), lit(5)))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage — the project evaluating the expression must carry it
+    assert(plan.linesIterator.next().trim.startsWith("*(") &&
+      plan.contains("graft_rolling_shingle_hash"), plan)
+  }
+
   test("quality score stays in [0,1] and rewards clean text") {
     val out = docs(
       1L -> ("this is a perfectly normal sentence with the usual words in it " * 3),
