@@ -235,11 +235,21 @@ object BucketedMergeTarget {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     val byDir = owned.groupBy(_._2).view.mapValues(_.keySet).toMap
-    byDir.toSeq.sortBy(_._1).map { case (dirName, bs) =>
+    val union = byDir.toSeq.sortBy(_._1).map { case (dirName, bs) =>
       val base = s"$path/$dirName"
       val dirs = bs.toSeq.sorted.map(b => s"$base/$BucketCol=$b")
       spark.read.option("basePath", base).parquet(dirs: _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // dirs written before an additively-evolved column existed lack it in
+    // their parquet schema: the allowMissing union reconciles MIXED dirs,
+    // and any manifest column still absent (every read dir predates it)
+    // is null-filled explicitly; the final select conforms to the
+    // manifest's (newest) column order
+    val withAll = m.schema.fields.foldLeft(union) { (df, fld) =>
+      if (df.columns.contains(fld.name)) df
+      else df.withColumn(fld.name, lit(null).cast(fld.dataType))
+    }
+    withAll.select((m.schema.fieldNames.toIndexedSeq :+ BucketCol).map(col): _*)
   }
 
   /** Full current contents (user-facing — bucket column dropped). */
@@ -481,8 +491,15 @@ object BucketedMergeTarget {
         return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
       val merged = existing match {
         case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
+          // allowMissingColumns = additive schema evolution: a batch with
+          // a NEW column merges (old rows null-fill it; the manifest
+          // schema becomes the union), and a batch missing an old column
+          // null-fills its own rows — latest-wins applies per whole row.
+          // Dropping columns is not supported (a column once present
+          // persists; write a new target to truly remove one).
           IncrementalSync.latestByKey(
-            readBuckets(spark, path, m, touched).unionByName(bucketed),
+            readBuckets(spark, path, m, touched)
+              .unionByName(bucketed, allowMissingColumns = true),
             pkCols, cursorCol)
         case _ => bucketed
       }

@@ -228,6 +228,31 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(out == Set(("a", 1L, "x"), ("a", 2L, "y2"), ("b", 1L, "z")))
   }
 
+  test("additive schema evolution: a batch with a new column merges; old rows null-fill") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-evolve").resolve("t").toString
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))), dir, Seq("id"), "cursor", 4)
+    // evolved batch carries a new `score` column
+    BucketedMergeTarget.merge(
+      Seq((2L, 2L, "b2", 0.9), (3L, 1L, "c", 0.5)).toDF("id", "cursor", "v", "score"),
+      dir, Seq("id"), "cursor", 4)
+    val out = BucketedMergeTarget.read(s, dir)
+    assert(out.columns.toSeq == Seq("id", "cursor", "v", "score"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b2", Some(0.9)), (3L, "c", Some(0.5))))
+    // a later batch WITHOUT the column still merges; its rows null-fill it
+    BucketedMergeTarget.merge(
+      kv(Seq((1L, 3L, "a3"))), dir, Seq("id"), "cursor", 4)
+    val out2 = BucketedMergeTarget.read(s, dir)
+    assert(out2.columns.toSeq == Seq("id", "cursor", "v", "score"))
+    assert(out2.filter(col("id") === 1L).head().isNullAt(3))
+    assert(out2.filter(col("id") === 2L).head().getDouble(3) == 0.9)
+    assert(BucketedMergeTarget.rowCount(s, dir).contains(3L))
+  }
+
   // Regression for a diagnosed lost-update race: under version-SKIPPING
   // commit schemes, a writer that observed a competitor's data dir but
   // not yet its manifest could commit a HIGHER version computed from the
