@@ -680,6 +680,24 @@ object QueriesPipeline {
         round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 6)
           .as("events_per_user"))),
 
+    // Sequence packing — assign each doc to a token-budgeted training
+    // pack (2048-token bins, contiguous in doc_id order within each
+    // (source, lang) slice): pack_id = floor(prefix_tokens / budget).
+    // The window partitions by the natural shard key — never a global
+    // window; at 100 TB the slices ARE the export shards, so packing
+    // parallelism equals shard count.
+    "q_token_pack" -> ((s, dir) => {
+      val budget = 2048L
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          floor((col("__cum") - col("n_tok")) / lit(budget.toDouble))
+            .cast("long").as("pack_id"))
+    }),
+
     // Distributed cluster assignment — the hot half of Lloyd k-means
     // (the centroid UPDATE is an ordinary groupBy-avg): every embedding
     // goes to its nearest of 8 seed centroids (the vec_id<8 vectors, so
@@ -1193,6 +1211,17 @@ object QueriesPipeline {
            | round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM chunks JOIN c USING (ch)
            |GROUP BY doc_id""".stripMargin,
+
+      "q_token_pack" ->
+        """WITH t AS (SELECT doc_id, source, lang,
+          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tok
+          |FROM documents),
+          |c AS (SELECT doc_id, source, lang, n_tok,
+          |  sum(n_tok) OVER (PARTITION BY source, lang ORDER BY doc_id) AS cum
+          |FROM t)
+          |SELECT doc_id, source, lang, n_tok,
+          | CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+          |FROM c""".stripMargin,
 
       // exact mirror of withIvfCell's zip_with/left-fold distance (0.0
       // seed is IEEE-neutral for the first term, so list_reduce matches)
