@@ -102,4 +102,22 @@ class PropertySpec extends AnyFunSuite {
       hammingOk && sizeOk && monotoneOk
     }, tests = 100)
   }
+
+  test("rolling shingle hash equals the per-window polynomial on arbitrary strings") {
+    import graft.functions.RollingShingleHash
+    def reference(bytes: Array[Byte], k: Int): Seq[Long] = {
+      val kk = math.max(k, 1)
+      val wins =
+        if (bytes.length <= kk) Seq(bytes.toSeq)
+        else bytes.sliding(kk).map(_.toSeq).toSeq
+      wins.map(_.foldLeft(0L)((h, b) =>
+        h * RollingShingleHash.B + ((b & 0xff) + 1)))
+    }
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.chooseNum(1, 12)) { (s, k) =>
+      val got = RollingShingleHash
+        .hashes(org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toLongArray.toSeq
+      got == reference(s.getBytes("UTF-8"), k)
+    }, tests = 200)
+  }
 }
