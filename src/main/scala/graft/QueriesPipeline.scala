@@ -680,6 +680,26 @@ object QueriesPipeline {
         round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 6)
           .as("events_per_user"))),
 
+    // Vocabulary-rarity signal: fraction of a doc's distinct words that
+    // appear in NO other document (hapax legomena of the corpus-level
+    // document-frequency table) — high ratios flag gibberish/OCR noise,
+    // near-zero flags boilerplate. Same two-shuffle shape as chunk-level
+    // dedup: per-doc distinct explode → global DF agg (map-side combine)
+    // → join back — rows are (doc_id, word), never full text.
+    "q_rarity" -> ((s, dir) => {
+      val types = t(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(split(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))).as("tok"))
+      val dfreq = types.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      types.join(dfreq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          round(sum(when(col("df") === 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+            .as("hapax_ratio"))
+    }),
+
     // Sequence packing — assign each doc to a token-budgeted training
     // pack (2048-token bins, contiguous in doc_id order within each
     // (source, lang) slice): pack_id = floor(prefix_tokens / budget).
@@ -1210,6 +1230,16 @@ object QueriesPipeline {
            | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
            | round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM chunks JOIN c USING (ch)
+           |GROUP BY doc_id""".stripMargin,
+
+      "q_rarity" ->
+        s"""WITH types AS (
+           |  SELECT doc_id, unnest(list_distinct($sqlWords)) AS tok FROM documents),
+           |dfreq AS (SELECT tok, count(*) AS df FROM types GROUP BY tok)
+           |SELECT doc_id, count(*) AS n_types,
+           | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
+           |FROM types JOIN dfreq USING (tok)
            |GROUP BY doc_id""".stripMargin,
 
       "q_token_pack" ->
