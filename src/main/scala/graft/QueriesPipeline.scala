@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
+import graft.operators.{Dedup, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -406,6 +406,26 @@ object QueriesPipeline {
       val (cands, _) =
         IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p)
       cands
+    }),
+
+    // Incremental clustering: the verified edge set arrives as TWO
+    // sequential batches applied to persisted assignment stores ON DISK
+    // ([[IncrementalCluster]] — probe-key-bucketed byId/byRep targets);
+    // the final stored assignments must equal the whole-graph transitive
+    // closure the oracle computes. Exercises two full update rounds
+    // (probe → local CC → dual-store commit) inside the gate.
+    "q_incremental_cluster" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val edges = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // two batch filters below reuse one compute
+      val d = java.nio.file.Files.createTempDirectory("graft-inccluster")
+      val byId = d.resolve("byId").toString
+      val byRep = d.resolve("byRep").toString
+      IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L)
+      IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L)
+      IncrementalCluster.assignments(s, byId)
     }),
 
     // Duplicate-CLUSTER resolution — the stage after pair verification:
@@ -940,6 +960,12 @@ object QueriesPipeline {
            |          FROM rep GROUP BY cluster_rep)
            |SELECT r.doc_id, r.cluster_rep, s.cluster_size
            |FROM rep r JOIN sizes s USING (cluster_rep)""".stripMargin,
+
+      // the incremental store result must equal the whole-graph closure:
+      // comp = exactly the edge-touched nodes with min-reachable labels
+      "q_incremental_cluster" ->
+        s"""$sqlClusterClosure
+           |SELECT doc_id AS id, cluster_rep AS rep FROM comp""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.
