@@ -72,6 +72,22 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(stored(byId)(1003L) == 1000L)
   }
 
+  test("randomized batch sequences stay equivalent to from-scratch CC") {
+    val rnd = new scala.util.Random(20260812L)
+    val (byId, byRep) = tmp()
+    var cumulative = Seq.empty[(Long, Long)]
+    (0 until 8).foreach { b =>
+      val batch = Seq.fill(1 + rnd.nextInt(6)) {
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      }.filter { case (a, bb) => a != bb }
+      if (batch.nonEmpty) {
+        IncrementalCluster.update(edges(batch: _*), byId, byRep, b.toLong)
+        cumulative = cumulative ++ batch
+        assert(stored(byId) == scratch(cumulative), s"diverged after batch $b")
+      }
+    }
+  }
+
   test("a replay heals an interrupted dual write (byId landed, byRep did not)") {
     val (byId, byRep) = tmp()
     IncrementalCluster.update(edges(1L -> 2L, 5L -> 6L), byId, byRep, 0L)
