@@ -28,6 +28,16 @@ object QueriesPipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Recursively delete a scratch dir (best-effort — a failed delete
+    * leaves garbage, never fails the query). */
+  private def rmTree(root: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.Files
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   // ---- shared fixture builders (Spark side) --------------------------
 
   /** documents ∪ near-dup copies (id+100000, two extra tokens), filtered
@@ -398,13 +408,17 @@ object QueriesPipeline {
         .select((col("doc_id") + 700000).as("doc_id"),
           concat(col("text"), lit(" zz zz")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 5 === 0))
-      val store = java.nio.file.Files.createTempDirectory("graft-sigstore")
-        .resolve("sigs").toString
+      val root = java.nio.file.Files.createTempDirectory("graft-sigstore")
+      val store = root.resolve("sigs").toString
       val p = IncrementalDedup.LshParams(ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)
       IncrementalDedup.appendBatch(accumulated, "doc_id", col("text"), store, 1L, p)
       val (cands, _) =
         IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p)
+      // cands is already checkpointed (probeCandidates materializes before
+      // releasing its persist) — the scratch store can go; repeated bench/
+      // verify invocations must not accumulate orphaned stores in /tmp
+      rmTree(root)
       cands
     }),
 
@@ -429,7 +443,11 @@ object QueriesPipeline {
       // (StoreGrowthBench) which is the property that matters at scale
       IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L)
       IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L)
-      IncrementalCluster.assignments(s, byId)
+      // materialize off the store, then reclaim the scratch dirs (see
+      // q_incremental_dedup)
+      val out = IncrementalCluster.assignments(s, byId).localCheckpoint(true)
+      rmTree(d)
+      out
     }),
 
     // Duplicate-CLUSTER resolution — the stage after pair verification:

@@ -50,8 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2 && children(1).foldable,
           "graft_rolling_shingle_hash(text, k): k must be a literal")
-        RollingShingleHashExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+        val k = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_shingle_hash(text, k): k must be a numeric literal, got $other")
+        }
+        RollingShingleHashExpr(children.head, k)
       }))
   }
 }

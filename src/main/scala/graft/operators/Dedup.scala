@@ -250,19 +250,24 @@ object Dedup {
     val idType = edges.schema(idA).dataType
     val integral = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType) &&
       idType == edges.schema(idB).dataType
+    // the directed distinct is computed ONCE and reused by whichever path
+    // runs: the fast-path probe reads it (limit bounds only the rows
+    // collected, the shuffle is the one distinct pass), and the
+    // distributed loop derives its symmetric edge set from it — the
+    // probe's work is never thrown away on a large graph
+    val distinctEdges = edges.select(col(idA).as("src"), col(idB).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (integral && driverEdgeThreshold > 0) {
-      // bounded probe: materializes at most threshold+1 distinct edges,
-      // never the full edge set, before deciding the path
       val cap = math.min(driverEdgeThreshold + 1, Int.MaxValue.toLong).toInt
-      val distinctEdges = edges.select(col(idA).as("src"), col(idB).as("dst")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (distinctEdges.limit(cap).count() <= driverEdgeThreshold)
-          return driverUnionFind(distinctEdges, idType)
-      } finally { distinctEdges.unpersist(); () }
+      if (distinctEdges.limit(cap).count() <= driverEdgeThreshold)
+        try return driverUnionFind(distinctEdges, idType)
+        finally { distinctEdges.unpersist(); () }
     }
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    // distinctEdges stays persisted until the loop ends: sym materializes
+    // lazily, and unpersisting the parent earlier would just force sym's
+    // first job to recompute the distinct from raw edges again
+    val sym = distinctEdges
+      .unionByName(distinctEdges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -297,7 +302,7 @@ object Dedup {
         iter += 1
       }
       labels
-    } finally { sym.unpersist(); () }
+    } finally { sym.unpersist(); distinctEdges.unpersist(); () }
   }
 
   /** Driver-side union-find over a collected edge list — the small-graph

@@ -58,11 +58,13 @@ object BucketedMergeTarget {
     * `schemaB64` is the base64 of the user-facing StructType JSON so an
     * emptied target still reads with its schema. `rowCounts` carries the
     * per-bucket row counts so the total target size is manifest metadata
-    * (no listing or footer reads — O(1) at any scale). `bucketCols`, when
-    * non-empty, records that rows are bucketed by THOSE columns rather
-    * than the full PK (probe-key bucketing — see [[merge]]); recording it
-    * in the manifest makes a mismatched caller fail loudly instead of
-    * silently pruning the wrong buckets. */
+    * (no listing or footer reads — O(1) at any scale). `bucketCols`
+    * records the columns rows are bucketed by — the full PK by default,
+    * or a PK subset for probe-key bucketing (see [[merge]]). ALWAYS
+    * recorded on write, so a [[readMatching]] probe with the wrong
+    * columns fails loudly instead of silently pruning the wrong buckets
+    * (empty = a legacy manifest from before this field; probes of those
+    * are unchecked by necessity). */
   final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, String],
                             schemaB64: String, rowCounts: Map[Int, Long] = Map.empty,
                             bucketCols: Seq[String] = Nil) {
@@ -221,6 +223,14 @@ object BucketedMergeTarget {
 
   // ---- read paths ------------------------------------------------------
 
+  /** Null-fill any `schema` column absent from `df` (additive evolution:
+    * frames and dirs may predate a column; the store schema wins). */
+  private def addMissingColumns(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, fld) =>
+      if (d.columns.contains(fld.name)) d
+      else d.withColumn(fld.name, lit(null).cast(fld.dataType))
+    }
+
   private def withBucket(df: DataFrame, pkCols: Seq[String], nBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(pkCols.map(col): _*), lit(nBuckets)).cast("int"))
 
@@ -245,11 +255,8 @@ object BucketedMergeTarget {
     // and any manifest column still absent (every read dir predates it)
     // is null-filled explicitly; the final select conforms to the
     // manifest's (newest) column order
-    val withAll = m.schema.fields.foldLeft(union) { (df, fld) =>
-      if (df.columns.contains(fld.name)) df
-      else df.withColumn(fld.name, lit(null).cast(fld.dataType))
-    }
-    withAll.select((m.schema.fieldNames.toIndexedSeq :+ BucketCol).map(col): _*)
+    addMissingColumns(union, m.schema)
+      .select((m.schema.fieldNames.toIndexedSeq :+ BucketCol).map(col): _*)
   }
 
   /** Full current contents (user-facing — bucket column dropped). */
@@ -501,10 +508,18 @@ object BucketedMergeTarget {
             readBuckets(spark, path, m, touched)
               .unionByName(bucketed, allowMissingColumns = true),
             pkCols, cursorCol)
-        case _ => bucketed
+        case Some(m) =>
+          // no touched bucket currently holds rows, but the STORE schema
+          // must still survive this commit: the manifest schema is derived
+          // from the written frame, so committing the bare batch would
+          // silently narrow an evolved store back to the batch's columns
+          // (and the conforming read would then drop — and the next
+          // rewrite destroy — the evolved columns' data)
+          addMissingColumns(bucketed, m.schema)
+        case None => bucketed
       }
       commitVersion(spark, path, existing, merged, touched, nb,
-        if (bc == pkCols) Nil else bc)
+        bc)
     } finally { bucketed.unpersist(); () }
   }
 
@@ -545,6 +560,6 @@ object BucketedMergeTarget {
       IncrementalSync.latestByKey(data, pkCols, cursorCol), bc, nb)
     commitVersion(spark, path, existing, bucketed,
       existing.map(_.buckets.keySet).getOrElse(Set.empty), nb,
-      if (bc == pkCols) Nil else bc)
+      bc)
   }
 }

@@ -38,18 +38,18 @@ object JsonlCorpus {
   private val ManifestName = "_graft_corpus_manifest.json"
 
   /** Write `df` as `nShards` gzip JSONL shards placed by `hash(shardKey)`,
-    * plus the manifest. Returns the row count (computed once, before the
-    * shuffle, from the same frame that is written). */
+    * plus the manifest. Returns the row count. The count is one source-
+    * side `df.count()` (the DataFrameWriter API surfaces no written-row
+    * count, and re-reading gzip shards to count them would pay a full
+    * decompress-and-parse pass over the just-written corpus). */
   def write(df: DataFrame, path: String, nShards: Int,
             shardKey: Seq[String]): Long = {
     require(nShards > 0, "nShards must be positive")
     require(shardKey.nonEmpty, "shardKey must name at least one column")
     val spark = df.sparkSession
+    val rows = df.count()
     df.repartition(nShards, shardKey.map(df.col): _*)
       .write.mode("overwrite").option("compression", "gzip").json(path)
-    // row count from parquet-free source: count the written shards once —
-    // a single pass at export time buys O(1) counts for every consumer
-    val rows = spark.read.schema(df.schema).json(s"$path/*.json.gz").count()
     val p = new Path(path)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     val schemaB64 = Base64.getEncoder.encodeToString(df.schema.json.getBytes("UTF-8"))
@@ -81,9 +81,13 @@ object JsonlCorpus {
     * a JSONL round trip without the manifest would widen ints, lose
     * struct field order, and type empty shards as nothing). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (_, _, schema) = manifest(spark, path).getOrElse(
+    val (rows, _, schema) = manifest(spark, path).getOrElse(
       throw new IllegalStateException(s"no corpus manifest under $path"))
-    spark.read.schema(schema).json(s"$path/*.json.gz")
+    // an empty export writes no .json.gz files at all — the unmatched
+    // glob would throw, so serve the (schema-correct) empty frame
+    if (rows == 0L)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(s"$path/*.json.gz")
   }
 
   /** Exported row count — manifest metadata, no scan. */

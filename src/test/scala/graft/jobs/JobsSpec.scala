@@ -284,12 +284,12 @@ class JobsSpec extends AnyFunSuite {
           while (!done) {
             attempts += 1
             try { BucketedMergeTarget.merge(batch, tgtDir, Seq("id"), "ver", 8); done = true }
-            catch { case e: java.io.IOException if attempts < 4 => () }
+            catch { case e: java.io.IOException if attempts < 20 => () }
           }
         }
         val (ka, kb) = (5000L + c, 6000L + c)
         Await.result(Future.sequence(Seq(Future(mergeWithReplay(ka)),
-          Future(mergeWithReplay(kb)))), 120.seconds)
+          Future(mergeWithReplay(kb)))), 600.seconds)
         val got = BucketedMergeTarget.read(s, tgtDir)
           .filter(col("id").isin(ka, kb)).count()
         assert(got == 2, s"cycle $c: concurrent merge lost a batch")

@@ -253,6 +253,29 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.rowCount(s, dir).contains(3L))
   }
 
+  test("a batch into untouched buckets cannot narrow an evolved schema") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-narrow").resolve("t").toString
+    // evolve the store to carry `score`
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 8)
+    BucketedMergeTarget.merge(
+      Seq((1L, 2L, "a2", 0.7)).toDF("id", "cursor", "v", "score"),
+      dir, Seq("id"), "cursor", 8)
+    // find a key hashing into a DIFFERENT (currently empty) bucket, so the
+    // merge takes the no-intersect path that used to commit the bare
+    // batch schema
+    val b1 = s.range(1, 2).select(pmod(hash(col("id")), lit(8))).head().getInt(0)
+    val k = (2L to 200L).find(i =>
+      s.range(i, i + 1).select(pmod(hash(col("id")), lit(8))).head().getInt(0) != b1).get
+    BucketedMergeTarget.merge(kv(Seq((k, 1L, "fresh"))), dir, Seq("id"), "cursor", 8)
+    val out = BucketedMergeTarget.read(s, dir)
+    assert(out.columns.toSeq == Seq("id", "cursor", "v", "score"),
+      s"schema narrowed to ${out.columns.toSeq}")
+    assert(out.filter(col("id") === 1L).head().getDouble(3) == 0.7)
+    assert(out.filter(col("id") === k).head().isNullAt(3))
+  }
+
   // Regression for a diagnosed lost-update race: under version-SKIPPING
   // commit schemes, a writer that observed a competitor's data dir but
   // not yet its manifest could commit a HIGHER version computed from the
@@ -266,19 +289,22 @@ class MergeTargetSpec extends AnyFunSuite {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // generous retry/await budgets: under multi-suite scheduler contention
+    // a replay round can be slow — the test must only fail on actual data
+    // loss or version gaps, never on load-induced timing
     def mergeWithReplay(id: Long): Unit = {
       var attempts = 0
       var done = false
       while (!done) {
         attempts += 1
         try { BucketedMergeTarget.merge(kv(Seq((id, 2L, s"w$id"))), dir, Seq("id"), "cursor", 8); done = true }
-        catch { case _: java.io.IOException if attempts < 20 => () }
+        catch { case _: java.io.IOException if attempts < 50 => () }
       }
     }
     val ids = for (round <- 1 to 3; w <- 1 to 4) yield round * 10L + w
     for (round <- 1 to 3) {
       val batch = ids.filter(_ / 10 == round)
-      Await.result(Future.sequence(batch.map(id => Future(mergeWithReplay(id)))), 180.seconds)
+      Await.result(Future.sequence(batch.map(id => Future(mergeWithReplay(id)))), 600.seconds)
     }
     val got = BucketedMergeTarget.read(spark, dir)
       .filter(col("id") > 0L).select("id").collect().map(_.getLong(0)).toSet
