@@ -189,13 +189,25 @@ object BucketedMergeTarget {
   def exists(spark: SparkSession, path: String): Boolean =
     currentManifest(spark, path).isDefined
 
-  /** THE commit lock: renaming the writer-unique tmp to the version-named
-    * manifest file. File renames onto an existing destination FAIL on
-    * local FS and HDFS (unlike dir renames), so exactly one writer per
-    * version wins; every loser throws the replay IOException. A torn
-    * (unparseable) file in the destination slot is a crashed writer's
-    * debris, never a committed state — clear it and replay; the replay
-    * retries the same version against a now-free slot. */
+  /** THE commit lock: publishing the writer-unique tmp under the
+    * version-named manifest file, atomically and exclusively — exactly
+    * one writer per version wins; every loser throws the replay
+    * IOException. The exclusive primitive is filesystem-specific:
+    *
+    *  - HDFS: `rename(tmp, dest)` is atomic at the NameNode and returns
+    *    false when dest exists — rename IS the lock.
+    *  - local `file://`: POSIX rename(2) silently REPLACES an existing
+    *    destination (Hadoop's RawLocalFileSystem delegates to
+    *    File.renameTo), so a rename race loses the first writer's commit.
+    *    Here the lock is `Files.createLink(dest, tmp)` — link(2) fails
+    *    EEXIST atomically — then the tmp is unlinked.
+    *
+    * (Object stores have neither primitive; their documented deployment
+    * uses a single writer per target — see the commit-protocol notes in
+    * SCALE.md.) A torn (unparseable) file in the destination slot is a
+    * crashed writer's debris, never a committed state — clear it and
+    * replay; the replay retries the same version against a now-free
+    * slot. */
   private def writeManifest(f: FileSystem, p: Path, m: Manifest): Unit = {
     f.mkdirs(p)
     val tmp = new Path(p, "_graft_manifest_tmp_" +
@@ -203,7 +215,7 @@ object BucketedMergeTarget {
     val out = f.create(tmp, true)
     try out.write(manifestToJson(m).getBytes("UTF-8")) finally out.close()
     val dest = new Path(p, s"_graft_manifest_v${"%09d".format(m.version)}.json")
-    if (!f.rename(tmp, dest)) {
+    if (!publishExclusive(f, tmp, dest)) {
       f.delete(tmp, false)
       val tornDebris = f.exists(dest) && !parses(f, dest)
       if (tornDebris) { f.delete(dest, false); () }
@@ -212,6 +224,25 @@ object BucketedMergeTarget {
         else s"manifest v${m.version} already committed by a concurrent writer — replay the batch")
     }
   }
+
+  /** Atomically publish tmp as dest iff dest does not exist; false on
+    * loss. Local FS gets the hard-link protocol (see [[writeManifest]]);
+    * everything else relies on fail-if-exists rename semantics. */
+  private[sinks] def publishExclusive(f: FileSystem, tmp: Path, dest: Path): Boolean =
+    if (f.getScheme == "file") {
+      val tmpFile = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val destFile = java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(destFile, tmpFile)
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // FS mounted without hard-link support: fall back to rename and
+        // accept its (weaker) local semantics rather than failing outright
+        case _: UnsupportedOperationException => f.rename(tmp, dest)
+      }
+    } else f.rename(tmp, dest)
 
   private def parses(f: FileSystem, mp: Path): Boolean =
     try {

@@ -312,4 +312,48 @@ class MergeTargetSpec extends AnyFunSuite {
     // versions stayed consecutive: 1 seed + 12 writer commits = v13
     assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == 13L)
   }
+
+  test("publishExclusive: 16 racers to one slot — exactly one wins, content is the winner's") {
+    // The merge-level race test above exercises the whole replay loop, but
+    // its collision window (microseconds of commit inside seconds of
+    // merge) rarely fires. This hits the primitive directly: POSIX
+    // rename(2) silently REPLACES an existing destination, so a plain
+    // rename lock here loses a committed manifest — the exact defect the
+    // 100-cycle soak caught at cycle 100. The hard-link protocol must make
+    // the race deterministic: one winner, everyone else told to replay.
+    val root = tmp("mt-pub").resolve("t").toString
+    val (fs, rootPath) = hfs(root)
+    fs.mkdirs(rootPath)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      for (round <- 1 to 20) {
+        val dest = new Path(rootPath, s"_slot_$round.json")
+        val start = new CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val tasks = (1 to 16).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val t = new Path(rootPath, s"_tmp_${round}_$w")
+              val out = fs.create(t, true)
+              try out.write(s"writer-$w".getBytes("UTF-8")) finally out.close()
+              start.await(30, TimeUnit.SECONDS)
+              if (BucketedMergeTarget.publishExclusive(fs, t, dest)) {
+                wins.incrementAndGet(); winners.add(w); ()
+              } else fs.delete(t, false)
+            }
+          })
+        }
+        start.countDown()
+        tasks.foreach(_.get(60, TimeUnit.SECONDS))
+        assert(wins.get() == 1, s"round $round: ${wins.get()} writers won the same slot")
+        val in = fs.open(dest)
+        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val w = winners.iterator().next()
+        assert(got == s"writer-$w",
+          s"round $round: slot holds '$got' but writer $w won — a loser replaced the commit")
+      }
+    } finally pool.shutdownNow()
+  }
 }
