@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
+import graft.operators.{Dedup, HeavyHitters, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -742,6 +742,15 @@ object QueriesPipeline {
             .as("hapax_ratio"))
     }),
 
+    // Exact heavy hitters (tokens in > 1/200 of the corpus token stream)
+    // via one-pass Misra-Gries candidates + an exact candidate-only
+    // recount — neither pass shuffles the full vocabulary (see
+    // operators/HeavyHitters). The oracle replays the naive full
+    // GROUP BY ... HAVING; the operator must match it exactly.
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
+        denom = 200L, k = 256)),
+
     // Sequence packing — assign each doc to a token-budgeted training
     // pack (2048-token bins, contiguous in doc_id order within each
     // (source, lang) slice): pack_id = floor(prefix_tokens / budget).
@@ -1289,6 +1298,14 @@ object QueriesPipeline {
            | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
            |FROM types JOIN dfreq USING (tok)
            |GROUP BY doc_id""".stripMargin,
+
+      "q_heavy_hitters" ->
+        s"""WITH toks AS (
+           |  SELECT unnest($sqlWords) AS token FROM documents),
+           |nz AS (SELECT token FROM toks WHERE len(token) > 0)
+           |SELECT token, count(*) AS n
+           |FROM nz GROUP BY token
+           |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
 
       "q_token_pack" ->
         """WITH t AS (SELECT doc_id, source, lang,

@@ -57,5 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingShingleHashExpr(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_misra_gries(term, k): k must be a literal")
+        val k = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_misra_gries(term, k): k must be a numeric literal, got $other")
+        }
+        MisraGriesAgg(children.head, k)
+      }))
   }
 }

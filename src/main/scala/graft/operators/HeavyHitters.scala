@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters without a vocabulary-sized shuffle.
+  *
+  * Pass 1 streams every token through the native Misra–Gries summary
+  * ([[graft.functions.MisraGriesAgg]]) and counts N in the same
+  * aggregation — partial buffers hold ≤ k counters each, so the shuffle
+  * is (partitions × k) rows regardless of vocabulary size. The summary
+  * is a guaranteed SUPERSET of every term with count > N/(k+1). Pass 2
+  * recounts exactly, but only over rows matching the ≤ k candidates — an
+  * `IN` filter the scan evaluates before any shuffle — then applies the
+  * threshold. Result: exact counts for every term occurring in more than
+  * 1/denom of all tokens, with neither pass ever shuffling the long-tail
+  * vocabulary a naive `GROUP BY term HAVING count ≥ t` would
+  * materialize.
+  *
+  * The threshold is the integer predicate `count · denom > N` — no
+  * float `ceil(frac·N)` whose rounding could disagree across engines.
+  * `denom < k+1` is required: above that the Misra–Gries guarantee
+  * (superset of everything with count > N/(k+1)) no longer covers the
+  * threshold and pass 2 could miss a qualifying term.
+  */
+object HeavyHitters {
+
+  /** Exact (token, n) for every token with n · denom > N among the
+    * non-empty tokens of `text` (N = total non-empty tokens). `docs` is
+    * scanned twice; both scans project only the text column. */
+  def heavyTerms(docs: DataFrame, text: Column, denom: Long,
+                 k: Int = 256): DataFrame = {
+    require(denom >= 1 && denom < k + 1,
+      s"denom=$denom outside the Misra-Gries guarantee (need 1 <= denom < k+1 = ${k + 1})")
+    val toks = docs
+      .select(explode(Dedup.tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+    val head = toks
+      .agg(count(lit(1)).as("n"),
+           call_function("graft_misra_gries", col("token"), lit(k)).as("cands"))
+      .collect()(0) // driver-side metadata: one row, ≤ k short strings
+    val total = head.getLong(0)
+    val cands = head.getSeq[String](1)
+    if (cands.isEmpty)
+      return toks.sparkSession.createDataFrame(
+        toks.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("token", "string", nullable = false).add("n", "long", nullable = false))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(denom) > lit(total))
+  }
+}
