@@ -155,6 +155,45 @@ object StreamingSync {
       }
       .start()
 
+  /** Streaming near-duplicate ingestion — the 100 TB arrival shape as a
+    * `foreachBatch` pipeline: each micro-batch's banded signatures probe
+    * the accumulated signature store (bucket-pruned, I/O ∝ batch — see
+    * [[graft.operators.IncrementalDedup]]), flagged cross-batch pairs
+    * land in a pair store keyed by `(id_new, id_old)`, and the batch's
+    * signatures are appended — probe-before-append, ordered inside
+    * `ingestBatch` (candidates are materialized before the store
+    * advances, so a batch never matches itself through the store).
+    *
+    * Replay contract (Spark may re-run a failed micro-batch): both
+    * stores are cursor-idempotent merges keyed by the epoch, so replayed
+    * writes overwrite themselves. A crash BETWEEN append and the pair
+    * commit makes the replayed probe see its own batch in the store:
+    * self-pairs are filtered inside `probeCandidates`, and any extra
+    * pairs are genuine intra-batch near-dups — at-least-once surfaces a
+    * superset of pairs, never a wrong pair.
+    *
+    * Returns the started query; read pairs with
+    * `BucketedMergeTarget.read(spark, pairsPath)`. */
+  def streamingNearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+                             storePath: String, pairsPath: String,
+                             checkpointDir: String,
+                             params: graft.operators.IncrementalDedup.LshParams =
+                               graft.operators.IncrementalDedup.LshParams(),
+                             nBuckets: Int = graft.sinks.BucketedMergeTarget.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val (cands, _) = graft.operators.IncrementalDedup.ingestBatch(
+          batch, idCol, col(textCol), storePath, epochId, params, nBuckets)
+        // merge no-ops on an empty candidate frame (no version churn)
+        graft.sinks.BucketedMergeTarget.merge(
+          cands.withColumn("batch_id", lit(epochId)),
+          pairsPath, Seq("id_new", "id_old"), "batch_id", nBuckets)
+        ()
+      }
+      .start()
+
   /** Convenience: run the windowed aggregation as a stream into an
     * in-memory sink and block until `input` is drained — the harness the
     * streaming tests (and any smoke run) use. Returns the sink rows. */

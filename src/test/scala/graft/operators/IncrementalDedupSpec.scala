@@ -124,4 +124,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
         Seq("band", "bh", "id"), "batch_id", 8, Seq("batch_id"))
     }
   }
+
+  test("streaming ingestion over a real stream equals the sequential batch path") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = Files.createTempDirectory("incdedup-stream")
+    val corpus = (1L to 30L).map(i => (i, doc(i.toInt)))
+    val batch1 = Seq((201L, doc(5) + " yy"),
+      (202L, "totally novel first words here abc def ghi jkl"))
+    val batch2 = Seq(
+      (301L, doc(5) + " yy zz"), // dups corpus 5 AND batch1's 201
+      (302L, "totally novel first words here abc def ghi jkl qq")) // dups 202
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docsStream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingSync.streamingNearDupIngest(
+      docsStream, "doc_id", "text",
+      root.resolve("sigs").toString, root.resolve("pairs").toString,
+      root.resolve("ckpt").toString, params, nBuckets = 16)
+    try {
+      // one addData + drain per arrival = three distinct micro-batches
+      Seq(corpus, batch1, batch2).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = BucketedMergeTarget.read(s, root.resolve("pairs").toString)
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch-path reference: the same three arrivals ingested sequentially
+    val refStore = root.resolve("ref-sigs").toString
+    val refPairs = Seq(corpus, batch1, batch2).zipWithIndex.flatMap { case (b, i) =>
+      probePairs(IncrementalDedup.ingestBatch(docsDf(b), "doc_id", col("text"),
+        refStore, i.toLong, params, 16)._1)
+    }.toSet
+    assert(streamed == refPairs)
+    // non-vacuous: the planted cross-batch dups surfaced
+    assert(streamed.exists { case (n, o) => n == 301L && (o == 5L || o == 201L) })
+    assert(streamed.contains((302L, 202L)))
+    // both stores hold identical signature rows (same LSH scheme, same data)
+    assert(BucketedMergeTarget.rowCount(s, root.resolve("sigs").toString) ==
+      BucketedMergeTarget.rowCount(s, refStore))
+  }
 }
