@@ -262,9 +262,12 @@ object Similarity {
     }
     val withD = df.select(df.columns.toIndexedSeq.map(col) ++ dists.toIndexedSeq: _*)
     val minD = centroids.indices.map(i => col(s"__d$i")).reduce(least(_, _))
-    val cell = centroids.indices.foldLeft(lit(-1)) { (acc, i) =>
-      when(acc === -1 && col(s"__d$i") === minD, lit(i)).otherwise(acc)
-    }
+    // first-match argmin: 1-based position of the min distance in the
+    // distance array, shifted to the 0-based cell id (a sentinel fold
+    // with when-chains builds the same value but its seed comparison
+    // logs a spurious trivially-true-predicate warning per plan)
+    val cell = (array_position(
+      array(centroids.indices.map(i => col(s"__d$i")): _*), minD) - 1).cast("int")
     withD.withColumn("ivf_cell", cell)
       .drop(centroids.indices.map(i => s"__d$i"): _*)
   }
