@@ -69,7 +69,15 @@ object Layout {
     * value, drop the scratch columns. One shuffle; file count chosen by
     * the caller to target row-group-sized files. */
   def zorderWrite(df: DataFrame, colA: String, colB: String,
-                  path: String, nFiles: Int): Unit = {
+                  path: String, nFiles: Int): Unit =
+    zorderFrame(df, colA, colB, nFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** The frame [[zorderWrite]] writes — exposed so the plan (exactly one
+    * range exchange on the cell id, in-partition sort, no extra shuffle)
+    * can be pinned by tests. */
+  def zorderFrame(df: DataFrame, colA: String, colB: String,
+                  nFiles: Int): DataFrame = {
     require(nFiles >= 1 && nFiles <= (1 << 30), s"nFiles=$nFiles out of range")
     val bits = if (nFiles == 1) 0 else 32 - Integer.numberOfLeadingZeros(nFiles - 1)
     withZValue(df, colA, colB)
@@ -77,7 +85,6 @@ object Layout {
       .repartitionByRange(1 << bits, col("__zfile"))
       .sortWithinPartitions("zval")
       .drop("zval", "__zfile")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Per-file min/max bounds of `cols` for the parquet under `path` —

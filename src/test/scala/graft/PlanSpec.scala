@@ -171,6 +171,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-hitters recount filters to the candidate set before any shuffle") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.HeavyHitters.heavyTerms(
+      s.read.parquet(s"$dir/documents.parquet"), col("text"), denom = 100L, k = 128)
+    val p = out.queryExecution.executedPlan.toString
+    // the candidate IN/INSET filter must sit below the aggregation's
+    // exchange: everything not in the <= k candidates dies in the scan
+    // stage, so the recount shuffle carries candidates only
+    val exchangeAt = p.indexOf("Exchange")
+    val filterAt = math.max(p.indexOf(" INSET "), p.indexOf(" IN ("))
+    assert(filterAt >= 0, s"candidate IN filter missing:\n$p")
+    assert(exchangeAt < 0 || filterAt > exchangeAt,
+      s"candidate filter must be below (after, in plan print order) the exchange:\n$p")
+    // and the aggregate is partial map-side (two-phase)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("misra-gries summary partial-aggregates map-side (k counters per buffer)") {
+    val s = spark
+    import org.apache.spark.sql.functions.{call_function, col, explode, lit}
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val p = toks.agg(call_function("graft_misra_gries", col("token"), lit(64)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_misra_gries"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_graft_misra_gries"),
+      s"summary must partial-aggregate before the exchange:\n$p")
+  }
+
+  test("z-order frame plans exactly one exchange (range on the cell id)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i, i * 31 % 997)).toDF("a", "b")
+    val p = graft.operators.Layout.zorderFrame(df, "a", "b", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one shuffle:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("Sort "), s"in-partition sort missing:\n$p")
+  }
+
   test("co-located bucketed tables join with no exchange and no per-run sort") {
     val s = spark
     val savedBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
