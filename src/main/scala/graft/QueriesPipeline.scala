@@ -751,6 +751,13 @@ object QueriesPipeline {
       HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
         denom = 200L, k = 256)),
 
+    // Per-language heavy hitters: same two-pass Misra-Gries shape but one
+    // summary row per group and a broadcast candidate join for the
+    // recount — no driver collect, group cardinality unbounded.
+    "q_heavy_by_lang" -> ((s, dir) =>
+      HeavyHitters.heavyTermsByGroup(t(s, dir, "documents"), "lang", col("text"),
+        denom = 100L, k = 256)),
+
     // Sequence packing — assign each doc to a token-budgeted training
     // pack (2048-token bins, contiguous in doc_id order within each
     // (source, lang) slice): pack_id = floor(prefix_tokens / budget).
@@ -1306,6 +1313,16 @@ object QueriesPipeline {
            |SELECT token, count(*) AS n
            |FROM nz GROUP BY token
            |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
+
+      "q_heavy_by_lang" ->
+        s"""WITH toks AS (
+           |  SELECT lang, unnest($sqlWords) AS token FROM documents),
+           |nz AS (SELECT lang, token FROM toks WHERE len(token) > 0),
+           |tot AS (SELECT lang, count(*) AS n_lang FROM nz GROUP BY lang)
+           |SELECT nz.lang, token, count(*) AS n
+           |FROM nz JOIN tot USING (lang)
+           |GROUP BY nz.lang, token, tot.n_lang
+           |HAVING count(*) * 100 > tot.n_lang""".stripMargin,
 
       "q_token_pack" ->
         """WITH t AS (SELECT doc_id, source, lang,

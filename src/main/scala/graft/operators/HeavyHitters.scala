@@ -50,4 +50,33 @@ object HeavyHitters {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(denom) > lit(total))
   }
+
+  /** Per-group exact heavy hitters — `(group, token, n)` for every token
+    * with `n · denom > N_group` within its group's token stream. Same
+    * two-pass shape as [[heavyTerms]] but fully distributed end to end:
+    * pass 1 aggregates one `(count, summary)` row PER GROUP (map-side
+    * partial, ≤ k counters per buffer per group), pass 2 inner-joins the
+    * token stream against the exploded candidate set — broadcastable at
+    * (groups × k) rows no matter how large the corpus — and recounts
+    * exactly. Nothing is collected to the driver, so group cardinality
+    * can be arbitrary; the per-group guarantee is the same
+    * `denom < k+1` bound, applied per group stream. */
+  def heavyTermsByGroup(docs: DataFrame, groupCol: String, text: Column,
+                        denom: Long, k: Int = 256): DataFrame = {
+    require(denom >= 1 && denom < k + 1,
+      s"denom=$denom outside the Misra-Gries guarantee (need 1 <= denom < k+1 = ${k + 1})")
+    val toks = docs
+      .select(col(groupCol).as("grp"), explode(Dedup.tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+    val summary = toks.groupBy(col("grp"))
+      .agg(count(lit(1)).as("__n"),
+           call_function("graft_misra_gries", col("token"), lit(k)).as("__cands"))
+    val cands = summary.select(col("grp"), col("__n"),
+      explode(col("__cands")).as("token"))
+    toks.join(broadcast(cands), Seq("grp", "token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("n"), max(col("__n")).as("__n"))
+      .filter(col("n") * lit(denom) > col("__n"))
+      .select(col("grp").as(groupCol), col("token"), col("n"))
+  }
 }

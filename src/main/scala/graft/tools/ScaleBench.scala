@@ -117,6 +117,18 @@ object ScaleBench {
     }
     stages("incremental_dedup") = tInc
 
+    // 6. exact heavy hitters (regime-independent: exact counting, no LSH
+    // hash) — the claim under test is that pass-1 state stays k counters
+    // per partition and pass-2 work stays ∝ candidate matches while the
+    // token stream grows with sf
+    val (_, tHh) = timed {
+      val hh = graft.operators.HeavyHitters.heavyTerms(
+        spark.read.parquet(s"$dir/documents.parquet"), col("text"),
+        denom = 200L, k = 256)
+      counts("heavy_terms") = hh.count()
+    }
+    stages("heavy_hitters") = tHh
+
     corpus.unpersist()
     val total = stages.values.sum
     val sj = stages.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -63,6 +63,33 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyTermsByGroup matches per-group naive exact, groups independent") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 20L to 21L) {
+      // two groups with DIFFERENT planted heads and different sizes: a
+      // term heavy in g0's small stream must not need g1's threshold
+      val g0 = stream(n = 1500, vocab = 200, hot = 120, seed = seed)
+      val g1 = stream(n = 4500, vocab = 250, hot = 0, seed = seed + 100)
+      val docsDf = (g0.grouped(25).map(("g0", _)) ++ g1.grouped(25).map(("g1", _)))
+        .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t.mkString(" ")) }
+        .toSeq.toDF("doc_id", "lang", "text").repartition(4)
+      val denom = 40L
+      val got = HeavyHitters.heavyTermsByGroup(docsDf, "lang", col("text"), denom, k = 64)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      def naive(g: String, toks: Seq[String]) = {
+        val n = toks.size
+        toks.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * denom > n }
+          .map { case (t, c) => (g, t, c) }.toSet
+      }
+      val want = naive("g0", g0) ++ naive("g1", g1)
+      assert(got == want, s"seed=$seed: diff ${(got -- want) ++ (want -- got)}")
+      assert(want.exists { case (g, t, _) => g == "g0" && t == "hotx" })
+      assert(!want.exists { case (g, t, _) => g == "g1" && t == "hotx" })
+    }
+  }
+
   test("empty and null text yield an empty result with the contract schema") {
     val s = spark
     import s.implicits._
