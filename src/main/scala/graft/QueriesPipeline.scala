@@ -751,6 +751,17 @@ object QueriesPipeline {
       HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
         denom = 200L, k = 256)),
 
+    // Corpus-overlap report (set-level decontamination complement): how
+    // much of one corpus slice's distinct 3-gram space the other already
+    // covers. One gram-keyed shuffle; the KMV sketch twin is unit-pinned.
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("text"), 3)
+    }),
+
     // Per-language heavy hitters: same two-pass Misra-Gries shape but one
     // summary row per group and a broadcast candidate join for the
     // recount — no driver collect, group cardinality unbounded.
@@ -1313,6 +1324,22 @@ object QueriesPipeline {
            |SELECT token, count(*) AS n
            |FROM nz GROUP BY token
            |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
+
+      "q_corpus_overlap" ->
+        s"""WITH docs AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |grams AS (SELECT doc_id % 2 AS side,
+           |  unnest(list_distinct(list_transform(range(1, len(w) - 1),
+           |    i -> array_to_string(w[i:i+2], ' ')))) AS g
+           |FROM docs),
+           |sides AS (SELECT g,
+           |  max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+           |  max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+           |FROM grams GROUP BY g)
+           |SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+           |  CAST(sum(in_b) AS BIGINT) AS n_b,
+           |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+           |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
+           |FROM sides""".stripMargin,
 
       "q_heavy_by_lang" ->
         s"""WITH toks AS (

@@ -481,4 +481,58 @@ object Dedup {
             greatest(size(array_union(col("ga"), col("gb"))), lit(1)),
           6).as("jaccard"))
   }
+
+  // ---- corpus-level overlap -------------------------------------------
+
+  /** Exact corpus-overlap report between two corpora: distinct word
+    * n-gram counts per side, the shared count, and the set Jaccard — the
+    * curation dashboard's "how much of corpus B is already in corpus A"
+    * number (the set-level complement of pairwise decontamination).
+    *
+    * One shuffle, keyed by the n-gram with map-side combine: each side's
+    * per-doc distinct grams union with presence flags, a single group-by
+    * reduces every gram to its two flags, and a global aggregate folds
+    * the flags into the four report numbers. The shuffled key space is
+    * the distinct gram vocabulary — the honest exact cost; for sketched
+    * overlap at a fraction of that traffic see [[corpusOverlapSketch]]. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, text: Column, n: Int): DataFrame = {
+    def side(df: DataFrame, ia: Int, ib: Int) =
+      df.select(explode(wordNgrams(text, n)).as("g"))
+        .select(col("g"), lit(ia).as("__a"), lit(ib).as("__b"))
+    side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy(col("g"))
+      .agg(max(col("__a")).as("in_a"), max(col("__b")).as("in_b"))
+      .agg(
+        sum(col("in_a")).cast("long").as("n_a"),
+        sum(col("in_b")).cast("long").as("n_b"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_common"),
+        round(sum(col("in_a") * col("in_b")).cast("double") / count(lit(1)), 6)
+          .as("jaccard"))
+  }
+
+  /** KMV (k-minimum-values) estimate of [[corpusOverlap]]'s Jaccard —
+    * the 100 TB path: each side reduces to its k smallest distinct
+    * 64-bit gram hashes (a distinct + per-partition top-k, k rows to the
+    * driver — metadata, not data), the union sketch is the k smallest of
+    * the merged sets (a KMV closure property), and the estimate is the
+    * fraction of union-sketch members present in both sides. Standard
+    * error ~1/√k: k = 1024 gives ±3 % — the right trade when the exact
+    * vocabulary shuffle is petabyte-scale. Estimator pinned against the
+    * exact operator in the spec. */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame, text: Column,
+                          n: Int, k: Int): Double = {
+    require(k >= 16, s"k=$k too small for a meaningful KMV estimate")
+    def kmv(df: DataFrame): Array[Long] =
+      df.select(explode(wordNgrams(text, n)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .collect().map(_.getLong(0))
+    val ka = kmv(a)
+    val kb = kmv(b)
+    val union = (ka ++ kb).distinct.sorted.take(k)
+    if (union.isEmpty) return 0.0
+    val sa = ka.toSet
+    val sb = kb.toSet
+    union.count(h => sa(h) && sb(h)).toDouble / union.length
+  }
 }

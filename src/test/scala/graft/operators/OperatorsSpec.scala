@@ -41,6 +41,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("corpusOverlap reports exact gram counts and Jaccard between corpora") {
+    // side A grams: {a b c, b c d, x y z}; side B grams: {b c d, c d e, x y z}
+    // intersection {b c d, x y z} = 2, union = 4 → jaccard 0.5
+    val a = docs(1L -> "a b c d", 2L -> "x y z")
+    val b = docs(3L -> "b c d e", 4L -> "x y z")
+    val r = Dedup.corpusOverlap(a, b, col("text"), 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((3L, 3L, 2L, 0.5)))
+  }
+
+  test("corpusOverlapSketch tracks the exact Jaccard within KMV error") {
+    val rnd = new scala.util.Random(7)
+    // shared pool + per-side pools: overlap is planted, not incidental
+    def doc(pool: String, i: Int) =
+      (0 until 12).map(j => s"$pool${rnd.nextInt(300)}").mkString(" ")
+    val shared = (1 to 150).map(i => (i.toLong, doc("s", i)))
+    val a = docs((shared ++ (201 to 350).map(i => (i.toLong, doc("a", i)))): _*)
+    val b = docs((shared ++ (401 to 550).map(i => (i.toLong, doc("b", i)))): _*)
+    val exact = Dedup.corpusOverlap(a, b, col("text"), 3).head().getDouble(3)
+    val k = 512
+    val est = Dedup.corpusOverlapSketch(a, b, col("text"), 3, k)
+    assert(exact > 0.2 && exact < 0.8, s"planted overlap degenerate: $exact")
+    val tol = 3.0 / math.sqrt(k)
+    assert(math.abs(est - exact) <= tol,
+      s"KMV estimate $est vs exact $exact exceeds ±$tol")
+  }
+
   test("minhashCandidates finds planted near-dups and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
