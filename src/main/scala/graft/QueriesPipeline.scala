@@ -751,6 +751,25 @@ object QueriesPipeline {
       HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
         denom = 200L, k = 256)),
 
+    // C4-style filter chain: every quality signal folds into one keep /
+    // first-failing-reason verdict per doc — the curation pipeline's
+    // drop stage with attribution (why did this doc die), a narrow map
+    // over already-projected component attributes. Reason order is part
+    // of the contract (mirrored in the oracle CASE).
+    "q_filter_chain" -> ((s, dir) => {
+      val comps = TextAnalysis.qualityComponents(col("text"))
+      val p = t(s, dir, "documents")
+        .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
+      val reason = when(col("n_chars") < 50, "len_short")
+        .when(col("n_chars") > 10000, "len_long")
+        .when(col("punct_ratio") > 0.2, "punct")
+        .when(col("stopword_ratio") === 0, "no_stopwords")
+        .when(col("mean_word_len") > 12, "word_len")
+        .otherwise("ok")
+      p.select(col("doc_id"), reason.as("reason"))
+        .withColumn("keep", (col("reason") === "ok").cast("int"))
+    }),
+
     // Corpus-overlap report (set-level decontamination complement): how
     // much of one corpus slice's distinct 3-gram space the other already
     // covers. One gram-keyed shuffle; the KMV sketch twin is unit-pinned.
@@ -1324,6 +1343,32 @@ object QueriesPipeline {
            |SELECT token, count(*) AS n
            |FROM nz GROUP BY token
            |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
+
+      "q_filter_chain" -> {
+        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+          .map(sqlWordCount).mkString("(", " + ", ")")
+        s"""WITH c AS (SELECT doc_id,
+           |  length(text) AS nc,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+           |  $stop AS ns
+           |FROM documents),
+           |r AS (SELECT doc_id, nc,
+           |  round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS pr,
+           |  round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS sr,
+           |  round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS mwl
+           |FROM c)
+           |SELECT doc_id,
+           |  CASE WHEN nc < 50 THEN 'len_short'
+           |       WHEN nc > 10000 THEN 'len_long'
+           |       WHEN pr > 0.2 THEN 'punct'
+           |       WHEN sr = 0 THEN 'no_stopwords'
+           |       WHEN mwl > 12 THEN 'word_len'
+           |       ELSE 'ok' END AS reason,
+           |  CAST(CASE WHEN nc >= 50 AND nc <= 10000 AND pr <= 0.2
+           |            AND sr <> 0 AND mwl <= 12 THEN 1 ELSE 0 END AS INTEGER) AS keep
+           |FROM r""".stripMargin
+      },
 
       "q_corpus_overlap" ->
         s"""WITH docs AS (SELECT doc_id, $sqlWords AS w FROM documents),
