@@ -121,6 +121,45 @@ object QueriesPipeline {
   private val sqlWords =
     """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
 
+  /** The cross-corpus contamination pair sweep (matches
+    * `crossMinhashCandidates(docs, bench, …, md5Hex, 200)` with bench =
+    * edited every-10th docs) — shared by `q_decontaminate` (detection)
+    * and `q_decontaminate_apply` (the cleaned corpus). */
+  private lazy val sqlContamPairs: String = {
+    val sig = (0 until 12)
+      .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, side, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, 0 AS side FROM documents WHERE len($sqlWords) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text, 1 AS side
+       |  FROM documents WHERE doc_id % 10 = 0 AND len($sqlWords) >= 3
+       |),
+       |toks AS (SELECT doc_id, side, $sqlWords AS w FROM corpus),
+       |grams AS (SELECT doc_id, side,
+       |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+       |FROM toks),
+       |sig AS (SELECT doc_id, side, $sig AS sig FROM grams),
+       |banded AS (
+       |  $bandRows
+       |),
+       |keep AS (
+       |  SELECT band, bh
+       |  FROM (SELECT band, bh, count(*) AS na FROM banded WHERE side = 0 GROUP BY 1, 2) a
+       |  JOIN (SELECT band, bh, count(*) AS nb FROM banded WHERE side = 1 GROUP BY 1, 2) b
+       |    USING (band, bh)
+       |  WHERE na + nb <= 200
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a
+       |JOIN keep USING (band, bh)
+       |JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.side = 1
+       |WHERE a.side = 0""".stripMargin
+  }
+
   /** The near-dup corpus CTE (matches [[nearDupCorpus]]). */
   private val sqlCorpus =
     s"""corpus AS (
@@ -751,6 +790,24 @@ object QueriesPipeline {
       HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
         denom = 200L, k = 256)),
 
+    // Decontamination APPLIED: the cleaned corpus — every doc whose id
+    // was never flagged against the benchmark side. The anti-join
+    // carries ids only; docs too short to band are kept by construction.
+    "q_decontaminate_apply" -> ((s, dir) => {
+      val docsAll = t(s, dir, "documents")
+      val docs = docsAll.select("doc_id", "text")
+        .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+      val flagged = Dedup.crossMinhashCandidates(docs, bench, "doc_id", col("text"),
+          ngramN = 3, bands = 4, rowsPerBand = 3,
+          hashFn = Dedup.md5Hex, maxBucket = 200)
+        .select(col("id_a").as("doc_id")).distinct()
+      docsAll.join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     // C4-style filter chain: every quality signal folds into one keep /
     // first-failing-reason verdict per doc — the curation pipeline's
     // drop stage with attribution (why did this doc die), a narrow map
@@ -773,13 +830,9 @@ object QueriesPipeline {
     // Corpus-overlap report (set-level decontamination complement): how
     // much of one corpus slice's distinct 3-gram space the other already
     // covers. One gram-keyed shuffle; the KMV sketch twin is unit-pinned.
-    "q_corpus_overlap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.corpusOverlap(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        col("text"), 3)
-    }),
+    "q_corpus_overlap" -> ((s, dir) =>
+      Dedup.corpusOverlapBySide(t(s, dir, "documents"),
+        col("doc_id") % 2 === 1, col("text"), 3)),
 
     // Per-language heavy hitters: same two-pass Misra-Gries shape but one
     // summary row per group and a broadcast candidate join for the
@@ -943,40 +996,15 @@ object QueriesPipeline {
 
       // Cross-corpus banding with the side carried through the chain;
       // pairs form only across sides, cap on the combined population.
-      "q_decontaminate" -> {
-        val sig = (0 until 12)
-          .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
-          .mkString("[", ", ", "]")
-        val bandRows = (0 until 4)
-          .map(b => s"SELECT doc_id, side, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text, 0 AS side FROM documents WHERE len($sqlWords) >= 3
-           |  UNION ALL
-           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text, 1 AS side
-           |  FROM documents WHERE doc_id % 10 = 0 AND len($sqlWords) >= 3
-           |),
-           |toks AS (SELECT doc_id, side, $sqlWords AS w FROM corpus),
-           |grams AS (SELECT doc_id, side,
-           |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
-           |FROM toks),
-           |sig AS (SELECT doc_id, side, $sig AS sig FROM grams),
-           |banded AS (
-           |  $bandRows
-           |),
-           |keep AS (
-           |  SELECT band, bh
-           |  FROM (SELECT band, bh, count(*) AS na FROM banded WHERE side = 0 GROUP BY 1, 2) a
-           |  JOIN (SELECT band, bh, count(*) AS nb FROM banded WHERE side = 1 GROUP BY 1, 2) b
-           |    USING (band, bh)
-           |  WHERE na + nb <= 200
-           |)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM banded a
-           |JOIN keep USING (band, bh)
-           |JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.side = 1
-           |WHERE a.side = 0""".stripMargin
-      },
+      "q_decontaminate" -> sqlContamPairs,
+
+      // Detection applied: the cleaned corpus is everything whose doc_id
+      // never appears as a flagged id_a (sub-3-token docs can't band and
+      // are kept by construction on both engines).
+      "q_decontaminate_apply" ->
+        s"""WITH pairs AS ($sqlContamPairs)
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id NOT IN (SELECT id_a FROM pairs)""".stripMargin,
 
       // The incremental ingest replayed from scratch: side 0 = the
       // accumulated store, side 1 = the incoming batch; identical banding

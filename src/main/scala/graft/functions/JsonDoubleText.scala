@@ -58,6 +58,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingShingleHashExpr(children.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hash"),
+      new ExpressionInfo(classOf[WordNgramHashExpr].getName,
+        "graft_word_ngram_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_word_ngram_hash(text, n): n must be a literal")
+        val n = children(1).eval() match {
+          case x: Number => x.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_word_ngram_hash(text, n): n must be a numeric literal, got $other")
+        }
+        WordNgramHashExpr(children.head, n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
       (children: Seq[Expression]) => {

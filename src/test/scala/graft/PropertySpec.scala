@@ -120,4 +120,27 @@ class PropertySpec extends AnyFunSuite {
       got == reference(s.getBytes("UTF-8"), k)
     }, tests = 200)
   }
+
+  test("word n-gram span hashes equal hashing each split-built gram string") {
+    import graft.functions.{RollingShingleHash, WordNgramHash}
+    // reference: split on single spaces (split semantics: "" is one empty
+    // word), join each n-window with ' ', hash the gram string's bytes
+    // with the same polynomial
+    def reference(norm: String, n: Int): Seq[Long] = {
+      val words = norm.split(" ", -1).toSeq
+      if (words.length < n) Seq.empty
+      else words.sliding(n).map(_.mkString(" ").getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => h * RollingShingleHash.B + ((b & 0xff) + 1))).toSeq
+    }
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val normGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.nonEmptyListOf(wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(normGen, Gen.chooseNum(1, 5)) { (s, n) =>
+      val got = WordNgramHash
+        .hashes(org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+        .toLongArray.toSeq
+      got == reference(s, n)
+    }, tests = 200)
+  }
 }
