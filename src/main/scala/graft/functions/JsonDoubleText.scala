@@ -38,6 +38,26 @@ case class JsonDoubleText(child: Expression) extends UnaryExpression {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or via
   * `spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register a `(child, intLiteral)` expression builder — the common
+    * shape of graft's parameterized native functions. */
+  private def injectIntArg(ext: SparkSessionExtensions, name: String,
+                           cls: Class[_],
+                           build: (Expression, Int) => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          s"$name(child, n): n must be a literal")
+        val n = children(1).eval() match {
+          case x: Number => x.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$name(child, n): n must be a numeric literal, got $other")
+        }
+        build(children.head, n)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_json_double"),
@@ -71,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgramHashExpr(children.head, n)
       }))
+    injectIntArg(ext, "graft_md5_minhash",
+      classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
+    injectIntArg(ext, "graft_xxhash_minhash",
+      classOf[XxMinHashExpr], (c, k) => XxMinHashExpr(c, k))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),

@@ -95,8 +95,10 @@ class PlanSpec extends AnyFunSuite {
     val p = graft.operators.Dedup.crossCandidatePairs(ba, bb, 200)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // signatures aggregate map-side before any shuffle
-    assert(p.contains("partial_min"))
+    // signatures are a pure narrow map (native one-traversal minhash) —
+    // no gram explode, no groupBy(id) aggregation anywhere in the plan
+    assert(p.contains("graft_md5_minhash"))
+    assert(!p.contains("partial_min"))
   }
 
   test("bucketed merge-target reads list only manifest-referenced bucket dirs") {

@@ -41,6 +41,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native minhash signatures are byte-identical to the declarative aggregate form") {
+    // fresh lambdas (not `eq` the shipped vals) force the fallback path;
+    // the shipped vals take the native single-traversal expressions
+    val md5Decl: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => md5(c.cast("binary"))
+    val xxDecl: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => xxhash64(c)
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "pack my box with five dozen liquor jugs for the long trip",
+      3L -> "the quick brown fox jumps over the lazy dog again and again",
+      4L -> "tiny", // fewer than 3 tokens → no grams → no signature rows
+      5L -> "sphinx of black quartz judge my vow said the old sage")
+    def rows(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.bandedSignatures(corpus, "doc_id", col("text"), 3, 4, 3, hashFn)
+        .orderBy("id", "band").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.md5Hex) == rows(md5Decl))
+    assert(rows(Dedup.xxhash) == rows(xxDecl))
+    // the gram-less doc is absent under both paths
+    assert(!rows(Dedup.md5Hex).exists(_.head == 4L))
+  }
+
   test("corpusOverlap reports exact gram counts and Jaccard between corpora") {
     // side A grams: {a b c, b c d, x y z}; side B grams: {b c d, c d e, x y z}
     // intersection {b c d, x y z} = 2, union = 4 → jaccard 0.5
