@@ -105,14 +105,16 @@ object IncrementalCluster {
     BucketedMergeTarget.merge(
       newAsg.withColumn("batch_id", lit(batchId)),
       byIdPath, Seq("id"), "batch_id", nBuckets)
-    BucketedMergeTarget.merge(
-      newAsg.select(col("rep"), col("id")).withColumn("batch_id", lit(batchId)),
-      byRepPath, Seq("rep", "id"), "batch_id", nBuckets, Seq("rep"))
+    // byRep: new locations in, moved rows' old locations out — ONE commit
+    // (applyBatch); the old merge-then-deleteKeys pair cost a second
+    // manifest bump per batch and left a stale-row window between them
     val moved = oldLocs
       .join(newAsg.select(col("id"), col("rep").as("__new")), Seq("id"))
       .filter(col("rep") =!= col("__new"))
       .select(col("rep"), col("id"))
-    BucketedMergeTarget.deleteKeys(moved, byRepPath, Seq("rep", "id"))
+    BucketedMergeTarget.applyBatch(
+      newAsg.select(col("rep"), col("id")).withColumn("batch_id", lit(batchId)),
+      moved, byRepPath, Seq("rep", "id"), "batch_id", nBuckets, Seq("rep"))
     newAsg
   }
 }

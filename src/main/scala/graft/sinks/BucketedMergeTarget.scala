@@ -361,18 +361,25 @@ object BucketedMergeTarget {
     val oldBuckets = existing.map(_.buckets).getOrElse(Map.empty[Int, String])
     val newBuckets = (oldBuckets -- dropFromOld) ++ present.map(_ -> dirName).toMap
 
-    // Per-bucket row counts for the NEW version dir only — a zero-data-column
-    // scan of just-written files (footer row counts), cost ∝ the batch.
-    // Untouched buckets carry their previous counts forward.
-    // list the bucket dirs explicitly (basePath recovers the partition
-    // column): handing the `_v…` root to spark.read makes the hidden-path
-    // filter log a spurious "All paths were ignored" on every commit
+    // Per-bucket row counts for the NEW version dir only — driver-side
+    // parquet FOOTER reads of the just-written files (row counts are
+    // block metadata): cost ∝ files in the batch's buckets, no Spark job.
+    // This was previously a count scan — one extra job per commit, and
+    // commit fixed overhead is exactly what bounds incremental-store
+    // throughput. Untouched buckets carry their previous counts forward.
     val newCounts: Map[Int, Long] =
-      if (present.isEmpty) Map.empty
-      else spark.read.option("basePath", verDir.toString)
-        .parquet(present.toSeq.sorted.map(b => s"$verDir/$BucketCol=$b"): _*)
-        .groupBy(col(BucketCol)).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      present.toSeq.map { b =>
+        val bucketDir = new Path(verDir, s"$BucketCol=$b")
+        val rows = f.listStatus(bucketDir).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, spark.sessionState.newHadoopConf())
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        b -> rows
+      }.toMap
     val oldCounts = existing.map(_.rowCounts).getOrElse(Map.empty[Int, Long])
     val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
       ++ newCounts)
@@ -552,6 +559,49 @@ object BucketedMergeTarget {
       commitVersion(spark, path, existing, merged, touched, nb,
         bc)
     } finally { bucketed.unpersist(); () }
+  }
+
+  /** Upserts AND deletes in ONE commit — the incremental-cluster write
+    * shape (relabel moved rows + clear their old locations), which as
+    * merge-then-deleteKeys costs two commits; commit fixed overhead is
+    * what bounds incremental-store throughput, so the combined form
+    * matters. Semantics: stored rows matching `deletes` (exact PK) go,
+    * then `upserts` latest-per-key against what remains — a key in both
+    * is an upsert, not a delete. Buckets touched by neither side are
+    * never read or rewritten. One manifest bump; the crash window between
+    * the two separate commits disappears. */
+  def applyBatch(upserts: DataFrame, deletes: DataFrame, path: String,
+                 pkCols: Seq[String], cursorCol: String,
+                 nBuckets: Int = DefaultBuckets, bucketCols: Seq[String] = Nil): MergeStats = {
+    val spark = upserts.sparkSession
+    val existing = currentManifest(spark, path)
+    val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bc = resolveBucketCols(existing, pkCols, bucketCols)
+    val bucketed = withBucket(
+      IncrementalSync.latestByKey(upserts, pkCols, cursorCol), bc, nb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val delKeyed = withBucket(deletes.select(pkCols.map(col): _*).distinct(), bc, nb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val owned = existing.map(_.buckets.keySet).getOrElse(Set.empty)
+      val touched = bucketed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet ++
+        delKeyed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet.intersect(owned) // delete-only buckets must exist to matter
+      if (touched.isEmpty)
+        return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
+      val merged = existing match {
+        case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
+          val remaining = readBuckets(spark, path, m, touched)
+            .join(delKeyed.drop(BucketCol), pkCols, "left_anti")
+          IncrementalSync.latestByKey(
+            remaining.unionByName(bucketed, allowMissingColumns = true),
+            pkCols, cursorCol)
+        case Some(m) => addMissingColumns(bucketed, m.schema)
+        case None => bucketed
+      }
+      commitVersion(spark, path, existing, merged, touched, nb, bc)
+    } finally { bucketed.unpersist(); delKeyed.unpersist(); () }
   }
 
   /** Delete by key (the reconcile write path): rewrites only buckets that

@@ -107,6 +107,55 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == before)
   }
 
+  test("applyBatch: upserts and deletes land in ONE commit, upsert wins on overlap") {
+    val dir = tmp("mt-apply").resolve("t").toString
+    BucketedMergeTarget.replaceAll(
+      kv(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"))),
+      dir, Seq("id"), "cursor", nBuckets = 8)
+    val v0 = BucketedMergeTarget.currentManifest(spark, dir).get.version
+    // delete 2 and 3; upsert 3 (delete+upsert → upsert wins) and 5 (new)
+    val stats = BucketedMergeTarget.applyBatch(
+      kv(Seq((3L, 2L, "c2"), (5L, 2L, "e"))),
+      kv(Seq((2L, 0L, "x"), (3L, 0L, "x"))).select("id"),
+      dir, Seq("id"), "cursor")
+    assert(stats.version == v0 + 1) // exactly one manifest bump
+    assert(contents(dir) == Set((1L, 1L, "a"), (3L, 2L, "c2"), (4L, 1L, "d"), (5L, 2L, "e")))
+    // equivalent to merge-then-deleteKeys with delete-overlap removed
+    val dir2 = tmp("mt-apply2").resolve("t").toString
+    BucketedMergeTarget.replaceAll(
+      kv(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"))),
+      dir2, Seq("id"), "cursor", nBuckets = 8)
+    BucketedMergeTarget.deleteKeys(kv(Seq((2L, 0L, "x"), (3L, 0L, "x"))).select("id"),
+      dir2, Seq("id"))
+    BucketedMergeTarget.merge(kv(Seq((3L, 2L, "c2"), (5L, 2L, "e"))), dir2, Seq("id"), "cursor")
+    assert(contents(dir) == contents(dir2))
+    // row counts stay exact manifest metadata through the combined commit
+    assert(BucketedMergeTarget.rowCount(spark, dir).contains(4L))
+  }
+
+  test("applyBatch on a probe-key-bucketed store touches only probed buckets") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-apply-bc").resolve("t").toString
+    val rows = (1L to 64L).map(i => (i % 4, i, 1L)) // 4 distinct probe keys
+      .toDF("band", "id", "cursor")
+    BucketedMergeTarget.merge(rows, dir, Seq("band", "id"), "cursor",
+      nBuckets = 16, bucketCols = Seq("band"))
+    val before = BucketedMergeTarget.currentManifest(spark, dir).get
+    // upsert one key under band=1, delete one row under band=2
+    val stats = BucketedMergeTarget.applyBatch(
+      Seq((1L, 999L, 2L)).toDF("band", "id", "cursor"),
+      Seq((2L, 2L)).toDF("band", "id"),
+      dir, Seq("band", "id"), "cursor")
+    // only the two probed bands' buckets rewrite, not the whole store
+    assert(stats.bucketsRewritten <= 2, s"rewrote ${stats.bucketsRewritten}")
+    val after = BucketedMergeTarget.read(spark, dir).collect()
+    assert(after.exists(r => r.getLong(1) == 999L))
+    assert(!after.exists(r => r.getLong(0) == 2L && r.getLong(1) == 2L))
+    assert(after.length == 64) // 64 - 1 deleted + 1 added
+    assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == before.version + 1)
+  }
+
   test("a torn newest manifest falls back to the previous committed state") {
     val dir = tmp("mt-crash").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
