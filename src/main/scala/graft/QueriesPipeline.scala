@@ -160,6 +160,13 @@ object QueriesPipeline {
        |WHERE a.side = 0""".stripMargin
   }
 
+  /** Tiered target mix for `q_mix_rebalance`: parts-per-100 by source
+    * tier — srcs 0-4 carry 10 each, 5-9 carry 6, 10-14 carry 3, 15-19
+    * carry 1 (Σ = 100). */
+  private val mixWeights: Seq[(String, Long)] =
+    (0 to 4).map(i => (s"src$i", 10L)) ++ (5 to 9).map(i => (s"src$i", 6L)) ++
+      (10 to 14).map(i => (s"src$i", 3L)) ++ (15 to 19).map(i => (s"src$i", 1L))
+
   /** The near-dup corpus CTE (matches [[nearDupCorpus]]). */
   private val sqlCorpus =
     s"""corpus AS (
@@ -329,6 +336,17 @@ object QueriesPipeline {
           sum(col("len")).cast("long").as("sum_len"),
           min(col("doc_id")).as("first_doc"))),
 
+    // Source-mix rebalancing: downsample the uniform 20-source corpus to
+    // a tiered target mix (50/30/15/5 across four source tiers) — the
+    // data-mixing step of corpus assembly. Summary per source pins the
+    // exact keeper set via sum of kept ids.
+    "q_mix_rebalance" -> ((s, dir) => {
+      Sampling.rebalanceMix(t(s, dir, "documents"), "source", col("doc_id"),
+        mixWeights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // Stratified cap: at most 40 docs per source, chosen by md5-hash
     // order (deterministic under any partitioning) — class balancing.
     "q_stratified_cap" -> ((s, dir) =>
@@ -430,6 +448,18 @@ object QueriesPipeline {
       Dedup.crossMinhashCandidates(docs, bench, "doc_id", col("text"),
         ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)
+    }),
+
+    // EXACT n-gram decontamination (GPT-3/PaLM discipline), the strict
+    // complement of the fuzzy sweep above: a doc is contaminated iff it
+    // shares a verbatim 8-gram with the benchmark side. Benchmark grams
+    // broadcast; the corpus never shuffles before the per-doc hit count.
+    "q_ngram_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+      Dedup.ngramContamination(docs, "doc_id", col("text"), bench, col("text"), 8)
     }),
 
     // INCREMENTAL corpus dedup — the 100 TB ingestion shape: the
@@ -998,6 +1028,23 @@ object QueriesPipeline {
       // pairs form only across sides, cap on the combined population.
       "q_decontaminate" -> sqlContamPairs,
 
+      // Exact 8-gram contamination: per-doc distinct grams joined against
+      // the benchmark side's distinct gram set — gram strings, no hashing,
+      // so both engines replay the identical sweep.
+      "q_ngram_decontaminate" ->
+        s"""WITH bench AS (
+           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |),
+           |ctoks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |btoks AS (SELECT doc_id, $sqlWords AS w FROM bench),
+           |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM ctoks),
+           |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM btoks)
+           |SELECT doc_id AS id, count(*) AS n_hit_grams
+           |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+
       // Detection applied: the cleaned corpus is everything whose doc_id
       // never appears as a flagged id_a (sub-3-token docs can't band and
       // are kept by construction on both engines).
@@ -1182,6 +1229,26 @@ object QueriesPipeline {
           | count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_len,
           | min(doc_id) AS first_doc
           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // Mix rebalance replayed with the same integer quota arithmetic:
+      // N = min(n_s*100 // w_s), quota_s = w_s*N // 100, keepers =
+      // quota-first rows per source in md5(doc_id) order.
+      "q_mix_rebalance" -> {
+        val values = mixWeights
+          .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+        s"""WITH w(source, tw) AS (VALUES $values),
+           |counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |feas AS (SELECT min(n * 100 // tw) AS nfeas FROM counts JOIN w USING (source)),
+           |quota AS (SELECT source, tw * nfeas // 100 AS q FROM w, feas),
+           |ranked AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM documents)
+           |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM ranked JOIN quota USING (source)
+           |WHERE rk <= q GROUP BY 1""".stripMargin
+      },
 
       "q_stratified_cap" ->
         """WITH ranked AS (

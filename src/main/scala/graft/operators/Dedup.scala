@@ -199,6 +199,32 @@ object Dedup {
     } finally { ba.unpersist(); bb.unpersist(); () }
   }
 
+  /** EXACT n-gram decontamination (the GPT-3/PaLM discipline): flag every
+    * corpus doc sharing at least one exact word n-gram with the benchmark
+    * set, with the count of distinct shared grams — the strict complement
+    * of the fuzzy [[crossMinhashCandidates]] sweep (no banding, no
+    * probability: an n-gram either leaks or it doesn't; published
+    * pipelines use n ≈ 8–13 so that only real verbatim overlap trips it).
+    *
+    * 100 TB shape: the benchmark gram set is the SMALL side by
+    * construction (benchmarks are thousands of docs; corpora are
+    * billions) — it broadcasts, the corpus never shuffles before the
+    * per-doc hit count (plan-pinned), and the only aggregation key is the
+    * flagged doc id. If the combined benchmark gram set ever outgrows a
+    * broadcast, the same plan degrades to a shuffled semi join where
+    * Spark's runtime bloom filter prunes the corpus explode (pinned in
+    * PlanSpec's bloom test); gram STRINGS are joined — not hashes — so
+    * the DuckDB oracle replays the sweep exactly. */
+  def ngramContamination(corpus: DataFrame, idCol: String, text: Column,
+                         bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val bg = bench.select(tokens(benchText).as("__t"))
+      .select(explode(ngramsOfTokens(col("__t"), n)).as("g")).distinct()
+    corpus.select(col(idCol).as("id"), tokens(text).as("__t"))
+      .select(col("id"), explode(ngramsOfTokens(col("__t"), n)).as("g"))
+      .join(broadcast(bg), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** The lazy A×B pair plan (exposed for plan-shape tests — the public
     * operator checkpoints it eagerly, which hides the plan). */
   private[graft] def crossCandidatePairs(ba: DataFrame, bb: DataFrame,

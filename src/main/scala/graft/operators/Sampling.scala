@@ -45,6 +45,48 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Source-mix rebalancing (the data-mixing operator): downsample each
+    * source deterministically so the kept corpus matches a TARGET mix —
+    * e.g. "50 % web, 30 % books, 15 % code, 5 % reference" out of
+    * whatever arrived. The largest corpus satisfying every share exactly
+    * is kept: N = min over sources of ⌊n_s·100/w_s⌋, quota_s =
+    * ⌊w_s·N/100⌋ — all INTEGER arithmetic, so any engine derives the
+    * identical quotas (no floating-point fencepost). Within a source the
+    * keepers are the quota-first rows in md5(key) order — the same
+    * content-stable discipline as [[stratifiedCap]], so reruns and
+    * engines agree row-for-row.
+    *
+    * Weights are parts-per-100 over the sources to KEEP (must sum to
+    * 100); sources without a weight are dropped; every weighted source
+    * must exist (fail-loud, since a missing source would silently zero
+    * the whole mix). The per-source counts are one aggregate collected
+    * to the driver — #sources rows, metadata. The rank window partitions
+    * by source (scales with the largest source, like [[stratifiedCap]]);
+    * at extreme skew the scale path is a per-source md5-threshold
+    * selection instead of a full rank — same keeper set, two passes. */
+  def rebalanceMix(df: DataFrame, sourceCol: String, key: Column,
+                   weightsPer100: Seq[(String, Long)]): DataFrame = {
+    require(weightsPer100.nonEmpty && weightsPer100.forall(_._2 > 0),
+      "weights must be positive")
+    require(weightsPer100.map(_._2).sum == 100L,
+      s"weights must sum to 100, got ${weightsPer100.map(_._2).sum}")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weightsPer100.collect { case (s, _) if !counts.contains(s) => s }
+    require(missing.isEmpty, s"weighted sources absent from the corpus: $missing")
+    val n = weightsPer100.map { case (s, w) => counts(s) * 100L / w }.min
+    val quotas = weightsPer100.map { case (s, w) => (s, w * n / 100L) }
+    import spark.implicits._
+    val qdf = quotas.toDF(sourceCol, "__q")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    df.join(broadcast(qdf), Seq(sourceCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__q"))
+      .drop("__rk", "__q")
+  }
+
   /** Temporal thinning (debounce): keep a row only when it is at least
     * `minGapSeconds` after the PREVIOUS row of the same keys (lag
     * semantics — each row compares to its immediate predecessor in

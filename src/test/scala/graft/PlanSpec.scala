@@ -101,6 +101,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("partial_min"))
   }
 
+  test("exact n-gram decontamination broadcasts benchmark grams — corpus shuffles once") {
+    val p = graft.SparkEntry.queries("q_ngram_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly two exchanges: the (tiny) benchmark-side gram distinct
+    // feeding the broadcast, and the final per-doc hit count — the
+    // corpus explode itself never shuffles before the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // and the corpus branch reads only the two needed columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("bucketed merge-target reads list only manifest-referenced bucket dirs") {
     import org.apache.spark.sql.functions.col
     val s = spark

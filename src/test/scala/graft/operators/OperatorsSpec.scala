@@ -371,6 +371,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.count() == 4)
   }
 
+  test("rebalanceMix hits integer quotas, is deterministic, and fails loud on absent sources") {
+    val s = spark
+    import s.implicits._
+    // 100 web, 40 books, 60 junk (unweighted → dropped)
+    val df = ((1L to 100L).map(i => (i, "web")) ++ (101L to 140L).map(i => (i, "books")) ++
+      (141L to 200L).map(i => (i, "junk"))).toDF("id", "src")
+    val weights = Seq("web" -> 60L, "books" -> 40L)
+    // N = min(100*100/60, 40*100/40) = min(166, 100) = 100 → quotas 60, 40
+    val kept = Sampling.rebalanceMix(df, "src", col("id"), weights)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("web" -> 60L, "books" -> 40L)) // junk dropped entirely
+    // deterministic under repartitioning
+    val kept2 = Sampling.rebalanceMix(df.repartition(7), "src", col("id"), weights)
+    assert(kept.collect().map(_.getAs[Long]("id")).toSet ==
+      kept2.collect().map(_.getAs[Long]("id")).toSet)
+    // a weighted source missing from the corpus is a hard error
+    val e = intercept[IllegalArgumentException] {
+      Sampling.rebalanceMix(df, "src", col("id"), Seq("web" -> 60L, "ghost" -> 40L))
+    }
+    assert(e.getMessage.contains("ghost"))
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceMix(df, "src", col("id"), Seq("web" -> 50L, "books" -> 40L))
+    }
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint; disjoint docs don't") {
     val s = spark
     import s.implicits._
