@@ -192,22 +192,14 @@ object BucketedMergeTarget {
   /** THE commit lock: publishing the writer-unique tmp under the
     * version-named manifest file, atomically and exclusively — exactly
     * one writer per version wins; every loser throws the replay
-    * IOException. The exclusive primitive is filesystem-specific:
-    *
-    *  - HDFS: `rename(tmp, dest)` is atomic at the NameNode and returns
-    *    false when dest exists — rename IS the lock.
-    *  - local `file://`: POSIX rename(2) silently REPLACES an existing
-    *    destination (Hadoop's RawLocalFileSystem delegates to
-    *    File.renameTo), so a rename race loses the first writer's commit.
-    *    Here the lock is `Files.createLink(dest, tmp)` — link(2) fails
-    *    EEXIST atomically — then the tmp is unlinked.
-    *
-    * (Object stores have neither primitive; their documented deployment
-    * uses a single writer per target — see the commit-protocol notes in
-    * SCALE.md.) A torn (unparseable) file in the destination slot is a
-    * crashed writer's debris, never a committed state — clear it and
-    * replay; the replay retries the same version against a now-free
-    * slot. */
+    * IOException. The exclusive primitive is pluggable per target
+    * ([[CommitLock]]): FS-native (HDFS atomic rename / local hard-link)
+    * by default, conditional-put (S3 `If-None-Match` / GCS
+    * generation-match / lock service) for pure object stores — register
+    * one via `CommitLock.register(pathPrefix, lock)`. A torn
+    * (unparseable) file in the destination slot is a crashed writer's
+    * debris, never a committed state — clear it and replay; the replay
+    * retries the same version against a now-free slot. */
   private def writeManifest(f: FileSystem, p: Path, m: Manifest): Unit = {
     f.mkdirs(p)
     val tmp = new Path(p, "_graft_manifest_tmp_" +
@@ -226,23 +218,11 @@ object BucketedMergeTarget {
   }
 
   /** Atomically publish tmp as dest iff dest does not exist; false on
-    * loss. Local FS gets the hard-link protocol (see [[writeManifest]]);
-    * everything else relies on fail-if-exists rename semantics. */
+    * loss. Delegates to the [[CommitLock]] registered for the target
+    * (default [[CommitLock.FsNative]] — hard-link on local FS,
+    * fail-if-exists rename elsewhere). */
   private[sinks] def publishExclusive(f: FileSystem, tmp: Path, dest: Path): Boolean =
-    if (f.getScheme == "file") {
-      val tmpFile = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-      val destFile = java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(destFile, tmpFile)
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // FS mounted without hard-link support: fall back to rename and
-        // accept its (weaker) local semantics rather than failing outright
-        case _: UnsupportedOperationException => f.rename(tmp, dest)
-      }
-    } else f.rename(tmp, dest)
+    CommitLock.forTarget(f, dest).publish(f, tmp, dest)
 
   private def parses(f: FileSystem, mp: Path): Boolean =
     try {

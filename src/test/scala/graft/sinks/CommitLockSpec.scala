@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path => JPath}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The pluggable commit lock: the conditional-put protocol must give the
+  * same one-winner-per-slot / zero-lost-batch guarantees the FS-native
+  * primitives give — that is what makes the store safely multi-writer on
+  * a pure object store (where rename is copy+delete and hard links don't
+  * exist). */
+class CommitLockSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+  private def tmp(prefix: String): JPath = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+  private def hfs(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+  private def kv(rows: Seq[(Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "cursor", "v")
+  }
+
+  test("default lock resolution is FsNative; prefix registration routes and unregisters") {
+    val (fs, _) = hfs(tmp("cl-route").toString)
+    val dest = new Path(tmp("cl-route").resolve("t").toString, "_m.json")
+    assert(CommitLock.forTarget(fs, dest) == CommitLock.FsNative)
+    val lock = new CommitLock.ConditionalPut(new CommitLock.InMemoryRegister)
+    val prefix = fs.makeQualified(dest.getParent).toUri.toString
+    CommitLock.register(prefix, lock)
+    try assert(CommitLock.forTarget(fs, dest) eq lock)
+    finally CommitLock.unregister(prefix)
+    assert(CommitLock.forTarget(fs, dest) == CommitLock.FsNative)
+    // longest prefix wins
+    val broad = new CommitLock.ConditionalPut(new CommitLock.InMemoryRegister)
+    CommitLock.register("file:/", broad)
+    CommitLock.register(prefix, lock)
+    try assert(CommitLock.forTarget(fs, dest) eq lock)
+    finally { CommitLock.unregister("file:/"); CommitLock.unregister(prefix) }
+  }
+
+  test("ConditionalPut: a loser never touches the slot — no bytes move before arbitration") {
+    val root = tmp("cl-loser").resolve("t").toString
+    val (fs, rootPath) = hfs(root)
+    fs.mkdirs(rootPath)
+    val register = new CommitLock.InMemoryRegister
+    val lock = new CommitLock.ConditionalPut(register)
+    val dest = new Path(rootPath, "_slot.json")
+    // pre-claim the slot: every subsequent publish must lose WITHOUT
+    // creating or replacing dest (on an object store a loser's copy+delete
+    // "rename" would tear the winner's object — arbitration must come first)
+    assert(register.putIfAbsent(fs.makeQualified(dest).toUri.toString))
+    val t = new Path(rootPath, "_tmp_1")
+    val out = fs.create(t, true)
+    try out.write("loser".getBytes("UTF-8")) finally out.close()
+    assert(!lock.publish(fs, t, dest))
+    assert(!fs.exists(dest), "loser materialized bytes in a slot it did not own")
+    assert(fs.exists(t), "loser consumed its tmp despite losing")
+  }
+
+  test("ConditionalPut: 16 racers to one slot — exactly one wins, content is the winner's") {
+    val root = tmp("cl-race").resolve("t").toString
+    val (fs, rootPath) = hfs(root)
+    fs.mkdirs(rootPath)
+    val lock = new CommitLock.ConditionalPut(new CommitLock.InMemoryRegister)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      for (round <- 1 to 20) {
+        val dest = new Path(rootPath, s"_slot_$round.json")
+        val start = new CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val tasks = (1 to 16).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val t = new Path(rootPath, s"_tmp_${round}_$w")
+              val out = fs.create(t, true)
+              try out.write(s"writer-$w".getBytes("UTF-8")) finally out.close()
+              start.await(30, TimeUnit.SECONDS)
+              if (lock.publish(fs, t, dest)) {
+                wins.incrementAndGet(); winners.add(w); ()
+              } else fs.delete(t, false)
+            }
+          })
+        }
+        start.countDown()
+        tasks.foreach(_.get(60, TimeUnit.SECONDS))
+        assert(wins.get() == 1, s"round $round: ${wins.get()} writers won the same slot")
+        val in = fs.open(dest)
+        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val w = winners.iterator().next()
+        assert(got == s"writer-$w",
+          s"round $round: slot holds '$got' but writer $w won")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("four concurrent writers per round never lose a batch under ConditionalPut") {
+    // The merge-level race from MergeTargetSpec, rerun with the target
+    // routed through the conditional-put lock: the whole store protocol
+    // (strict base+1 versions, replay-on-loss) must hold when the
+    // exclusive primitive is a register claim instead of a link/rename.
+    val dir = tmp("cl-merge-race").resolve("t").toString
+    val (fs, rootPath) = hfs(dir)
+    val prefix = fs.makeQualified(rootPath).toUri.toString
+    CommitLock.register(prefix, new CommitLock.ConditionalPut(new CommitLock.InMemoryRegister))
+    try {
+      BucketedMergeTarget.merge(kv(Seq((0L, 1L, "seed"))), dir, Seq("id"), "cursor", 8)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def mergeWithReplay(id: Long): Unit = {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try {
+            BucketedMergeTarget.merge(kv(Seq((id, 2L, s"w$id"))), dir, Seq("id"), "cursor", 8)
+            done = true
+          } catch { case _: java.io.IOException if attempts < 50 => () }
+        }
+      }
+      val ids = for (round <- 1 to 3; w <- 1 to 4) yield round * 10L + w
+      for (round <- 1 to 3) {
+        val batch = ids.filter(_ / 10 == round)
+        Await.result(Future.sequence(batch.map(id => Future(mergeWithReplay(id)))), 600.seconds)
+      }
+      val got = BucketedMergeTarget.read(spark, dir)
+        .filter(col("id") > 0L).select("id").collect().map(_.getLong(0)).toSet
+      assert(got == ids.toSet, s"lost batches: ${ids.toSet -- got}")
+      assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == 13L)
+    } finally CommitLock.unregister(prefix)
+  }
+}
