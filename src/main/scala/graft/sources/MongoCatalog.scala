@@ -81,20 +81,29 @@ object MongoCatalog {
 
   /** S19 raw form: the cursor drain as a Dataset of Extended-JSON strings
     * (name-validated, read-only — `reader.rs:153-193`). Faithful to the
-    * reference's whole-collection drain, therefore DRIVER-BOUND: the
-    * estimated count is checked against `maxDriverRows` first and large
-    * collections are refused — use [[readCollectionPartitioned]] there. */
+    * reference's whole-collection drain, but STREAMED, never
+    * materialized: the cursor is spooled document-by-document to a local
+    * temp JSONL file (constant driver memory — one document in flight;
+    * Extended JSON is newline-free by construction, strings carry `\n`
+    * escaped), which the returned Dataset then reads lazily. The
+    * `maxDriverRows` guard stays as the bound on single-cursor drain
+    * TIME and local spool DISK; collections above it should use
+    * [[readCollectionPartitioned]], where no document ever crosses the
+    * driver at all. */
   def readCollectionRaw(spark: SparkSession, client: MongoClientContract,
                         database: String, collection: String,
                         maxDriverRows: Long = MaxDriverDrainDocs): Dataset[String] = {
-    import spark.implicits._
     val coll = validated(collection)
     val estimated = client.estimatedDocumentCount(database, coll)
     require(estimated <= maxDriverRows,
       s"$database.$coll has ~$estimated docs > $maxDriverRows: the single-cursor " +
-        "drain materializes on the driver — use readCollectionPartitioned")
-    val docs = client.findAll(database, coll).toSeq
-    spark.createDataset(docs)
+        "drain spools through the driver — use readCollectionPartitioned")
+    val tmp = java.nio.file.Files.createTempFile(s"graft_mongo_${coll}_", ".jsonl")
+    tmp.toFile.deleteOnExit() // the Dataset reads it lazily — keep for the JVM's life
+    val w = java.nio.file.Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+    try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
+    finally w.close()
+    spark.read.textFile(tmp.toUri.toString)
   }
 
   /** S19 typed form: Extended-JSON documents parsed to a DataFrame

@@ -662,6 +662,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(20L), 2L -> Some(10L), 3L -> None, 4L -> None))
   }
 
+  test("asofJoin refuses inputs that collide with its reserved scratch columns") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val left = Seq((1L, "u1", ts("2024-05-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts("2024-05-01 09:00:00"), 10L)).toDF("user_id", "ts", "click_id")
+    // a caller column named like the union-scan scratch would be silently
+    // replaced (withColumn semantics) — must fail loudly instead
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left.withColumn("__side", lit(9)), right,
+        Seq("user_id"), "ts", "click_id", "out")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left, right.withColumn("__rv", lit(9)),
+        Seq("user_id"), "ts", "click_id", "out")
+    }
+    // outCol colliding with an existing left column
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left, right, Seq("user_id"), "ts", "click_id", "event_id")
+    }
+  }
+
   test("asofJoin matches driver-side brute force on random event sets") {
     val s = spark
     import s.implicits._

@@ -362,6 +362,20 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == 13L)
   }
 
+  test("gc reaps crashed writers' manifest tmp debris on the next commit") {
+    val dir = tmp("mt-tmpgc").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 8)
+    val (fs, rootPath) = hfs(dir)
+    // a writer that crashed between create and publish leaves its tmp
+    val debris = new Path(rootPath, "_graft_manifest_tmp_deadbeefdeadbeef")
+    val out = fs.create(debris, true)
+    try out.write("{\"half\":".getBytes("UTF-8")) finally out.close()
+    assert(fs.exists(debris))
+    BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 8)
+    assert(!fs.exists(debris), "crashed writer's manifest tmp survived gc")
+    assert(contents(dir) == Set((1L, 1L, "a"), (2L, 1L, "b")))
+  }
+
   test("publishExclusive: 16 racers to one slot — exactly one wins, content is the winner's") {
     // The merge-level race test above exercises the whole replay loop, but
     // its collision window (microseconds of commit inside seconds of

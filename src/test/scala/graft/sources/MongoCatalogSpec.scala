@@ -114,6 +114,20 @@ class MongoCatalogSpec extends AnyFunSuite {
     assert(row.getAs[String]("_source_type") == "mongodb")
   }
 
+  test("readCollectionRaw streams through a spool: one cursor drain, re-reads never re-query") {
+    val docs = Seq("""{"_id":"u1","n":1}""", """{"_id":"u2","n":2}""")
+    val m = new MockMongo(Nil, Map("users" -> docs))
+    val ds = MongoCatalog.readCollectionRaw(spark, m, "mydb", "users")
+    // the cursor is drained to local disk exactly once, at call time —
+    // constant driver memory (one document in flight), and the returned
+    // Dataset reads the spool lazily
+    assert(m.calls.count(_.startsWith("find:")) == 1)
+    assert(ds.collect().toSeq == docs)
+    ds.collect()
+    assert(m.calls.count(_.startsWith("find:")) == 1,
+      "re-collect re-drained the source cursor instead of the spool")
+  }
+
   test("readCollectionRaw refuses a collection too big to drain on the driver") {
     val m = new MockMongo(Nil, Map("big" -> Seq("""{"_id":1}""", """{"_id":2}""")))
     // mock reports 2 docs; cap at 1 → the drain must refuse BEFORE find()
