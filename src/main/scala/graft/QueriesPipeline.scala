@@ -515,9 +515,16 @@ object QueriesPipeline {
       val store = root.resolve("sigs").toString
       val p = IncrementalDedup.LshParams(ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)
-      IncrementalDedup.appendBatch(accumulated, "doc_id", col("text"), store, 1L, p)
+      // nBuckets sized to the FIXTURE (a few thousand signature rows):
+      // commit and probe fixed costs scale with bucket-file count, and a
+      // store this size in 32 buckets pays 4× the files for no pruning
+      // gain — at scale the bucket count grows with the store, the
+      // per-batch cost stays ∝ touched buckets either way
+      IncrementalDedup.appendBatch(accumulated, "doc_id", col("text"), store, 1L, p,
+        nBuckets = 8)
       val (cands, _) =
-        IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p)
+        IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p,
+          nBuckets = 8)
       // cands is already checkpointed (probeCandidates materializes before
       // releasing its persist) — the scratch store can go; repeated bench/
       // verify invocations must not accumulate orphaned stores in /tmp
@@ -540,12 +547,15 @@ object QueriesPipeline {
       val d = java.nio.file.Files.createTempDirectory("graft-inccluster")
       val byId = d.resolve("byId").toString
       val byRep = d.resolve("byRep").toString
-      // ~14 s at sf0.1, and that is FIXED overhead (≈20 tiny jobs across
-      // two probe→CC→dual-commit rounds), not data volume — measured
-      // identical at 16 and 32 buckets; the per-batch cost curve is flat
-      // (StoreGrowthBench) which is the property that matters at scale
-      IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L)
-      IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L)
+      // Round-5: updates run the DRIVER-LOCAL path (one collect + two
+      // zero-shuffle pruned probes + two single-action commits — was ≈20
+      // tiny jobs), and nBuckets=8 sizes the stores to the fixture (see
+      // q_incremental_dedup note); the per-batch cost curve stays flat
+      // (StoreGrowthBench), the property that matters at scale
+      IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L,
+        nBuckets = 8)
+      IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L,
+        nBuckets = 8)
       // materialize off the store, then reclaim the scratch dirs (see
       // q_incremental_dedup)
       val out = IncrementalCluster.assignments(s, byId).localCheckpoint(true)

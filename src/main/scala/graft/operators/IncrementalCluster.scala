@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,13 +45,157 @@ object IncrementalCluster {
     BucketedMergeTarget.read(spark, byIdPath).select(col("id"), col("rep"))
 
   /** Apply one batch of undirected edges `(id_a, id_b)`. Returns the
-    * re-labeled assignments `(id, rep, prev_rep)` this batch wrote. */
+    * re-labeled assignments `(id, rep, prev_rep)` this batch wrote.
+    *
+    * TWO EXECUTION PATHS, identical semantics (equivalence
+    * property-pinned across the threshold in IncrementalClusterSpec):
+    *
+    *   - batches of ≤ `driverMaxEdges` integral-id edges (the usual
+    *     incremental arrival) run DRIVER-LOCAL: one collect of the edge
+    *     batch, two zero-shuffle bucket-pruned point lookups
+    *     ([[BucketedMergeTarget.readMatchingLocal]] — bucket hashes
+    *     evaluated on the driver), union-find + relabeling in plain
+    *     Scala, then the two store commits from local relations. This
+    *     cuts the per-update fixed overhead from ~20 tiny Spark jobs
+    *     (distinct/join/checkpoint shuffles over batch-sized frames) to
+    *     the two probes + two commits — the lever that bounds
+    *     incremental-store throughput (round-4 verdict #4). The batch
+    *     and its affected-cluster neighborhood land on the driver, which
+    *     is exactly the regime [[Dedup.connectedComponents]] already
+    *     accepts for its union-find fast path.
+    *   - larger batches (or non-integral ids) run the distributed
+    *     dataflow below — work ∝ batch + affected clusters, never the
+    *     accumulated corpus.
+    */
   def update(edges: DataFrame, byIdPath: String, byRepPath: String,
              batchId: Long,
-             nBuckets: Int = BucketedMergeTarget.DefaultBuckets): DataFrame = {
+             nBuckets: Int = BucketedMergeTarget.DefaultBuckets,
+             driverMaxEdges: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = edges.sparkSession
     val e = edges.select(col("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct()
+    val idType = edges.schema("id_a").dataType
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType) &&
+      idType == edges.schema("id_b").dataType
+    if (integral && driverMaxEdges > 0) {
+      val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val collected = e.limit(cap).collect()
+      if (collected.length <= driverMaxEdges)
+        return updateLocal(spark, collected, idType, byIdPath, byRepPath, batchId, nBuckets)
+    }
+    updateDistributed(spark, e, byIdPath, byRepPath, batchId, nBuckets)
+  }
+
+  /** Driver-local update: the whole probe → union-find → relabel round
+    * in plain Scala; Spark runs only the two pruned store reads and the
+    * two commits. */
+  private def updateLocal(spark: SparkSession, eRows: Array[org.apache.spark.sql.Row],
+                          idType: org.apache.spark.sql.types.DataType,
+                          byIdPath: String, byRepPath: String, batchId: Long,
+                          nBuckets: Int): DataFrame = {
+    import scala.collection.mutable
+    // ids as longs for the union-find; `orig` maps back to the runtime
+    // representation of the stored type (Byte/Short/Int/Long)
+    val orig = mutable.Map.empty[Long, Any]
+    def reg(a: Any): Long = {
+      val l = a.asInstanceOf[Number].longValue
+      orig.getOrElseUpdate(l, a); l
+    }
+    val eL = eRows.map(r => (reg(r.get(0)), reg(r.get(1))))
+    val touched: Set[Long] = eL.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+
+    val byIdManifest = BucketedMergeTarget.currentManifest(spark, byIdPath)
+    val known: Map[Long, (Long, Long)] =
+      if (byIdManifest.isEmpty) Map.empty
+      else BucketedMergeTarget.readMatchingLocal(spark, byIdPath, "id",
+          touched.map(orig).toSeq, idType, byIdManifest)
+        .select(col("id"), col("rep"), col("prev_rep")).collect()
+        .map(r => reg(r.get(0)) -> (reg(r.get(1)), reg(r.get(2)))).toMap
+    val touchedAsg: Map[Long, (Long, Long)] =
+      touched.iterator.map(id => id -> known.getOrElse(id, (id, id))).toMap
+
+    val reps: Set[Long] = touchedAsg.valuesIterator.flatMap(v => Iterator(v._1, v._2)).toSet
+    val byRepManifest = BucketedMergeTarget.currentManifest(spark, byRepPath)
+    val members: Seq[(Long, Long)] =
+      if (byRepManifest.isEmpty) Nil
+      else BucketedMergeTarget.readMatchingLocal(spark, byRepPath, "rep",
+          reps.map(orig).toSeq, idType, byRepManifest)
+        .select(col("rep"), col("id")).collect()
+        .map(r => (reg(r.get(0)), reg(r.get(1)))).toSeq
+
+    // local graph: new edges + star edges (member—rep, touched—rep,
+    // touched—prev_rep) — same construction as the distributed path
+    val star = members.iterator.map { case (r, i) => (i, r) } ++
+      touchedAsg.iterator.map { case (i, (r, _)) => (i, r) } ++
+      touchedAsg.iterator.map { case (i, (_, p)) => (i, p) }
+    val allEdges = (eL.iterator ++ star).filter(p => p._1 != p._2).toSeq
+    val nodes: Set[Long] = allEdges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet ++
+      touched
+
+    // union-find with path compression; component label = min member id
+    // (the same labeling connectedComponents produces)
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compMin = mutable.Map.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      compMin(r) = math.min(compMin.getOrElse(r, n), n)
+    }
+    def comp(n: Long): Long = compMin(find(n))
+
+    // every old (rep, id) location a node may occupy — as distributed
+    val oldLocs: Set[(Long, Long)] = members.toSet ++
+      touchedAsg.iterator.map { case (i, (r, _)) => (r, i) } ++
+      touchedAsg.iterator.map { case (i, (_, p)) => (p, i) }
+    val oldAsg: Map[Long, Long] =
+      oldLocs.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val newAsg: Seq[(Long, Long, Long)] =
+      nodes.toSeq.sorted.map(id => (id, comp(id), oldAsg.getOrElse(id, id)))
+    val newRep: Map[Long, Long] = newAsg.iterator.map(t => t._1 -> t._2).toMap
+    val moved: Seq[(Long, Long)] =
+      oldLocs.filter { case (r, i) => newRep(i) != r }.toSeq.sorted
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val asgSchema = StructType(Seq(
+      StructField("id", idType), StructField("rep", idType),
+      StructField("prev_rep", idType), StructField("batch_id", LongType)))
+    val asgRows = newAsg.map(t =>
+      org.apache.spark.sql.Row(orig(t._1), orig(t._2), orig(t._3), batchId))
+
+    // byId FIRST (same crash/replay contract as the distributed path);
+    // both commits run through the single-action local form — the dedup,
+    // bucket selection and delete keys are already driver-resident
+    BucketedMergeTarget.applyBatchLocal(spark, asgSchema, asgRows, Nil,
+      byIdPath, Seq("id"), "batch_id", nBuckets)
+    val byRepSchema = StructType(Seq(
+      StructField("rep", idType), StructField("id", idType),
+      StructField("batch_id", LongType)))
+    val byRepUpserts = newAsg.map(t =>
+      org.apache.spark.sql.Row(orig(t._2), orig(t._1), batchId))
+    val movedRows = moved.map(p =>
+      org.apache.spark.sql.Row(orig(p._1), orig(p._2)))
+    BucketedMergeTarget.applyBatchLocal(spark, byRepSchema, byRepUpserts, movedRows,
+      byRepPath, Seq("rep", "id"), "batch_id", nBuckets, Seq("rep"))
+    spark.createDataFrame(
+      newAsg.map(t => org.apache.spark.sql.Row(orig(t._1), orig(t._2), orig(t._3))).asJava,
+      StructType(asgSchema.fields.dropRight(1)))
+  }
+
+  /** The distributed dataflow (batches beyond the driver regime). */
+  private def updateDistributed(spark: SparkSession, e: DataFrame,
+                                byIdPath: String, byRepPath: String, batchId: Long,
+                                nBuckets: Int): DataFrame = {
     val touched = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id"))).distinct()
 

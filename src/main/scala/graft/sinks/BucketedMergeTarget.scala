@@ -347,19 +347,30 @@ object BucketedMergeTarget {
     // This was previously a count scan — one extra job per commit, and
     // commit fixed overhead is exactly what bounds incremental-store
     // throughput. Untouched buckets carry their previous counts forward.
-    val newCounts: Map[Int, Long] =
-      present.toSeq.map { b =>
+    // Footers are read CONCURRENTLY (a dedicated pool — each open is an
+    // independent ~20 ms metadata fetch, and serializing 32 of them was
+    // a measured ~0.3 s of every commit's latency).
+    val newCounts: Map[Int, Long] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(present.size, 1), 16))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val conf = spark.sessionState.newHadoopConf()
+      try Await.result(Future.traverse(present.toSeq) { b => Future {
         val bucketDir = new Path(verDir, s"$BucketCol=$b")
         val rows = f.listStatus(bucketDir).toSeq
           .filter(st => st.getPath.getName.endsWith(".parquet"))
           .map { st =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, spark.sessionState.newHadoopConf())
+              .fromStatus(st, conf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try r.getRecordCount finally r.close()
           }.sum
         b -> rows
-      }.toMap
+      } }, 600.seconds).toMap
+      finally pool.shutdown()
+    }
     val oldCounts = existing.map(_.rowCounts).getOrElse(Map.empty[Int, Long])
     val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
       ++ newCounts)
@@ -472,6 +483,112 @@ object BucketedMergeTarget {
           readBuckets(spark, path, m, touched).drop(BucketCol)
             .join(keyed.drop(BucketCol), probeCols, "left_semi")
     }
+  }
+
+  /** [[readMatching]] with DRIVER-RESIDENT probe keys (single probe
+    * column): the touched-bucket set is computed by evaluating the
+    * bucketing hash on the driver — no Spark job, no shuffle — and the
+    * pruned read filters through an IN predicate instead of a semi-join.
+    * This is the point-lookup shape of the incremental operators' driver
+    * fast path: a probe of k keys costs ONE narrow scan of the buckets
+    * those k keys hash into, nothing else. `keyType` must be the stored
+    * column's type (bucket hashes are type-sensitive). Pass `manifest`
+    * when the caller already read it (one manifest parse per update, not
+    * one per probe). */
+  def readMatchingLocal(spark: SparkSession, path: String, probeCol: String,
+                        keys: Seq[Any], keyType: DataType,
+                        manifest: Option[Manifest] = None): DataFrame = {
+    val m = manifest.orElse(currentManifest(spark, path)).getOrElse(
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(org.apache.spark.sql.types.StructField(probeCol, keyType)))))
+    require(m.bucketCols.isEmpty || m.bucketCols == Seq(probeCol),
+      s"target is bucketed by ${m.bucketCols} — probe with exactly those columns")
+    val distinctKeys = keys.distinct
+    val touched = distinctKeys.map(k => localBucket(k, keyType, m.nBuckets)).toSet
+      .intersect(m.buckets.keySet)
+    if (touched.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      readBuckets(spark, path, m, touched).drop(BucketCol)
+        .filter(col(probeCol).isInCollection(distinctKeys))
+  }
+
+  /** The bucket [[withBucket]] assigns these key values, computed on the
+    * driver: the same Murmur3 expression (seed 42 — what `functions.hash`
+    * uses) evaluated over literals. */
+  private[graft] def localBucketOf(values: Seq[(Any, DataType)], nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(values.map { case (v, dt) => Literal.create(v, dt) })
+      .eval(null).asInstanceOf[Int]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  private[graft] def localBucket(value: Any, dt: DataType, nBuckets: Int): Int =
+    localBucketOf(Seq((value, dt)), nBuckets)
+
+  /** [[applyBatch]] for a DRIVER-RESIDENT batch: latest-per-key dedup and
+    * bucket membership are computed on the driver (no persist, no
+    * touched-bucket collect jobs), so the entire commit runs as ONE Spark
+    * action — the pruned-bucket rewrite. This is what bounds per-batch
+    * latency for the incremental operators' driver fast path: commit
+    * fixed overhead drops from 3–4 scheduled jobs to 1.
+    *
+    * `upserts` rows match `schema` (which includes `cursorCol`);
+    * `deleteKeys` rows are `pkCols`-shaped tuples. Cursor values must be
+    * Comparable (the driver-side analog of SQL `max`). Semantics are
+    * identical to [[applyBatch]] — upsert wins over delete for a key in
+    * both. */
+  def applyBatchLocal(spark: SparkSession, schema: StructType, upserts: Seq[Row],
+                      deleteKeys: Seq[Row], path: String, pkCols: Seq[String],
+                      cursorCol: String, nBuckets: Int = DefaultBuckets,
+                      bucketCols: Seq[String] = Nil): MergeStats = {
+    val existing = currentManifest(spark, path)
+    val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
+    val bc = resolveBucketCols(existing, pkCols, bucketCols)
+    val pkIdx = pkCols.map(schema.fieldIndex)
+    val curIdx = schema.fieldIndex(cursorCol)
+    val bcIdx = bc.map(schema.fieldIndex)
+
+    val cursorOrd: Ordering[Row] = Ordering.fromLessThan((x, y) =>
+      x.get(curIdx).asInstanceOf[Comparable[Any]].compareTo(y.get(curIdx)) < 0)
+    val latest: Seq[Row] = upserts
+      .groupBy(r => pkIdx.map(r.get))
+      .valuesIterator.map(_.max(cursorOrd))
+      .toSeq
+    def bucketOfUpsert(r: Row): Int =
+      localBucketOf(bcIdx.map(i => (r.get(i), schema.fields(i).dataType)), nb)
+    // delete keys are pkCols-shaped; bucket by bc's position within the PK
+    val bcInPk = bc.map(pkCols.indexOf)
+    def bucketOfDelete(r: Row): Int =
+      localBucketOf(bcInPk.map(i => (r.get(i), schema.fields(pkIdx(i)).dataType)), nb)
+
+    val owned = existing.map(_.buckets.keySet).getOrElse(Set.empty)
+    val dedupedDeletes = deleteKeys.distinct
+    val touched = latest.map(bucketOfUpsert).toSet ++
+      dedupedDeletes.map(bucketOfDelete).toSet.intersect(owned)
+    if (touched.isEmpty)
+      return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
+
+    import scala.jdk.CollectionConverters._
+    val batchRel = withBucket(
+      spark.createDataFrame(latest.asJava, schema), bc, nb)
+    val merged = existing match {
+      case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
+        val remaining =
+          if (dedupedDeletes.isEmpty) readBuckets(spark, path, m, touched)
+          else {
+            val delSchema = StructType(pkCols.map(n => schema(schema.fieldIndex(n))))
+            readBuckets(spark, path, m, touched)
+              .join(spark.createDataFrame(dedupedDeletes.asJava, delSchema),
+                pkCols, "left_anti")
+          }
+        IncrementalSync.latestByKey(
+          remaining.unionByName(batchRel, allowMissingColumns = true),
+          pkCols, cursorCol)
+      case Some(m) => addMissingColumns(batchRel, m.schema)
+      case None => batchRel
+    }
+    commitVersion(spark, path, existing, merged, touched, nb, bc)
   }
 
   /** The bucket-key columns in force for a target: what the manifest

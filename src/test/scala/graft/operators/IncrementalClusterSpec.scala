@@ -88,6 +88,31 @@ class IncrementalClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local and distributed paths write identical stores (incl. mixed sequences)") {
+    val rnd = new scala.util.Random(20260813L)
+    val (byIdL, byRepL) = tmp()   // default: local path (small batches)
+    val (byIdD, byRepD) = tmp()   // forced distributed (driverMaxEdges = 0)
+    val (byIdM, byRepM) = tmp()   // alternating paths on ONE store pair
+    (0 until 6).foreach { b =>
+      val batch = Seq.fill(1 + rnd.nextInt(8)) {
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      }.filter { case (a, bb) => a != bb }
+      if (batch.nonEmpty) {
+        val e = edges(batch: _*)
+        IncrementalCluster.update(e, byIdL, byRepL, b.toLong)
+        IncrementalCluster.update(e, byIdD, byRepD, b.toLong, driverMaxEdges = 0L)
+        IncrementalCluster.update(e, byIdM, byRepM, b.toLong,
+          driverMaxEdges = if (b % 2 == 0) 1000000L else 0L)
+        assert(stored(byIdL) == stored(byIdD), s"byId diverged at batch $b")
+        assert(stored(byIdM) == stored(byIdD), s"mixed byId diverged at batch $b")
+        def repRows(p: String) = BucketedMergeTarget.read(spark, p)
+          .select("rep", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(repRows(byRepL) == repRows(byRepD), s"byRep diverged at batch $b")
+        assert(repRows(byRepM) == repRows(byRepD), s"mixed byRep diverged at batch $b")
+      }
+    }
+  }
+
   test("a replay heals an interrupted dual write (byId landed, byRep did not)") {
     val (byId, byRep) = tmp()
     IncrementalCluster.update(edges(1L -> 2L, 5L -> 6L), byId, byRep, 0L)
