@@ -126,6 +126,23 @@ object QueriesPipeline {
     }
   }
 
+  /** The curation pipeline's single-scan base: documents projected to
+    * (doc_id, source, lang, text) + the quality attributes every stage
+    * consumes. Built identically by the query (which persists it) and by
+    * [[releaseCurationCache]] (CacheManager matches by plan). */
+  private def curationBase(s: SparkSession, dir: String): DataFrame = {
+    val comps = TextAnalysis.qualityComponents(col("text"))
+    t(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("source"), col("lang"), col("text")) ++
+        comps.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Drop q_curation_pipeline's cached base for `dir` (bench/test
+    * hygiene; harmless if nothing is cached). */
+  def releaseCurationCache(s: SparkSession, dir: String): Unit = {
+    curationBase(s, dir).unpersist(); ()
+  }
+
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a
     * positive scale preserves every SRP sign bit, so each planted copy
@@ -887,6 +904,68 @@ object QueriesPipeline {
     // drop stage with attribution (why did this doc die), a narrow map
     // over already-projected component attributes. Reason order is part
     // of the contract (mirrored in the oracle CASE).
+    // (builder + release for the curation pipeline's cached base live
+    // right above the queries map — see curationBase/releaseCurationCache)
+    // END-TO-END CURATION PIPELINE (round-4 verdict #6): filter chain →
+    // exact dedup → LSH near-dup clustering → keeper resolution →
+    // benchmark decontamination → sequence packing, composed as ONE
+    // query over ONE scan of `documents`. The projected base (doc_id,
+    // source, lang, text + quality attributes) is persisted; every stage
+    // consumes that cached relation, so no stage re-scans the parquet —
+    // plan-pinned in PlanSpec (all leaves are cache scans). The oracle
+    // replays all six stages in a single recursive SQL statement.
+    // Stage parameters are the family's: C4 filter thresholds
+    // (q_filter_chain), md5 exact fingerprint, LSH 12-seed/4×3/md5/cap200
+    // + Jaccard ≥ 0.6 (q_minhash_pairs/q_jaccard), longest-text keeper
+    // (q_cluster_keep), exact 8-gram benchmark decontamination
+    // (q_ngram_decontaminate), 2048-token packing (q_token_pack).
+    "q_curation_pipeline" -> ((s, dir) => {
+      val base = curationBase(s, dir)
+        .persist() // CacheManager dedups by plan: repeated calls share one entry
+      // 1. quality filter (keep = the filter chain's reason == "ok")
+      val kept = base.filter(
+        col("n_chars") >= 50 && col("n_chars") <= 10000 &&
+          col("punct_ratio") <= 0.2 && col("stopword_ratio") =!= 0 &&
+          col("mean_word_len") <= 12)
+      // 2. exact dedup: min doc_id per content hash — hashes shuffle, not text
+      val exactKeep = kept.select(col("doc_id"), md5(col("text")).as("__h"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val exact = kept.join(exactKeep, Seq("doc_id"), "left_semi")
+      // 3. near-dup clusters over the exact survivors + keeper (longest
+      //    text, tie doc_id asc; singletons keep themselves)
+      val corpus2 = exact.select("doc_id", "text")
+      val edges = Dedup.ngramJaccard(corpus2, "doc_id", col("text"), 3,
+          Dedup.minhashCandidates(corpus2, "doc_id", col("text"),
+            ngramN = 3, bands = 4, rowsPerBand = 3,
+            hashFn = Dedup.md5Hex, maxBucket = 200))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+      val ranked = Dedup.clusterRepresentatives(corpus2, "doc_id", edges)
+        .join(exact.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("cluster_rep"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      val kept3 = exact.join(
+        ranked.filter(col("__rk") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      // 4. decontamination: drop survivors sharing an exact 8-gram with
+      //    the benchmark set (bench derives from the same cached base)
+      val bench = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+      val contaminated = Dedup.ngramContamination(kept3, "doc_id", col("text"),
+        bench, col("text"), 8).select(col("id").as("doc_id"))
+      val surv = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. sequence packing per (source, lang), 2048-token budget
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      surv.select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens").as("n_tok"))
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          floor((col("__cum") - col("n_tok")) / lit(2048.0))
+            .cast("long").as("pack_id"))
+    }),
+
     "q_filter_chain" -> ((s, dir) => {
       val comps = TextAnalysis.qualityComponents(col("text"))
       val p = t(s, dir, "documents")
@@ -1498,6 +1577,81 @@ object QueriesPipeline {
            |SELECT token, count(*) AS n
            |FROM nz GROUP BY token
            |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
+
+      // All six stages in one recursive statement: the filter/ratio CTEs
+      // mirror q_filter_chain, the LSH/Jaccard/closure CTEs are the
+      // family's shared fragments re-rooted on the pipeline's survivor
+      // set (corpus3), the 8-gram CTEs mirror q_ngram_decontaminate, and
+      // the packing tail mirrors q_token_pack.
+      "q_curation_pipeline" -> {
+        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+          .map(sqlWordCount).mkString("(", " + ", ")")
+        s"""WITH RECURSIVE c0 AS (SELECT doc_id, source, lang, text,
+           |  length(text) AS nc,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+           |  $stop AS ns
+           |FROM documents),
+           |c1 AS (SELECT doc_id, source, lang, text, nc, nt,
+           |  round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS pr,
+           |  round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS sr,
+           |  round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS mwl
+           |FROM c0),
+           |f AS (SELECT * FROM c1
+           |      WHERE nc >= 50 AND nc <= 10000 AND pr <= 0.2
+           |        AND sr <> 0 AND mwl <= 12),
+           |x AS (SELECT f.* FROM f
+           |      JOIN (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) mk
+           |      USING (doc_id)),
+           |corpus3 AS (SELECT doc_id, text FROM x),
+           |$sqlGrams,
+           |$sqlBandedCapped,
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |jac AS (
+           |  SELECT p.id_a, p.id_b
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.id_a
+           |  JOIN grams gb ON gb.doc_id = p.id_b
+           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jac
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jac),
+           |walk(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           |         FROM walk GROUP BY src),
+           |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
+           |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
+           |ranked AS (
+           |  SELECT r.doc_id, row_number() OVER (PARTITION BY r.cluster_rep
+           |           ORDER BY x.nc DESC, r.doc_id ASC) AS rk
+           |  FROM rep r JOIN x USING (doc_id)),
+           |k3 AS (SELECT x.* FROM x JOIN ranked USING (doc_id) WHERE ranked.rk = 1),
+           |bench AS (
+           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |ctoks AS (SELECT doc_id, $sqlWords AS w FROM k3),
+           |btoks AS (SELECT doc_id, $sqlWords AS w FROM bench),
+           |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM ctoks),
+           |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM btoks),
+           |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+           |surv AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |packed AS (SELECT doc_id, source, lang, CAST(nt AS INTEGER) AS n_tok,
+           |  sum(CAST(nt AS INTEGER)) OVER (PARTITION BY source, lang
+           |                                 ORDER BY doc_id) AS cum
+           |FROM surv)
+           |SELECT doc_id, source, lang, n_tok,
+           | CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+           |FROM packed""".stripMargin
+      },
 
       "q_filter_chain" -> {
         val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")

@@ -17,6 +17,25 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_curation_pipeline composes six stages over ONE scan of documents") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val q = SparkEntry.queries("q_curation_pipeline")(spark, dir)
+    // in the optimized logical plan, every stage must read the persisted
+    // base (InMemoryRelation); a raw LogicalRelation on documents.parquet
+    // would mean a stage re-scans the file — the rematerialization this
+    // composition exists to avoid
+    val lp = q.queryExecution.optimizedPlan
+    val rawDocScans = lp.collect {
+      case r: LogicalRelation if r.relation.toString.contains("documents") => r
+    }
+    assert(rawDocScans.isEmpty,
+      s"${rawDocScans.length} stage(s) re-scan documents.parquet past the cache")
+    assert(lp.collectLeaves().exists(_.isInstanceOf[InMemoryRelation]),
+      "pipeline stages do not read the cached base at all")
+    graft.QueriesPipeline.releaseCurationCache(spark, dir)
+  }
+
   test("q_predicate pushes filters into the parquet scan") {
     val p = plan("q_predicate")
     assert(p.contains("PushedFilters: ["))
