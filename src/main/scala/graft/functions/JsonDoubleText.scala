@@ -108,5 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MisraGriesAgg(children.head, k)
       }))
+    // graft-store SQL façade: resolve store relations into manifest-pruned
+    // native parquet scans (see graft.sources.GraftStoreRewrite)
+    ext.injectOptimizerRule(spark => graft.sources.GraftStoreRewrite(spark))
   }
 }

@@ -248,7 +248,7 @@ object BucketedMergeTarget {
   /** Read `buckets` (with the bucket column attached) from the version
     * dirs the manifest assigns them to — a partition-pruned read: only
     * the named bucket directories are ever listed or opened. */
-  private def readBuckets(spark: SparkSession, path: String, m: Manifest,
+  private[graft] def readBuckets(spark: SparkSession, path: String, m: Manifest,
                           buckets: Set[Int]): DataFrame = {
     val owned = m.buckets.filter { case (b, _) => buckets.contains(b) }
     if (owned.isEmpty) {

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, In, InSet, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sinks.BucketedMergeTarget
+import graft.sinks.BucketedMergeTarget.Manifest
+
+/** SQL façade over [[BucketedMergeTarget]] stores — round-4 verdict #8.
+  *
+  * Read:  `spark.read.format("graft-store").load(storeDir)`, or plain SQL
+  * via `CREATE TEMPORARY VIEW sigs USING `graft-store` OPTIONS (path …)`.
+  * Write: `df.write.format("graft-store").option("pk", "id")
+  * .option("cursor", "batch_id").mode("append").save(storeDir)` — a
+  * [[BucketedMergeTarget.merge]] (idempotent latest-wins upsert), never a
+  * blind file dump.
+  *
+  * DESIGN — resolve to the native scan, don't hand-roll a reader: the
+  * relation itself is only a manifest snapshot; [[GraftStoreRewrite]]
+  * (injected by `GraftExtensions`) replaces it at optimization time with
+  * a parquet scan over exactly the bucket directories the query's
+  * bucket-key predicates can touch — the same manifest pruning
+  * [[BucketedMergeTarget.readMatching]] does for the incremental
+  * operators, now observable in any SQL plan. Everything downstream of
+  * the rewrite is stock Spark: the vectorized parquet reader, remaining
+  * predicates pushed into the scan (`PushedFilters`), column pruning,
+  * whole-stage codegen. A hand-written DSv2 `PartitionReader` would have
+  * to re-implement all four, row-at-a-time.
+  *
+  * The manifest is pinned at relation-creation time: a view reads one
+  * committed version for its lifetime (snapshot isolation — re-`load` to
+  * see later commits). The reference exposes replicated tables to SQL
+  * through PG itself (`src/jsonb/writer.rs` writes ordinary tables);
+  * this is the Spark-native equivalent for the store the incremental
+  * operators maintain.
+  */
+class GraftStoreProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-store"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store: a path is required — .load(<storeDir>) / OPTIONS (path '<storeDir>')"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val p = path(parameters)
+    val m = BucketedMergeTarget.currentManifest(spark, p).getOrElse(
+      throw new IllegalStateException(s"graft-store: no committed manifest under $p"))
+    GraftStoreRelation(spark, p, m)
+  }
+
+  /** `df.write.format("graft-store")`: a merge commit. Required options:
+    * `pk` (comma-separated), `cursor`. Optional: `buckets` (bucket count,
+    * first write only), `bucketCols` (probe-key subset of the PK).
+    * Append = merge the batch; Overwrite is refused (a store's history is
+    * its crash-safety — use DdlGen-level tooling to drop a store);
+    * ErrorIfExists/Ignore follow their contract against an existing
+    * manifest. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val p = path(parameters)
+    val existing = BucketedMergeTarget.currentManifest(spark, p)
+    val skip = mode match {
+      case SaveMode.Append => false
+      case SaveMode.ErrorIfExists =>
+        if (existing.isDefined) throw new IllegalStateException(
+          s"graft-store: $p already has a committed manifest (mode ErrorIfExists)")
+        false
+      case SaveMode.Ignore => existing.isDefined
+      case SaveMode.Overwrite => throw new IllegalArgumentException(
+        "graft-store: Overwrite is not supported — merges are incremental by design")
+    }
+    if (!skip) {
+      val pk = parameters.getOrElse("pk", throw new IllegalArgumentException(
+        "graft-store write: option 'pk' (comma-separated primary key) is required"))
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      val cursor = parameters.getOrElse("cursor", throw new IllegalArgumentException(
+        "graft-store write: option 'cursor' (monotone version column) is required"))
+      val nBuckets = existing.map(_.nBuckets).orElse(parameters.get("buckets").map(_.toInt))
+        .getOrElse(BucketedMergeTarget.DefaultBuckets)
+      val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
+        .orElse(parameters.get("bucketCols")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+        .getOrElse(Nil)
+      BucketedMergeTarget.merge(data, p, pk, cursor, nBuckets, bucketCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** One committed store version. Carries only the manifest snapshot; the
+  * optimizer rule turns it into the pruned parquet plan. [[buildScan]]
+  * is the extension-less fallback (full manifest read, correct but
+  * unpruned). */
+final case class GraftStoreRelation(spark: SparkSession, path: String,
+                                    manifest: Manifest)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = manifest.schema
+
+  override def buildScan(): RDD[Row] =
+    BucketedMergeTarget.readBuckets(spark, path, manifest, manifest.buckets.keySet)
+      .drop(BucketedMergeTarget.BucketCol)
+      .select(manifest.schema.fieldNames.toIndexedSeq.map(col): _*)
+      .rdd
+
+  override def toString: String =
+    s"GraftStore($path, v${manifest.version}, ${manifest.buckets.size}/${manifest.nBuckets} buckets)"
+}
+
+/** Replaces every [[GraftStoreRelation]] with a native parquet plan over
+  * the manifest-pruned bucket directories.
+  *
+  * Pruning rule: for a conjunctive filter directly above the relation,
+  * each bucket column's candidate values are read from `col = lit` /
+  * `col IN (lits)` conjuncts; if EVERY bucket column is constrained, the
+  * candidate tuples' buckets (same Murmur3 the writer used —
+  * [[BucketedMergeTarget.localBucketOf]]) are the only directories
+  * listed. Any unconstrained bucket column, non-literal comparison, or a
+  * candidate cross-product over [[GraftStoreRewrite.MaxProbeTuples]]
+  * falls back to all owned buckets — pruning is an optimization, never a
+  * semantics change, and the original filter always stays in the plan
+  * (it becomes the parquet scan's `PushedFilters`). */
+final case class GraftStoreRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  import GraftStoreRewrite.MaxProbeTuples
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, l: LogicalRelation)
+        if l.relation.isInstanceOf[GraftStoreRelation] =>
+      val r = l.relation.asInstanceOf[GraftStoreRelation]
+      f.copy(child = rewrite(l, r, prunedBuckets(cond, r.manifest)))
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRelation] =>
+      rewrite(l, l.relation.asInstanceOf[GraftStoreRelation],
+        l.relation.asInstanceOf[GraftStoreRelation].manifest.buckets.keySet)
+  }
+
+  /** Literal candidate values for `name` among the conjuncts (internal
+    * Catalyst values converted back to external, as the driver-side
+    * bucket hash expects). None = unconstrained. Any single conjunct's
+    * set is sound alone: matching rows satisfy every conjunct, so the
+    * first usable one bounds the bucket set from above. */
+  private def candidates(conj: Seq[Expression], name: String): Option[Seq[(Any, DataType)]] = {
+    val res = spark.sessionState.conf.resolver
+    def ext(v: Any, dt: DataType): (Any, DataType) =
+      (CatalystTypeConverters.createToScalaConverter(dt)(v), dt)
+    conj.iterator.map {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if res(a.name, name) && v != null =>
+        Some(Seq(ext(v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) if res(a.name, name) && v != null =>
+        Some(Seq(ext(v, dt)))
+      case In(a: AttributeReference, elems) if res(a.name, name) &&
+          elems.nonEmpty && elems.forall(e => e.isInstanceOf[Literal] &&
+            e.asInstanceOf[Literal].value != null) =>
+        Some(elems.map { case Literal(v, dt) => ext(v, dt) })
+      case InSet(a: AttributeReference, vs) if res(a.name, name) && !vs.contains(null) =>
+        Some(vs.toSeq.map(v => ext(v, a.dataType)))
+      case _ => None
+    }.collectFirst { case Some(vals) => vals }
+  }
+
+  private def prunedBuckets(cond: Expression, m: Manifest): Set[Int] = {
+    val all = m.buckets.keySet
+    if (m.bucketCols.isEmpty) return all
+    val conj = splitConjunctivePredicates(cond)
+    val perCol = m.bucketCols.map(candidates(conj, _))
+    if (perCol.exists(_.isEmpty)) return all
+    val sets = perCol.map(_.get)
+    if (sets.map(_.size.toLong).product > MaxProbeTuples) return all
+    val tuples = sets.foldLeft(Seq(Seq.empty[(Any, DataType)])) {
+      (acc, s) => acc.flatMap(t => s.map(t :+ _))
+    }
+    tuples.map(t => BucketedMergeTarget.localBucketOf(t, m.nBuckets)).toSet
+      .intersect(all)
+  }
+
+  /** The pruned parquet plan, output-aliased to the relation's attribute
+    * ids so the parent plan rebinds without change. */
+  private def rewrite(l: LogicalRelation, r: GraftStoreRelation,
+                      buckets: Set[Int]): LogicalPlan = {
+    val df = BucketedMergeTarget.readBuckets(r.spark, r.path, r.manifest, buckets)
+      .drop(BucketedMergeTarget.BucketCol)
+      .select(r.manifest.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val newPlan = df.queryExecution.analyzed
+    val res = spark.sessionState.conf.resolver
+    val out: Seq[NamedExpression] = l.output.map { old =>
+      val n = newPlan.output.find(a => res(a.name, old.name)).getOrElse(
+        throw new IllegalStateException(
+          s"graft-store: column '${old.name}' missing from rewritten scan"))
+      Alias(n, old.name)(exprId = old.exprId, qualifier = old.qualifier)
+    }
+    Project(out, newPlan)
+  }
+}
+
+object GraftStoreRewrite {
+  /** Probe cross-products larger than this read all buckets instead —
+    * at that point a pruned union of most of the store no longer beats
+    * one listed scan. */
+  val MaxProbeTuples = 1024L
+}
