@@ -580,6 +580,36 @@ object QueriesPipeline {
       out
     }),
 
+    // The graft-store SQL FAÇADE exercised inside the gate: two batches
+    // land through the format's WRITE path (merge commits — latest
+    // cursor wins per key), then plain SQL over a `USING graft-store`
+    // temp view reads them back through the optimizer rewrite
+    // (manifest-pruned native parquet scan — plan-pinned in
+    // GraftStoreSourceSpec). The oracle replays the two batches'
+    // latest-wins union directly from `documents`.
+    "q_store_facade" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val root = java.nio.file.Files.createTempDirectory("graft-storesql")
+      val store = root.resolve("store").toString
+      docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor"))
+        .write.format("graft-store").option("pk", "doc_id")
+        .option("cursor", "cursor").option("buckets", "8")
+        .mode("append").save(store)
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
+          lit(2L).as("cursor"))
+        .write.format("graft-store").option("pk", "doc_id")
+        .option("cursor", "cursor").mode("append").save(store)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_store_facade_v " +
+        s"USING `graft-store` OPTIONS (path '$store')")
+      val out = s.sql(
+        "SELECT doc_id, v, cursor FROM graft_store_facade_v WHERE doc_id < 30")
+        .localCheckpoint(true) // materialize before the scratch store goes
+      s.catalog.dropTempView("graft_store_facade_v")
+      rmTree(root)
+      out
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -1232,6 +1262,14 @@ object QueriesPipeline {
       "q_incremental_cluster" ->
         s"""$sqlClusterClosure
            |SELECT doc_id AS id, cluster_rep AS rep FROM comp""".stripMargin,
+
+      // Latest-wins union of the two façade write batches (batch 2
+      // updates every doc_id % 3 == 0 with a higher cursor).
+      "q_store_facade" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
+          | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
+          |FROM documents WHERE doc_id < 30""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.
