@@ -75,10 +75,15 @@ object Bench {
 
     // optional comma-separated subset for focused profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // per-phase failure lists: "failed" in the JSON (and the nonzero
+    // exit) reflects the MAIN phase only — a warm re-run failure must
+    // not flag a run whose 75 primary numbers are all valid
     var failed = List.empty[String]
+    var warmFailed = List.empty[String]
 
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (String, Long, Long) = {
+        org.apache.spark.sql.DataFrame,
+        onFail: String => Unit): (String, Long, Long) = {
       val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
@@ -88,7 +93,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
+            onFail(name)
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -101,7 +106,7 @@ object Bench {
     // ---- main phase: every query from a clean slate -------------------
     val results = selected.map { case (name, fn) =>
       clearSessionState(spark)
-      val (v, gcMs, storage) = timed(name, fn)
+      val (v, gcMs, storage) = timed(name, fn, failed ::= _)
       (name, v, gcMs, storage)
     }
 
@@ -111,12 +116,18 @@ object Bench {
       if (warmSet.isEmpty) Nil
       else {
         clearSessionState(spark)
-        // untimed fill: the cheapest family member materializes the memo
+        // untimed fill: the cheapest family member materializes the memo.
+        // A fill failure means the "warm" numbers below are really cold —
+        // say so instead of silently publishing them as warm.
         try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-memo fill FAILED (warm numbers " +
+            s"below are effectively cold): ${e.getMessage}")
+          warmFailed ::= "memo_fill"
+        }
         warmSet.map { case (name, fn) =>
-          val (v, _, _) = timed(name, fn)
+          val (v, _, _) = timed(name, fn, warmFailed ::= _)
           name -> v
         }
       }
@@ -132,7 +143,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warm":$warmJs,"gc_ms":$gcs,"storage_mb":$stor,""" +
-        s""""sf":"$sfDir","failed":${failed.size}}"""
+        s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()

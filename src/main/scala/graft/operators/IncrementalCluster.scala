@@ -80,20 +80,40 @@ object IncrementalCluster {
       idType == edges.schema("id_b").dataType
     if (integral && driverMaxEdges > 0) {
       val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
-      val collected = e.limit(cap).collect()
-      if (collected.length <= driverMaxEdges)
-        return updateLocal(spark, collected, idType, byIdPath, byRepPath, batchId, nBuckets)
-    }
-    updateDistributed(spark, e, byIdPath, byRepPath, batchId, nBuckets)
+      // count the gate, don't collect it (the connectedComponents fast-path
+      // shape): an oversized batch must not materialize driverMaxEdges
+      // rows on the driver just to learn it's oversized — and the persist
+      // lets the distributed fallback reuse the distinct instead of
+      // re-deriving the whole edge lineage for each of its consumers
+      val persisted = e.persist()
+      try {
+        val n = persisted.limit(cap).count()
+        if (n <= driverMaxEdges) {
+          val out = updateLocal(spark, persisted.collect(), idType,
+            byIdPath, byRepPath, batchId, nBuckets, driverMaxEdges)
+          // None = the batch is small but its affected-cluster membership
+          // is not — fall through to the distributed path, whose work is
+          // ∝ batch + affected clusters with nothing driver-resident
+          out match {
+            case Some(df) => return df
+            case None => ()
+          }
+        }
+        updateDistributed(spark, persisted, byIdPath, byRepPath, batchId, nBuckets)
+      } finally { persisted.unpersist(false); () }
+    } else updateDistributed(spark, e, byIdPath, byRepPath, batchId, nBuckets)
   }
 
   /** Driver-local update: the whole probe → union-find → relabel round
     * in plain Scala; Spark runs only the two pruned store reads and the
-    * two commits. */
+    * two commits. Returns None when the affected-cluster MEMBERSHIP
+    * exceeds `maxLocal` — a small batch can touch an arbitrarily large
+    * accumulated cluster, and the driver regime is bounded by what lands
+    * on the driver (edges + members), not by the batch alone. */
   private def updateLocal(spark: SparkSession, eRows: Array[org.apache.spark.sql.Row],
                           idType: org.apache.spark.sql.types.DataType,
                           byIdPath: String, byRepPath: String, batchId: Long,
-                          nBuckets: Int): DataFrame = {
+                          nBuckets: Int, maxLocal: Long): Option[DataFrame] = {
     import scala.collection.mutable
     // ids as longs for the union-find; `orig` maps back to the runtime
     // representation of the stored type (Byte/Short/Int/Long)
@@ -117,12 +137,17 @@ object IncrementalCluster {
 
     val reps: Set[Long] = touchedAsg.valuesIterator.flatMap(v => Iterator(v._1, v._2)).toSet
     val byRepManifest = BucketedMergeTarget.currentManifest(spark, byRepPath)
-    val members: Seq[(Long, Long)] =
-      if (byRepManifest.isEmpty) Nil
+    val memberCap = math.min(maxLocal, Int.MaxValue.toLong - 1).toInt
+    val memberRows: Array[org.apache.spark.sql.Row] =
+      if (byRepManifest.isEmpty) Array.empty
       else BucketedMergeTarget.readMatchingLocal(spark, byRepPath, "rep",
           reps.map(orig).toSeq, idType, byRepManifest)
-        .select(col("rep"), col("id")).collect()
-        .map(r => (reg(r.get(0)), reg(r.get(1)))).toSeq
+        .select(col("rep"), col("id")).limit(memberCap + 1).collect()
+    // a touched mega-cluster (more members than the local budget) must
+    // not be union-found on the driver — bail to the distributed path
+    if (memberRows.length > memberCap) return None
+    val members: Seq[(Long, Long)] =
+      memberRows.map(r => (reg(r.get(0)), reg(r.get(1)))).toSeq
 
     // local graph: new edges + star edges (member—rep, touched—rep,
     // touched—prev_rep) — same construction as the distributed path
@@ -187,9 +212,9 @@ object IncrementalCluster {
       org.apache.spark.sql.Row(orig(p._1), orig(p._2)))
     BucketedMergeTarget.applyBatchLocal(spark, byRepSchema, byRepUpserts, movedRows,
       byRepPath, Seq("rep", "id"), "batch_id", nBuckets, Seq("rep"))
-    spark.createDataFrame(
+    Some(spark.createDataFrame(
       newAsg.map(t => org.apache.spark.sql.Row(orig(t._1), orig(t._2), orig(t._3))).asJava,
-      StructType(asgSchema.fields.dropRight(1)))
+      StructType(asgSchema.fields.dropRight(1))))
   }
 
   /** The distributed dataflow (batches beyond the driver regime). */

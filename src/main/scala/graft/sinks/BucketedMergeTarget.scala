@@ -67,7 +67,8 @@ object BucketedMergeTarget {
     * are unchecked by necessity). */
   final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, String],
                             schemaB64: String, rowCounts: Map[Int, Long] = Map.empty,
-                            bucketCols: Seq[String] = Nil) {
+                            bucketCols: Seq[String] = Nil,
+                            pkCols: Seq[String] = Nil) {
     def schema: StructType =
       DataType.fromJson(new String(Base64.getDecoder.decode(schemaB64), "UTF-8"))
         .asInstanceOf[StructType]
@@ -95,10 +96,10 @@ object BucketedMergeTarget {
   private[sinks] def manifestToJson(m: Manifest): String = {
     // each name base64'd individually (names may hold any character),
     // then comma-joined — same quote-free-by-construction trick as schema
-    val bc = m.bucketCols
+    def colList(cols: Seq[String]): String = cols
       .map(n => Base64.getEncoder.encodeToString(n.getBytes("UTF-8"))).mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}",""" +
-      s""""bucketCols":"$bc",""" +
+      s""""bucketCols":"${colList(m.bucketCols)}","pkCols":"${colList(m.pkCols)}",""" +
       s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${dirMapJson(m.buckets)}}}"""
   }
 
@@ -137,13 +138,15 @@ object BucketedMergeTarget {
     val schemaRe = "\"schema\":\"([A-Za-z0-9+/=]*)\"".r
     val schemaB64 = schemaRe.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("manifest missing 'schema'"))
-    // absent block (pre-bucketCols manifests) → Nil = bucketed by PK
-    val bcRe = "\"bucketCols\":\"([A-Za-z0-9+/=,]*)\"".r
-    val bucketCols = bcRe.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(',').toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
-      .getOrElse(Nil)
+    // absent blocks (older manifests) → Nil = bucketed by PK / unchecked
+    def colList(name: String): Seq[String] = {
+      val re = ("\"" + name + "\":\"([A-Za-z0-9+/=,]*)\"").r
+      re.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(',').toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
+        .getOrElse(Nil)
+    }
     Manifest(num("version"), num("nBuckets").toInt, dirMapFromJson(s, "buckets"),
-      schemaB64, intMapFromJson(s, "rowCounts"), bucketCols)
+      schemaB64, intMapFromJson(s, "rowCounts"), colList("bucketCols"), colList("pkCols"))
   }
 
   // ---- filesystem plumbing (Hadoop FS — works on any scheme) ----------
@@ -305,7 +308,8 @@ object BucketedMergeTarget {
   private def commitVersion(spark: SparkSession, path: String,
                             existing: Option[Manifest], data: DataFrame,
                             dropFromOld: Set[Int], nBuckets: Int,
-                            bucketCols: Seq[String] = Nil): MergeStats = {
+                            bucketCols: Seq[String] = Nil,
+                            pkCols: Seq[String] = Nil): MergeStats = {
     val (f, p) = fileSystem(spark, path)
     val newVer = existing.map(_.version).getOrElse(0L) + 1
     val dirName = versionDirName(newVer)
@@ -375,8 +379,11 @@ object BucketedMergeTarget {
     val rowCounts = ((oldCounts -- dropFromOld).view.filterKeys(newBuckets.contains).toMap
       ++ newCounts)
 
+    // a write never erases the recorded PK (a legacy manifest upgraded by
+    // a pk-carrying write keeps it from then on)
+    val pk = if (pkCols.nonEmpty) pkCols else existing.map(_.pkCols).getOrElse(Nil)
     val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
-      bucketCols)
+      bucketCols, pk)
     // the single linearization point: winner takes version base+1; a
     // loser cleans up its (unreferenced, uniquely-named) data dir and
     // replays against the winner's state
@@ -420,13 +427,19 @@ object BucketedMergeTarget {
       f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
         case n @ ManifestRe(v) if v.toLong < ourVer && !keepVers.contains(v.toLong) =>
           f.delete(new Path(p, n), false); ()
-        // a writer that crashed between create and rename leaves its temp
-        // manifest behind. Reaping a LIVE concurrent writer's tmp is safe:
-        // its rename then fails and it replays (fail-loud, no data loss).
-        case n if n.startsWith("_graft_manifest_tmp_") =>
-          f.delete(new Path(p, n), false); ()
         case _ => ()
       }
+      // a writer that crashed between create and publish leaves its temp
+      // manifest behind — reap AGE-GATED, like staging dirs below. A LIVE
+      // writer's tmp is seconds old; under FsNative reaping one would
+      // merely force a replay, but under ConditionalPut it would consume
+      // the writer's claimed slot for nothing (the claim is released on a
+      // failed move, but the round trip is wasted work a TTL avoids).
+      val tmpStaleBefore = System.currentTimeMillis() - 3600000L
+      f.listStatus(p).toSeq
+        .filter(st => st.getPath.getName.startsWith("_graft_manifest_tmp_") &&
+          st.getModificationTime < tmpStaleBefore)
+        .foreach(st => { f.delete(st.getPath, false); () })
       // staging dirs from crashed writers: age-gated (an in-flight writer's
       // staging is at most minutes old; an hour-old one is dead) — the
       // standard object-store orphan-TTL policy
@@ -588,7 +601,7 @@ object BucketedMergeTarget {
       case Some(m) => addMissingColumns(batchRel, m.schema)
       case None => batchRel
     }
-    commitVersion(spark, path, existing, merged, touched, nb, bc)
+    commitVersion(spark, path, existing, merged, touched, nb, bc, pkCols)
   }
 
   /** The bucket-key columns in force for a target: what the manifest
@@ -600,12 +613,27 @@ object BucketedMergeTarget {
     * same bucket (the merge-visibility invariant). */
   private def resolveBucketCols(existing: Option[Manifest], pkCols: Seq[String],
                                 requested: Seq[String]): Seq[String] = {
+    checkPkCols(existing, pkCols)
     val recorded = existing.map(_.bucketCols).getOrElse(Nil)
     require(recorded.isEmpty || requested.isEmpty || recorded == requested,
       s"target is bucketed by $recorded but caller asked for $requested")
     require(requested.forall(pkCols.contains),
       s"bucketCols $requested must be a subset of pkCols $pkCols")
     if (recorded.nonEmpty) recorded else if (requested.nonEmpty) requested else pkCols
+  }
+
+  /** The PK is part of the target's identity: latest-per-key dedup,
+    * delete matching and bucket placement are all keyed by it, so a write
+    * keyed differently than the store was built with would silently break
+    * the primary-key invariant (two rows per real key, or deletes that
+    * match nothing). The manifest records it; a mismatching write fails
+    * loudly (empty = a manifest from before this field — unchecked by
+    * necessity). */
+  private def checkPkCols(existing: Option[Manifest], pkCols: Seq[String]): Unit = {
+    val recorded = existing.map(_.pkCols).getOrElse(Nil)
+    require(recorded.isEmpty || recorded == pkCols,
+      s"target is keyed by $recorded but caller asked for $pkCols — " +
+        "the PK is fixed at store creation (write a new target to re-key)")
   }
 
   /** Cursor-aware upsert of a change batch. I/O ∝ batch size (plus the
@@ -654,7 +682,7 @@ object BucketedMergeTarget {
         case None => bucketed
       }
       commitVersion(spark, path, existing, merged, touched, nb,
-        bc)
+        bc, pkCols)
     } finally { bucketed.unpersist(); () }
   }
 
@@ -697,7 +725,7 @@ object BucketedMergeTarget {
         case Some(m) => addMissingColumns(bucketed, m.schema)
         case None => bucketed
       }
-      commitVersion(spark, path, existing, merged, touched, nb, bc)
+      commitVersion(spark, path, existing, merged, touched, nb, bc, pkCols)
     } finally { bucketed.unpersist(); delKeyed.unpersist(); () }
   }
 
@@ -722,7 +750,7 @@ object BucketedMergeTarget {
       val remaining = readBuckets(spark, path, m, touched)
         .join(keyed.drop(BucketCol), pkCols, "left_anti")
       commitVersion(spark, path, existing, remaining, touched, m.nBuckets,
-        m.bucketCols)
+        m.bucketCols, pkCols)
     } finally { keyed.unpersist(); () }
   }
 
@@ -738,6 +766,6 @@ object BucketedMergeTarget {
       IncrementalSync.latestByKey(data, pkCols, cursorCol), bc, nb)
     commitVersion(spark, path, existing, bucketed,
       existing.map(_.buckets.keySet).getOrElse(Set.empty), nb,
-      bc)
+      bc, pkCols)
   }
 }

@@ -69,6 +69,15 @@ object CommitLock {
   trait PutIfAbsentRegister {
     /** True iff this call CREATED the key (won); false if it existed. */
     def putIfAbsent(key: String): Boolean
+
+    /** Free a key this caller previously won — invoked ONLY when the
+      * winner could not materialize the slot and KNOWS nothing landed
+      * (its move returned false), so the version number must not stay
+      * parked behind a claim that protects nothing. Maps onto a DynamoDB
+      * conditional delete / ZooKeeper node delete; for a store whose
+      * conditional PUT carries the manifest bytes themselves, a claimed
+      * slot IS a committed state and this is never called. */
+    def release(key: String): Unit
   }
 
   /** Single-JVM register for tests and local multi-writer runs: a
@@ -76,6 +85,7 @@ object CommitLock {
   final class InMemoryRegister extends PutIfAbsentRegister {
     private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def putIfAbsent(key: String): Boolean = keys.add(key)
+    def release(key: String): Unit = { keys.remove(key); () }
     def contains(key: String): Boolean = keys.contains(key)
   }
 
@@ -104,9 +114,23 @@ object CommitLock {
         // the claim IS the manifest bytes, so a claimed slot is already a
         // committed state) — otherwise a dead writer's claim parks its
         // version number forever.
-        if (!f.rename(tmp, dest))
+        // a move can fail by returning false OR by throwing (a missing
+        // tmp — e.g. reaped by a concurrent gc as debris — throws on the
+        // local FS). Either way: if nothing landed at dest, RELEASE the
+        // claim, or this version number stays parked behind a slot that
+        // protects nothing and every replay of base+1 loses arbitration
+        // forever. If dest DOES exist after a failed move (a torn
+        // copy+delete on an object store), keep the claim — it is the
+        // only thing preventing another writer overwriting the torn
+        // object's slot; the register's lease frees it.
+        val moved =
+          try f.rename(tmp, dest)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!moved) {
+          if (!f.exists(dest)) register.release(key)
           throw new java.io.IOException(
-            s"claimed commit slot $dest but could not move manifest into place")
+            s"claimed commit slot $dest but could not move manifest into place — replay the batch")
+        }
         true
       }
     }

@@ -83,21 +83,36 @@ class GraftStoreProvider extends RelationProvider
       case SaveMode.Overwrite => throw new IllegalArgumentException(
         "graft-store: Overwrite is not supported — merges are incremental by design")
     }
+    // pk defaults to what the store records (merge() verifies a given one
+    // against the manifest — a mismatched re-specification fails loudly)
+    val pk = parameters.get("pk")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(existing.map(_.pkCols).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-store write: option 'pk' (comma-separated primary key) is required " +
+          "on first write (later writes default to the store's recorded key)"))
+    val nBuckets = existing.map(_.nBuckets).orElse(parameters.get("buckets").map(_.toInt))
+      .getOrElse(BucketedMergeTarget.DefaultBuckets)
+    val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
+      .orElse(parameters.get("bucketCols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(Nil)
     if (!skip) {
-      val pk = parameters.getOrElse("pk", throw new IllegalArgumentException(
-        "graft-store write: option 'pk' (comma-separated primary key) is required"))
-        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       val cursor = parameters.getOrElse("cursor", throw new IllegalArgumentException(
         "graft-store write: option 'cursor' (monotone version column) is required"))
-      val nBuckets = existing.map(_.nBuckets).orElse(parameters.get("buckets").map(_.toInt))
-        .getOrElse(BucketedMergeTarget.DefaultBuckets)
-      val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
-        .orElse(parameters.get("bucketCols")
-          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
-        .getOrElse(Nil)
       BucketedMergeTarget.merge(data, p, pk, cursor, nBuckets, bucketCols)
     }
-    createRelation(sqlContext, parameters)
+    BucketedMergeTarget.currentManifest(spark, p) match {
+      case Some(m) => GraftStoreRelation(spark, p, m)
+      case None =>
+        // a legitimately-EMPTY first batch (e.g. a CDC tick with no
+        // changes) commits nothing — return an empty relation with the
+        // batch's schema instead of failing a successful no-op save
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(data.schema.json.getBytes("UTF-8"))
+        GraftStoreRelation(spark, p,
+          Manifest(0L, nBuckets, Map.empty, b64, Map.empty, bucketCols, pk))
+    }
   }
 }
 
@@ -139,45 +154,74 @@ final case class GraftStoreRewrite(spark: SparkSession)
 
   import GraftStoreRewrite.MaxProbeTuples
 
+  private def store(l: LogicalRelation): Option[GraftStoreRelation] =
+    l.relation match {
+      case r: GraftStoreRelation => Some(r)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, l: LogicalRelation)
-        if l.relation.isInstanceOf[GraftStoreRelation] =>
-      val r = l.relation.asInstanceOf[GraftStoreRelation]
-      f.copy(child = rewrite(l, r, prunedBuckets(cond, r.manifest)))
-    case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRelation] =>
-      rewrite(l, l.relation.asInstanceOf[GraftStoreRelation],
-        l.relation.asInstanceOf[GraftStoreRelation].manifest.buckets.keySet)
+    case f @ Filter(cond, l: LogicalRelation) if store(l).isDefined =>
+      val r = store(l).get
+      val names = l.output.map(a => a.exprId -> a.name).toMap
+      f.copy(child = rewrite(l, r, prunedBuckets(cond, names, r.manifest)))
+    // a Project between the filter and the relation (view re-aliasing, a
+    // non-pushable projection) must not forfeit pruning: map the filter's
+    // attributes through the project's pass-through aliases back to store
+    // column names. Anything not a plain (possibly renamed) column breaks
+    // the mapping for that attribute only — pruning falls back, never errs.
+    case f @ Filter(cond, proj @ Project(pl, l: LogicalRelation)) if store(l).isDefined =>
+      val r = store(l).get
+      val relNames = l.output.map(a => a.exprId -> a.name).toMap
+      val names = pl.collect {
+        case a: AttributeReference if relNames.contains(a.exprId) =>
+          a.exprId -> relNames(a.exprId)
+        case al @ Alias(c: AttributeReference, _) if relNames.contains(c.exprId) =>
+          al.exprId -> relNames(c.exprId)
+      }.toMap
+      f.copy(child = proj.copy(child =
+        rewrite(l, r, prunedBuckets(cond, names, r.manifest))))
+    case l: LogicalRelation if store(l).isDefined =>
+      rewrite(l, store(l).get, store(l).get.manifest.buckets.keySet)
   }
 
-  /** Literal candidate values for `name` among the conjuncts (internal
-    * Catalyst values converted back to external, as the driver-side
-    * bucket hash expects). None = unconstrained. Any single conjunct's
-    * set is sound alone: matching rows satisfy every conjunct, so the
-    * first usable one bounds the bucket set from above. */
-  private def candidates(conj: Seq[Expression], name: String): Option[Seq[(Any, DataType)]] = {
+  /** Literal candidate values for store column `name` among the
+    * conjuncts; `names` maps attribute ids to the store column they
+    * carry (internal Catalyst literals converted back to external, as
+    * the driver-side bucket hash expects). None = unconstrained. Any
+    * single conjunct's set is sound alone: matching rows satisfy every
+    * conjunct, so the first usable one bounds the bucket set from
+    * above. */
+  private def candidates(conj: Seq[Expression],
+                         names: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+                         name: String): Option[Seq[(Any, DataType)]] = {
     val res = spark.sessionState.conf.resolver
+    def carries(a: AttributeReference): Boolean =
+      names.get(a.exprId).exists(res(_, name))
     def ext(v: Any, dt: DataType): (Any, DataType) =
       (CatalystTypeConverters.createToScalaConverter(dt)(v), dt)
     conj.iterator.map {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) if res(a.name, name) && v != null =>
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if carries(a) && v != null =>
         Some(Seq(ext(v, dt)))
-      case EqualTo(Literal(v, dt), a: AttributeReference) if res(a.name, name) && v != null =>
+      case EqualTo(Literal(v, dt), a: AttributeReference) if carries(a) && v != null =>
         Some(Seq(ext(v, dt)))
-      case In(a: AttributeReference, elems) if res(a.name, name) &&
+      case In(a: AttributeReference, elems) if carries(a) &&
           elems.nonEmpty && elems.forall(e => e.isInstanceOf[Literal] &&
             e.asInstanceOf[Literal].value != null) =>
         Some(elems.map { case Literal(v, dt) => ext(v, dt) })
-      case InSet(a: AttributeReference, vs) if res(a.name, name) && !vs.contains(null) =>
+      case InSet(a: AttributeReference, vs) if carries(a) && !vs.contains(null) =>
         Some(vs.toSeq.map(v => ext(v, a.dataType)))
       case _ => None
     }.collectFirst { case Some(vals) => vals }
   }
 
-  private def prunedBuckets(cond: Expression, m: Manifest): Set[Int] = {
+  private def prunedBuckets(cond: Expression,
+                            names: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+                            m: Manifest): Set[Int] = {
     val all = m.buckets.keySet
     if (m.bucketCols.isEmpty) return all
     val conj = splitConjunctivePredicates(cond)
-    val perCol = m.bucketCols.map(candidates(conj, _))
+    val perCol = m.bucketCols.map(candidates(conj, names, _))
     if (perCol.exists(_.isEmpty)) return all
     val sets = perCol.map(_.get)
     if (sets.map(_.size.toLong).product > MaxProbeTuples) return all

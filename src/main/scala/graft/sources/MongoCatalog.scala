@@ -82,28 +82,54 @@ object MongoCatalog {
   /** S19 raw form: the cursor drain as a Dataset of Extended-JSON strings
     * (name-validated, read-only — `reader.rs:153-193`). Faithful to the
     * reference's whole-collection drain, but STREAMED, never
-    * materialized: the cursor is spooled document-by-document to a local
-    * temp JSONL file (constant driver memory — one document in flight;
+    * materialized: the cursor is spooled document-by-document to a temp
+    * JSONL file (constant driver memory — one document in flight;
     * Extended JSON is newline-free by construction, strings carry `\n`
     * escaped), which the returned Dataset then reads lazily. The
     * `maxDriverRows` guard stays as the bound on single-cursor drain
-    * TIME and local spool DISK; collections above it should use
+    * TIME and spool DISK; collections above it should use
     * [[readCollectionPartitioned]], where no document ever crosses the
-    * driver at all. */
+    * driver at all.
+    *
+    * The spool must be READABLE BY EXECUTORS: on a local master the
+    * default (a driver temp file) is; on a cluster the driver's /tmp is
+    * not, so pass `spoolDir` on a shared filesystem (HDFS / object
+    * store) — refused loudly otherwise instead of failing at first
+    * action with a FileNotFound on some executor. */
   def readCollectionRaw(spark: SparkSession, client: MongoClientContract,
                         database: String, collection: String,
-                        maxDriverRows: Long = MaxDriverDrainDocs): Dataset[String] = {
+                        maxDriverRows: Long = MaxDriverDrainDocs,
+                        spoolDir: Option[String] = None): Dataset[String] = {
     val coll = validated(collection)
     val estimated = client.estimatedDocumentCount(database, coll)
     require(estimated <= maxDriverRows,
       s"$database.$coll has ~$estimated docs > $maxDriverRows: the single-cursor " +
         "drain spools through the driver — use readCollectionPartitioned")
-    val tmp = java.nio.file.Files.createTempFile(s"graft_mongo_${coll}_", ".jsonl")
-    tmp.toFile.deleteOnExit() // the Dataset reads it lazily — keep for the JVM's life
-    val w = java.nio.file.Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
-    try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
-    finally w.close()
-    spark.read.textFile(tmp.toUri.toString)
+    require(spark.sparkContext.isLocal || spoolDir.nonEmpty,
+      "single-cursor drain spools through the driver's filesystem, which cluster " +
+        "executors cannot read — pass spoolDir on a shared filesystem, or use " +
+        "readCollectionPartitioned")
+    val spoolUri = spoolDir match {
+      case None =>
+        val tmp = java.nio.file.Files.createTempFile(s"graft_mongo_${coll}_", ".jsonl")
+        tmp.toFile.deleteOnExit() // the Dataset reads it lazily — keep for the JVM's life
+        val w = java.nio.file.Files.newBufferedWriter(tmp,
+          java.nio.charset.StandardCharsets.UTF_8)
+        try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
+        finally w.close()
+        tmp.toUri.toString
+      case Some(dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir,
+          s"graft_mongo_${coll}_${java.util.UUID.randomUUID().toString.replace("-", "")}.jsonl")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.deleteOnExit(p)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+        try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
+        finally w.close()
+        p.toString
+    }
+    spark.read.textFile(spoolUri)
   }
 
   /** S19 typed form: Extended-JSON documents parsed to a DataFrame

@@ -72,6 +72,24 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(stored(byId)(1003L) == 1000L)
   }
 
+  test("a small batch touching a mega-cluster bails out of the driver regime, stays correct") {
+    val (byId, byRep) = tmp()
+    // one 13-member cluster accumulated under the default (roomy) budget
+    val big = (0L until 12L).map(i => i -> (i + 1))
+    IncrementalCluster.update(edges(big: _*), byId, byRep, 0L)
+    // a 1-edge batch (well under driverMaxEdges=5) joins it — but its
+    // affected-cluster MEMBERSHIP (13 rows) exceeds the local budget, so
+    // the update must take the distributed path, not collect the cluster
+    // onto the driver. Same closure either way — that is the pin.
+    IncrementalCluster.update(edges(12L -> 100L), byId, byRep, 1L,
+      driverMaxEdges = 5L)
+    assert(stored(byId) == scratch(big :+ (12L -> 100L)))
+    assert(stored(byId)(100L) == 0L)
+    // and the next roomy-budget update over the healed stores still works
+    IncrementalCluster.update(edges(100L -> 101L), byId, byRep, 2L)
+    assert(stored(byId)(101L) == 0L)
+  }
+
   test("randomized batch sequences stay equivalent to from-scratch CC") {
     val rnd = new scala.util.Random(20260812L)
     val (byId, byRep) = tmp()

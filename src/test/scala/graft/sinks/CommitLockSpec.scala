@@ -106,6 +106,34 @@ class CommitLockSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("ConditionalPut releases its claim when the move lands nothing — the slot stays winnable") {
+    // The liveness hole a parked claim opens: writer wins arbitration but
+    // its tmp is gone (a concurrent gc reaped it as debris) — the move
+    // returns false. Without a release, version N stays claimed forever
+    // and every replay of base+1 loses arbitration: the target is
+    // permanently unwritable. With it, the replay (or any other writer)
+    // claims the freed slot and commits.
+    val root = tmp("cl-park").resolve("t").toString
+    val (fs, rootPath) = hfs(root)
+    fs.mkdirs(rootPath)
+    val register = new CommitLock.InMemoryRegister
+    val lock = new CommitLock.ConditionalPut(register)
+    val dest = new Path(rootPath, "_slot.json")
+    val key = fs.makeQualified(dest).toUri.toString
+    val t = new Path(rootPath, "_tmp_reaped")
+    val out = fs.create(t, true)
+    try out.write("victim".getBytes("UTF-8")) finally out.close()
+    fs.delete(t, false) // the gc-reaped-my-tmp scenario
+    intercept[java.io.IOException] { lock.publish(fs, t, dest) }
+    assert(!register.contains(key), "failed move left the slot claimed — parked forever")
+    // the replay wins the same slot with a fresh tmp
+    val t2 = new Path(rootPath, "_tmp_replay")
+    val out2 = fs.create(t2, true)
+    try out2.write("replay".getBytes("UTF-8")) finally out2.close()
+    assert(lock.publish(fs, t2, dest))
+    assert(fs.exists(dest))
+  }
+
   test("four concurrent writers per round never lose a batch under ConditionalPut") {
     // The merge-level race from MergeTargetSpec, rerun with the target
     // routed through the conditional-put lock: the whole store protocol

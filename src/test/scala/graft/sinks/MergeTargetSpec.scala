@@ -46,6 +46,27 @@ class MergeTargetSpec extends AnyFunSuite {
     val legacy = BucketedMergeTarget.manifestToJson(m)
       .replace(""""bucketCols":"",""", "")
     assert(BucketedMergeTarget.manifestFromJson(legacy) == m)
+    // the recorded PK survives the round trip; absent field = unchecked
+    val mp = m.copy(pkCols = Seq("band", "bh", "doc"))
+    assert(BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(mp)) == mp)
+    val legacyPk = BucketedMergeTarget.manifestToJson(m)
+      .replace(""""pkCols":"",""", "")
+    assert(BucketedMergeTarget.manifestFromJson(legacyPk) == m)
+  }
+
+  test("a write keyed differently than the store was created with fails loudly") {
+    val dir = tmp("mt-pk").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 8)
+    assert(BucketedMergeTarget.currentManifest(spark, dir).get.pkCols == Seq("id"))
+    // same columns, different key choice: latest-per-"v" dedup against
+    // id-bucketed files would break the primary-key invariant silently
+    val e = intercept[IllegalArgumentException] {
+      BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("v"), "cursor", 8)
+    }
+    assert(e.getMessage.contains("keyed by"))
+    // the recorded key keeps working
+    BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 8)
+    assert(contents(dir) == Set((1L, 1L, "a"), (2L, 1L, "b")))
   }
 
   test("merge seeds, upserts, and a stale cursor never regresses") {
@@ -362,17 +383,25 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == 13L)
   }
 
-  test("gc reaps crashed writers' manifest tmp debris on the next commit") {
+  test("gc reaps AGED manifest tmp debris on the next commit; fresh tmps survive") {
     val dir = tmp("mt-tmpgc").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 8)
     val (fs, rootPath) = hfs(dir)
-    // a writer that crashed between create and publish leaves its tmp
+    // a writer that crashed between create and publish leaves its tmp;
+    // an hour-stale one is dead and must be reaped...
     val debris = new Path(rootPath, "_graft_manifest_tmp_deadbeefdeadbeef")
     val out = fs.create(debris, true)
     try out.write("{\"half\":".getBytes("UTF-8")) finally out.close()
-    assert(fs.exists(debris))
+    fs.setTimes(debris, System.currentTimeMillis() - 7200000L, -1)
+    // ...while a LIVE concurrent writer's seconds-old tmp must NOT be —
+    // under ConditionalPut, reaping it would burn the writer's claimed
+    // slot for nothing (same TTL policy the staging dirs use)
+    val fresh = new Path(rootPath, "_graft_manifest_tmp_0123456789abcdef")
+    val out2 = fs.create(fresh, true)
+    try out2.write("{\"half\":".getBytes("UTF-8")) finally out2.close()
     BucketedMergeTarget.merge(kv(Seq((2L, 1L, "b"))), dir, Seq("id"), "cursor", 8)
-    assert(!fs.exists(debris), "crashed writer's manifest tmp survived gc")
+    assert(!fs.exists(debris), "hour-stale crashed writer's manifest tmp survived gc")
+    assert(fs.exists(fresh), "a live writer's fresh manifest tmp was reaped")
     assert(contents(dir) == Set((1L, 1L, "a"), (2L, 1L, "b")))
   }
 

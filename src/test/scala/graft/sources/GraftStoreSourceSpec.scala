@@ -106,6 +106,50 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("gstore_t")
   }
 
+  test("pruning survives a renaming projection between the filter and the store") {
+    val p = tmp("gstore-proj")
+    BucketedMergeTarget.merge(kv((0L until 400L).map(i => (i, 1L, s"v$i"))),
+      p, Seq("id"), "cursor", nBuckets = 8)
+    val all = load(p)
+    val probe = all.select(col("id").as("key"), col("v"))
+      .filter(col("key") === 42L)
+    assert(probe.inputFiles.length * 4 <= all.inputFiles.length,
+      "probe through a renamed projection did not bucket-prune")
+    assert(probe.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((42L, "v42")))
+  }
+
+  test("an empty first batch saves as a no-op instead of failing") {
+    val s = spark
+    import s.implicits._
+    val p = tmp("gstore-empty")
+    Seq.empty[(Long, Long, String)].toDF("id", "cursor", "v")
+      .write.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").mode("append").save(p)
+    assert(!BucketedMergeTarget.exists(spark, p),
+      "empty batch must not commit a manifest")
+    // the store still bootstraps normally afterwards
+    kv(Seq((1L, 1L, "a"))).write.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").mode("append").save(p)
+    assert(load(p).count() == 1L)
+  }
+
+  test("later writes default pk to the store's recorded key; a mismatch fails") {
+    val p = tmp("gstore-pkdefault")
+    kv(Seq((1L, 1L, "a"))).write.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").mode("append").save(p)
+    // no pk option: the manifest's recorded key is used
+    kv(Seq((2L, 1L, "b"))).write.format("graft-store")
+      .option("cursor", "cursor").mode("append").save(p)
+    assert(load(p).count() == 2L)
+    // a write keyed differently is refused (the store invariant, not a default)
+    val e = intercept[IllegalArgumentException] {
+      kv(Seq((3L, 1L, "c"))).write.format("graft-store")
+        .option("pk", "v").option("cursor", "cursor").mode("append").save(p)
+    }
+    assert(e.getMessage.contains("keyed by"))
+  }
+
   test("format write is a latest-wins merge, and Overwrite is refused") {
     val p = tmp("gstore-write")
     kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))).write.format("graft-store")

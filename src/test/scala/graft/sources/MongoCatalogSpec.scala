@@ -128,6 +128,21 @@ class MongoCatalogSpec extends AnyFunSuite {
       "re-collect re-drained the source cursor instead of the spool")
   }
 
+  test("readCollectionRaw spools to a shared-filesystem dir when given one") {
+    val docs = Seq("""{"_id":"u1","n":1}""", """{"_id":"u2","n":2}""")
+    val m = new MockMongo(Nil, Map("users" -> docs))
+    val shared = java.nio.file.Files.createTempDirectory("mongo-spool").toString
+    // local path stands in for an HDFS/object-store URI: the spool goes
+    // through the Hadoop FileSystem API either way, which is what makes
+    // the drain usable on a cluster (executors can't read driver /tmp)
+    val ds = MongoCatalog.readCollectionRaw(spark, m, "mydb", "users",
+      spoolDir = Some(shared))
+    assert(ds.collect().toSeq == docs)
+    val spooled = new java.io.File(shared).listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(spooled.length == 1, "spool file not under the requested dir")
+    assert(m.calls.count(_.startsWith("find:")) == 1)
+  }
+
   test("readCollectionRaw refuses a collection too big to drain on the driver") {
     val m = new MockMongo(Nil, Map("big" -> Seq("""{"_id":1}""", """{"_id":2}""")))
     // mock reports 2 docs; cap at 1 → the drain must refuse BEFORE find()
