@@ -487,6 +487,26 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // The PRODUCTION hash regime (xxhash64 signatures — ~30 % faster
+    // than the md5 the oracle-replayable family runs, SCALE.md curves)
+    // executed END-TO-END inside the gate: candidates → exact Jaccard →
+    // verified pairs. xxhash64 is not replayable in DuckDB (wrapping
+    // 64-bit arithmetic), so this query carries NO oracleSql entry — the
+    // driver records the weaker rows-only check; byte-parity of the
+    // signature expression itself is unit-pinned (MinHashSigSpec), and
+    // the planted near-dups guarantee a non-trivial result set.
+    "q_lsh_prod" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val (cands, release) = Dedup.minhashCandidatesManaged(corpus, "doc_id",
+        col("text"), ngramN = 3, bands = 4, rowsPerBand = 3,
+        hashFn = Dedup.xxhash, maxBucket = 200)
+      val out = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
+        .filter(col("jaccard") >= 0.6)
+        .localCheckpoint(true) // materialize before releasing the banded cache
+      release()
+      out
+    }),
+
     // Decontamination: training corpus (documents) swept against a
     // "benchmark" set (every 10th doc, lightly edited) — cross-corpus
     // LSH banding finds the contaminated docs without any self-join.
