@@ -689,6 +689,24 @@ object QueriesPipeline {
         "vec_id", "embedding", threshold = 0.99, hPlanes = 8,
         portable = true, maxBucket = 10000)),
 
+    // SemDeDup-style RESOLUTION (Abbas et al. '23): embedding-space
+    // near-dup REMOVAL, the semantic twin of q_cluster_keep. The
+    // detection stage is q_cosine_pairs' SRP-bucketed cosine sweep; here
+    // every vector with a higher-priority (lower-id) neighbor at
+    // cosine ≥ 0.99 drops, and the survivors are the cleaned corpus.
+    // The planted ×2-scaled copies (cosine exactly 1.0 — a positive
+    // power-of-two scale is IEEE-exact and sign-preserving, so they
+    // share the SRP bucket) must all drop.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val corpus = scaledDupEmbeddings(s, dir)
+      val pairs = Similarity.pairwiseCosineCandidates(corpus, "vec_id",
+        "embedding", threshold = 0.99, hPlanes = 8,
+        portable = true, maxBucket = 10000)
+      corpus.join(pairs.select(col("id_b").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id")
+    }),
+
     // Multimodal column plumbing: documents as opaque binary payloads +
     // typed metadata (byte length, content hash, stub dims) — the
     // SQL-expressible half of the media pipeline; the codec passes are
@@ -1822,7 +1840,26 @@ object QueriesPipeline {
            | round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
            |FROM capped a JOIN capped b
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.99""".stripMargin
+           |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.99""".stripMargin,
+
+      // The pair sweep above re-rooted as a removal: survivors = corpus
+      // minus every id_b of a qualifying (id_a < id_b) pair.
+      "q_semantic_dedup" ->
+        s"""WITH $sqlEmbCorpus,
+           |withb AS (SELECT vec_id, embedding,
+           |  ${sqlSrpBucket("embedding", 8)} AS bucket,
+           |  ${sqlNorm("embedding")} AS nrm
+           |FROM ecorpus),
+           |keep AS (SELECT bucket FROM withb GROUP BY bucket
+           |         HAVING count(*) BETWEEN 2 AND 10000),
+           |capped AS (SELECT withb.* FROM withb JOIN keep USING (bucket)),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM capped a JOIN capped b
+           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.99)
+           |SELECT vec_id FROM ecorpus
+           |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
     )
   }
 }
