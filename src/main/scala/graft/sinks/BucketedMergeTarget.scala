@@ -424,31 +424,34 @@ object BucketedMergeTarget {
       // and collapse every bucket in the same version dir to one entry
       val referenced: Set[(String, Int)] =
         keep.flatMap(_.buckets.toSeq.map { case (b, d) => (d, b) }).toSet
-      f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+      // ONE listing of the target root serves every sweep below: on an
+      // object store each LIST is a billed round trip on the commit
+      // path, whose fixed overhead bounds incremental-store throughput.
+      // Working off a snapshot is safe — gc only deletes entries it
+      // chose from it.
+      val entries = f.listStatus(p).toSeq
+      entries.map(_.getPath.getName).foreach {
         case n @ ManifestRe(v) if v.toLong < ourVer && !keepVers.contains(v.toLong) =>
           f.delete(new Path(p, n), false); ()
         case _ => ()
       }
-      // a writer that crashed between create and publish leaves its temp
-      // manifest behind — reap AGE-GATED, like staging dirs below. A LIVE
-      // writer's tmp is seconds old; under FsNative reaping one would
-      // merely force a replay, but under ConditionalPut it would consume
-      // the writer's claimed slot for nothing (the claim is released on a
-      // failed move, but the round trip is wasted work a TTL avoids).
-      val tmpStaleBefore = System.currentTimeMillis() - 3600000L
-      f.listStatus(p).toSeq
-        .filter(st => st.getPath.getName.startsWith("_graft_manifest_tmp_") &&
-          st.getModificationTime < tmpStaleBefore)
-        .foreach(st => { f.delete(st.getPath, false); () })
-      // staging dirs from crashed writers: age-gated (an in-flight writer's
-      // staging is at most minutes old; an hour-old one is dead) — the
-      // standard object-store orphan-TTL policy
+      // crashed writers' debris, AGE-GATED on the standard orphan-TTL
+      // policy (an in-flight writer's tmp/staging is at most minutes
+      // old; an hour-old one is dead). Reaping a LIVE writer's manifest
+      // tmp would merely force a replay under FsNative, but under
+      // ConditionalPut it would consume the writer's claimed slot for
+      // nothing (the claim is released on a failed move, but the round
+      // trip is wasted work the TTL avoids).
       val staleBefore = System.currentTimeMillis() - 3600000L
-      f.listStatus(p).toSeq
+      entries
+        .filter(st => st.getPath.getName.startsWith("_graft_manifest_tmp_") &&
+          st.getModificationTime < staleBefore)
+        .foreach(st => { f.delete(st.getPath, false); () })
+      entries
         .filter(st => st.getPath.getName.startsWith("_staging_") &&
           st.getModificationTime < staleBefore)
         .foreach(st => { f.delete(st.getPath, true); () })
-      f.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+      entries.map(_.getPath.getName).foreach {
         case n @ VerDirRe(vs) if vs.toLong < ourVer =>
           val vd = new Path(p, n)
           f.listStatus(vd).toSeq.map(_.getPath.getName)

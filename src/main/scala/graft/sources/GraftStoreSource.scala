@@ -83,24 +83,27 @@ class GraftStoreProvider extends RelationProvider
       case SaveMode.Overwrite => throw new IllegalArgumentException(
         "graft-store: Overwrite is not supported — merges are incremental by design")
     }
-    // pk defaults to what the store records (merge() verifies a given one
-    // against the manifest — a mismatched re-specification fails loudly)
-    val pk = parameters.get("pk")
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .orElse(existing.map(_.pkCols).filter(_.nonEmpty))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-store write: option 'pk' (comma-separated primary key) is required " +
-          "on first write (later writes default to the store's recorded key)"))
+    // option parsing/validation stays INSIDE the write branch: a skipped
+    // save (Ignore against an existing store) is a no-op and must not
+    // fail on options the skipped write would have needed
     val nBuckets = existing.map(_.nBuckets).orElse(parameters.get("buckets").map(_.toInt))
-      .getOrElse(BucketedMergeTarget.DefaultBuckets)
     val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
       .orElse(parameters.get("bucketCols")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       .getOrElse(Nil)
+    // pk defaults to what the store records (merge() verifies a given one
+    // against the manifest — a mismatched re-specification fails loudly)
+    val pkOpt = parameters.get("pk")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(existing.map(_.pkCols).filter(_.nonEmpty))
     if (!skip) {
+      val pk = pkOpt.getOrElse(throw new IllegalArgumentException(
+        "graft-store write: option 'pk' (comma-separated primary key) is required " +
+          "on first write (later writes default to the store's recorded key)"))
       val cursor = parameters.getOrElse("cursor", throw new IllegalArgumentException(
         "graft-store write: option 'cursor' (monotone version column) is required"))
-      BucketedMergeTarget.merge(data, p, pk, cursor, nBuckets, bucketCols)
+      BucketedMergeTarget.merge(data, p, pk, cursor,
+        nBuckets.getOrElse(BucketedMergeTarget.DefaultBuckets), bucketCols)
     }
     BucketedMergeTarget.currentManifest(spark, p) match {
       case Some(m) => GraftStoreRelation(spark, p, m)
@@ -111,7 +114,8 @@ class GraftStoreProvider extends RelationProvider
         val b64 = java.util.Base64.getEncoder
           .encodeToString(data.schema.json.getBytes("UTF-8"))
         GraftStoreRelation(spark, p,
-          Manifest(0L, nBuckets, Map.empty, b64, Map.empty, bucketCols, pk))
+          Manifest(0L, nBuckets.getOrElse(BucketedMergeTarget.DefaultBuckets),
+            Map.empty, b64, Map.empty, bucketCols, pkOpt.getOrElse(Nil)))
     }
   }
 }
@@ -160,27 +164,41 @@ final case class GraftStoreRewrite(spark: SparkSession)
       case _ => None
     }
 
+  /** Walk a Project* chain down to a graft-store relation, composing the
+    * attribute→store-column mapping through each level's pass-through
+    * aliases. A non-Project node (or a projection that computes rather
+    * than renames) ends the walk — for computed columns only that
+    * attribute drops out of the map, so pruning on it falls back while
+    * renamed columns keep pruning. */
+  private def chainToStore(plan: LogicalPlan)
+      : Option[(Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+                LogicalRelation, GraftStoreRelation)] = plan match {
+    case l: LogicalRelation =>
+      store(l).map(r => (l.output.map(a => a.exprId -> a.name).toMap, l, r))
+    case p: Project =>
+      chainToStore(p.child).map { case (inner, l, r) =>
+        val outer = p.projectList.collect {
+          case a: AttributeReference if inner.contains(a.exprId) =>
+            a.exprId -> inner(a.exprId)
+          case al @ Alias(c: AttributeReference, _) if inner.contains(c.exprId) =>
+            al.exprId -> inner(c.exprId)
+        }.toMap
+        (outer, l, r)
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, l: LogicalRelation) if store(l).isDefined =>
-      val r = store(l).get
-      val names = l.output.map(a => a.exprId -> a.name).toMap
-      f.copy(child = rewrite(l, r, prunedBuckets(cond, names, r.manifest)))
-    // a Project between the filter and the relation (view re-aliasing, a
-    // non-pushable projection) must not forfeit pruning: map the filter's
-    // attributes through the project's pass-through aliases back to store
-    // column names. Anything not a plain (possibly renamed) column breaks
-    // the mapping for that attribute only — pruning falls back, never errs.
-    case f @ Filter(cond, proj @ Project(pl, l: LogicalRelation)) if store(l).isDefined =>
-      val r = store(l).get
-      val relNames = l.output.map(a => a.exprId -> a.name).toMap
-      val names = pl.collect {
-        case a: AttributeReference if relNames.contains(a.exprId) =>
-          a.exprId -> relNames(a.exprId)
-        case al @ Alias(c: AttributeReference, _) if relNames.contains(c.exprId) =>
-          al.exprId -> relNames(c.exprId)
-      }.toMap
-      f.copy(child = proj.copy(child =
-        rewrite(l, r, prunedBuckets(cond, names, r.manifest))))
+    // a filter over any Project* chain down to the relation (view
+    // re-aliasing, stacked sub-selects) prunes: the filter's attributes
+    // map through the chain's aliases back to store column names, and
+    // the relation is replaced IN PLACE so the chain above it stands.
+    case f @ Filter(cond, child) if chainToStore(child).isDefined =>
+      val (names, l, r) = chainToStore(child).get
+      val rewritten = rewrite(l, r, prunedBuckets(cond, names, r.manifest))
+      f.copy(child = child.transformUp {
+        case ll: LogicalRelation if ll eq l => rewritten
+      })
     case l: LogicalRelation if store(l).isDefined =>
       rewrite(l, store(l).get, store(l).get.manifest.buckets.keySet)
   }

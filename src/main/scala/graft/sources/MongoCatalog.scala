@@ -109,24 +109,24 @@ object MongoCatalog {
       "single-cursor drain spools through the driver's filesystem, which cluster " +
         "executors cannot read — pass spoolDir on a shared filesystem, or use " +
         "readCollectionPartitioned")
+    // one drain loop, two spool destinations — only the writer differs
+    def drain(w: java.io.BufferedWriter): Unit =
+      try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
+      finally w.close()
     val spoolUri = spoolDir match {
       case None =>
         val tmp = java.nio.file.Files.createTempFile(s"graft_mongo_${coll}_", ".jsonl")
         tmp.toFile.deleteOnExit() // the Dataset reads it lazily — keep for the JVM's life
-        val w = java.nio.file.Files.newBufferedWriter(tmp,
-          java.nio.charset.StandardCharsets.UTF_8)
-        try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
-        finally w.close()
+        drain(java.nio.file.Files.newBufferedWriter(tmp,
+          java.nio.charset.StandardCharsets.UTF_8))
         tmp.toUri.toString
       case Some(dir) =>
         val p = new org.apache.hadoop.fs.Path(dir,
           s"graft_mongo_${coll}_${java.util.UUID.randomUUID().toString.replace("-", "")}.jsonl")
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         fs.deleteOnExit(p)
-        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
-        try client.findAll(database, coll).foreach { doc => w.write(doc); w.newLine() }
-        finally w.close()
+        drain(new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8)))
         p.toString
     }
     spark.read.textFile(spoolUri)

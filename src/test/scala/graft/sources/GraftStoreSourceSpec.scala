@@ -117,6 +117,25 @@ class GraftStoreSourceSpec extends AnyFunSuite {
       "probe through a renamed projection did not bucket-prune")
     assert(probe.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((42L, "v42")))
+    // ...and through STACKED re-renames (the alias map composes level by
+    // level down the Project chain)
+    val stacked = all.select(col("id").as("key"), col("v"))
+      .select(col("key").as("k2"), col("v").as("w"))
+      .filter(col("k2") === 42L)
+    assert(stacked.inputFiles.length * 4 <= all.inputFiles.length,
+      "probe through stacked projections did not bucket-prune")
+    assert(stacked.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((42L, "v42")))
+  }
+
+  test("Ignore-mode save against an existing store is a true no-op (no pk needed)") {
+    val p = tmp("gstore-ignore")
+    kv(Seq((1L, 1L, "a"))).write.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").mode("append").save(p)
+    // no pk, no cursor: a skipped save must not fail on options only the
+    // skipped write would have needed
+    kv(Seq((9L, 9L, "x"))).write.format("graft-store").mode("ignore").save(p)
+    assert(load(p).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("an empty first batch saves as a no-op instead of failing") {
