@@ -138,11 +138,17 @@ object BucketedMergeTarget {
     val schemaRe = "\"schema\":\"([A-Za-z0-9+/=]*)\"".r
     val schemaB64 = schemaRe.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("manifest missing 'schema'"))
-    // absent blocks (older manifests) → Nil = bucketed by PK / unchecked
+    // absent blocks (older manifests) → Nil = bucketed by PK / unchecked.
+    // split with limit -1 keeps TRAILING empty segments, so a column
+    // whose name is the empty string survives the round trip in any
+    // mixed list (caught by the codec fuzz); the one irreducible edge —
+    // a list that is EXACTLY one empty name — encodes as "" and parses
+    // as absent, which is fine because a store cannot be keyed or
+    // bucketed by a single nameless column.
     def colList(name: String): Seq[String] = {
       val re = ("\"" + name + "\":\"([A-Za-z0-9+/=,]*)\"").r
       re.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(',').toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
+        .map(_.split(",", -1).toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
         .getOrElse(Nil)
     }
     Manifest(num("version"), num("nBuckets").toInt, dirMapFromJson(s, "buckets"),

@@ -54,6 +54,34 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.manifestFromJson(legacyPk) == m)
   }
 
+  test("manifest codec round-trips randomized manifests (fuzz, fixed seed)") {
+    val rnd = new scala.util.Random(20260813L)
+    // column names stress the per-name base64 encoding: quotes, commas,
+    // braces, unicode, the codec's own delimiters
+    val nasty = Seq("plain", "we\"ird", "a,b", "{\"x\":1}", "снег", "tab\there",
+      "back\\slash", "new\nline", "")
+    (1 to 40).foreach { trial =>
+      val nb = 1 + rnd.nextInt(64)
+      val buckets = (0 until nb).filter(_ => rnd.nextBoolean())
+        .map(b => b -> f"_v${rnd.nextInt(1000000)}%09d_${rnd.nextLong().toHexString}").toMap
+      val counts = buckets.keySet.filter(_ => rnd.nextBoolean())
+        .map(b => b -> rnd.nextLong(1000000L)).toMap
+      // Seq("") alone is out of contract (encodes as the absent field —
+      // a store cannot be keyed by a single nameless column); empty
+      // names in MIXED lists must round-trip
+      val cols = Seq.fill(rnd.nextInt(4))(nasty(rnd.nextInt(nasty.length))).distinct
+        match { case Seq("") => Seq("x", ""); case c => c }
+      val m = BucketedMergeTarget.Manifest(
+        rnd.nextLong(1000000L), nb, buckets,
+        java.util.Base64.getEncoder.encodeToString(
+          new org.apache.spark.sql.types.StructType().add("id", "long")
+            .json.getBytes("UTF-8")),
+        counts, cols, cols.reverse)
+      val back = BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(m))
+      assert(back == m, s"trial $trial did not round-trip: $m")
+    }
+  }
+
   test("a write keyed differently than the store was created with fails loudly") {
     val dir = tmp("mt-pk").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 8)

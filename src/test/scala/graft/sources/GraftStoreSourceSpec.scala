@@ -169,6 +169,27 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keyed by"))
   }
 
+  test("pruning is semantics-preserving for randomized probes (property)") {
+    val p = tmp("gstore-prop")
+    BucketedMergeTarget.merge(kv((0L until 300L).map(i => (i, 1L, s"v$i"))),
+      p, Seq("id"), "cursor", nBuckets = 8)
+    val all = load(p)
+    val expected = (0L until 300L).map(i => (i, s"v$i")).toMap
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { trial =>
+      // half equality probes, half IN-lists; keys may miss the store
+      // entirely (negative probes must return empty, not error)
+      val keys = Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(350L))
+      val probe =
+        if (keys.size == 1) all.filter(col("id") === keys.head)
+        else all.filter(col("id").isin(keys.map(Long.box): _*))
+      val got = probe.select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = keys.distinct.flatMap(k => expected.get(k).map(k -> _)).toSet
+      assert(got == want, s"trial $trial keys=$keys")
+    }
+  }
+
   test("format write is a latest-wins merge, and Overwrite is refused") {
     val p = tmp("gstore-write")
     kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))).write.format("graft-store")
