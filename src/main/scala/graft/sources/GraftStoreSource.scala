@@ -43,13 +43,73 @@ import graft.sinks.BucketedMergeTarget.Manifest
   * operators maintain.
   */
 class GraftStoreProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-store: a path is required — .load(<storeDir>) / OPTIONS (path '<storeDir>')"))
+
+  private def parseCols(s: String): Seq[String] =
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** `df.writeStream.format("graft-store")`: every micro-batch lands as
+    * ONE merge commit. The EPOCH id is the cursor (unless option
+    * `cursor` names a data column), so a replayed epoch — Spark's
+    * at-least-once unit — overwrites itself: latest-wins per key makes
+    * the store exactly-once. Append and Update modes are upserts by PK;
+    * Complete is refused (it would mean replacing the store per epoch —
+    * use replaceAll batch-side if that is really wanted). */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-store sink: $outputMode is not supported — Append/Update are upserts " +
+        "by PK; Complete would replace the store every epoch")
+    val p = path(parameters)
+    val pkOpt = parameters.get("pk").map(parseCols)
+    val cursorOpt = parameters.get("cursor")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = data.sparkSession
+        // the incoming frame wraps the micro-batch's ALREADY-EXECUTED
+        // plan; re-planning it (withColumn → write) would re-analyze a
+        // streaming logical plan and fail. Rebuild a plain batch frame
+        // from the executed rows — the standard V1-sink discipline.
+        val schema = data.schema
+        val rdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val conv = CatalystTypeConverters.createToScalaConverter(schema)
+          it.map(ir => conv(ir.copy()).asInstanceOf[Row])
+        }
+        val batch = spark.createDataFrame(rdd, schema)
+        val existing = BucketedMergeTarget.currentManifest(spark, p)
+        val pk = pkOpt.orElse(existing.map(_.pkCols).filter(_.nonEmpty))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-store sink: option 'pk' is required on the first epoch"))
+        val nBuckets = existing.map(_.nBuckets)
+          .orElse(parameters.get("buckets").map(_.toInt))
+          .getOrElse(BucketedMergeTarget.DefaultBuckets)
+        val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
+          .orElse(parameters.get("bucketCols").map(parseCols)).getOrElse(Nil)
+        cursorOpt match {
+          case Some(c) => // a data column carries the version ordering
+            BucketedMergeTarget.merge(batch, p, pk, c, nBuckets, bucketCols)
+          case None =>
+            BucketedMergeTarget.merge(
+              batch.withColumn("_graft_epoch",
+                org.apache.spark.sql.functions.lit(batchId)),
+              p, pk, "_graft_epoch", nBuckets, bucketCols)
+        }
+        ()
+      }
+      override def toString: String = s"GraftStoreSink($p)"
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -190,6 +190,32 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sink: each micro-batch is one epoch-cursored merge commit") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gstore-sink")
+    val p = root.resolve("store").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.format("graft-store")
+      .option("pk", "id").option("buckets", "4")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start(p)
+    try {
+      input.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+      // epoch 2 updates id=2 and inserts id=3 — later epoch wins per key
+      input.addData(Seq((2L, "b2"), (3L, "c"))); q.processAllAvailable()
+    } finally q.stop()
+    val got = load(p).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // two epochs = exactly two commits
+    assert(BucketedMergeTarget.currentManifest(spark, p).get.version == 2L)
+    // the stream-built store is a first-class facade citizen: SQL probes
+    // prune and read it like any batch-built target
+    assert(load(p).filter(col("id") === 3L).collect().map(_.getString(1)).toSeq == Seq("c"))
+  }
+
   test("format write is a latest-wins merge, and Overwrite is refused") {
     val p = tmp("gstore-write")
     kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))).write.format("graft-store")
