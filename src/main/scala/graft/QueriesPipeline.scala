@@ -630,6 +630,40 @@ object QueriesPipeline {
       out
     }),
 
+    // The STREAMING sink exercised inside the gate: a change feed (every
+    // event at ver=1, plus a planted update at ver=2 for every 10th id)
+    // is shuffled across 4 files and streamed file-per-epoch through
+    // `writeStream.format("graft-store")` — 4 real micro-batch merge
+    // commits. The `ver` data-column cursor makes the final store
+    // independent of epoch interleaving (max-cursor-per-key over
+    // target ∪ batch), so the oracle can replay latest-wins as a plain
+    // CASE over `events` with no notion of batches at all.
+    "q_stream_sink" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val feed = ev.withColumn("ver", lit(1L))
+        .unionByName(ev.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") + 1000.0)
+          .withColumn("ver", lit(2L)))
+      val root = java.nio.file.Files.createTempDirectory("graft-streamsink")
+      val in = root.resolve("in").toString
+      val store = root.resolve("store").toString
+      feed.repartition(4).write.parquet(in)
+      val q = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.format("graft-store")
+        .option("pk", "event_id").option("cursor", "ver")
+        .option("buckets", "8")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start(store)
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.format("graft-store").load(store)
+        .select("event_id", "user_id", "event_type", "value", "ver")
+        .localCheckpoint(true) // materialize before the scratch store goes
+      rmTree(root)
+      out
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -1308,6 +1342,15 @@ object QueriesPipeline {
           | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
           | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
           |FROM documents WHERE doc_id < 30""".stripMargin,
+
+      // Latest-wins replay of the streamed change feed: ver=2 updates
+      // (value+1000 on every 10th id) beat their ver=1 base rows no
+      // matter which micro-batch epoch carried them.
+      "q_stream_sink" ->
+        """SELECT event_id, user_id, event_type,
+          | CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+          | CAST(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+          |FROM events""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.
