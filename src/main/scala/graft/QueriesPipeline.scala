@@ -664,6 +664,35 @@ object QueriesPipeline {
       out
     }),
 
+    // Store→store CONTINUOUS REPLICATION inside the gate: a source store
+    // takes a seed commit, gets mirrored, then takes one applyBatch
+    // carrying updates AND deletes, and is mirrored again from the
+    // carried follower watermark — changed-bucket replacement commits,
+    // so deletes propagate without row diffing. The result is the
+    // MIRROR's contents; the oracle replays seed+update+delete straight
+    // off `documents`, never having seen a store or a bucket.
+    "q_store_follow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val root = java.nio.file.Files.createTempDirectory("graft-follow")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      graft.sinks.BucketedMergeTarget.merge(
+        docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor")),
+        src, Seq("doc_id"), "cursor", nBuckets = 8)
+      var st = graft.streaming.StoreFollower.replicate(s, src, dst)
+      graft.sinks.BucketedMergeTarget.applyBatch(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
+            lit(2L).as("cursor")),
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        src, Seq("doc_id"), "cursor")
+      st = graft.streaming.StoreFollower.replicate(s, src, dst, st)
+      val out = s.read.format("graft-store").load(dst)
+        .localCheckpoint(true) // materialize before the scratch stores go
+      rmTree(root)
+      out
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -1351,6 +1380,17 @@ object QueriesPipeline {
           | CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
           | CAST(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
           |FROM events""".stripMargin,
+
+      // The mirror after seed + (update ∪ delete): every 3rd doc updated
+      // at cursor 2, every 7th deleted — except a key in BOTH the upsert
+      // and delete sides of an applyBatch is an upsert (store contract),
+      // so %21 == 0 survives with its update.
+      "q_store_follow" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
+          | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
+          |FROM documents
+          |WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.

@@ -763,6 +763,34 @@ object BucketedMergeTarget {
     } finally { keyed.unpersist(); () }
   }
 
+  /** Bucket-REPLACE commit — the replication write shape: the named
+    * `buckets` come to contain EXACTLY the rows of `data` that hash into
+    * them. Prior contents of those buckets are dropped, a named bucket
+    * with no incoming rows becomes empty, and buckets outside the set are
+    * never read or rewritten (I/O ∝ the replaced buckets, as always).
+    * This is what gives [[graft.streaming.StoreFollower]] DELETE fidelity
+    * without row diffing: a mirror applies a source store's changed
+    * buckets wholesale, so a key deleted at the source simply isn't in
+    * the replacement and disappears from the replica. Requires bucket
+    * identity with the caller's layout — same nBuckets (enforced loudly;
+    * a silent fallback to the target's count would scatter rows across a
+    * different keyspace partitioning) and same bucketCols. */
+  def replaceBuckets(data: DataFrame, path: String, buckets: Set[Int],
+                     pkCols: Seq[String], nBuckets: Int = DefaultBuckets,
+                     bucketCols: Seq[String] = Nil): MergeStats = {
+    val spark = data.sparkSession
+    val existing = currentManifest(spark, path)
+    existing.foreach(m => require(m.nBuckets == nBuckets,
+      s"target has ${m.nBuckets} buckets but the replacement was computed against " +
+        s"$nBuckets — bucket replacement requires bucket identity"))
+    val bc = resolveBucketCols(existing, pkCols, bucketCols)
+    if (buckets.isEmpty)
+      return MergeStats(existing.map(_.version).getOrElse(0L), 0, nBuckets, 0L)
+    val bucketed = withBucket(data, bc, nBuckets)
+      .filter(col(BucketCol).isin(buckets.toSeq: _*))
+    commitVersion(spark, path, existing, bucketed, buckets, nBuckets, bc, pkCols)
+  }
+
   /** Full replacement (seed / wraparound resync): every old bucket is
     * dropped; the new contents own the whole keyspace. */
   def replaceAll(data: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,
