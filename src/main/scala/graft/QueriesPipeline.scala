@@ -693,6 +693,42 @@ object QueriesPipeline {
       out
     }),
 
+    // The STREAMING SOURCE exercised inside the gate, composed with the
+    // streaming sink — `graft-store` on BOTH ends of one streaming
+    // query. A seed commit snapshots through; an update wave (every 3rd
+    // doc at cursor 2) then arrives as a changed-bucket delta. The feed
+    // is at-least-once per key (bucket co-residents are re-emitted), so
+    // the sink's latest-wins merge by `cursor` is what makes the mirror
+    // exact — which is precisely the contract under test.
+    "q_stream_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val root = java.nio.file.Files.createTempDirectory("graft-streamsrc")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      graft.sinks.BucketedMergeTarget.merge(
+        docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor")),
+        src, Seq("doc_id"), "cursor", nBuckets = 8)
+      val q = s.readStream.format("graft-store").load(src)
+        .writeStream.format("graft-store")
+        .option("pk", "doc_id").option("cursor", "cursor")
+        .option("buckets", "8")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        graft.sinks.BucketedMergeTarget.merge(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
+              lit(2L).as("cursor")),
+          src, Seq("doc_id"), "cursor", nBuckets = 8)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.read.format("graft-store").load(dst)
+        .localCheckpoint(true) // materialize before the scratch stores go
+      rmTree(root)
+      out
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -1391,6 +1427,15 @@ object QueriesPipeline {
           | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
           |FROM documents
           |WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)""".stripMargin,
+
+      // The streamed mirror after snapshot + update wave: latest-wins by
+      // cursor, so every 3rd doc carries its cursor-2 update and the rest
+      // their seed row — batch/bucket structure invisible to the oracle.
+      "q_stream_source" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
+          | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
+          |FROM documents""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.

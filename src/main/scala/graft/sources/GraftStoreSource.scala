@@ -45,6 +45,7 @@ import graft.sinks.BucketedMergeTarget.Manifest
 class GraftStoreProvider extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
@@ -55,6 +56,32 @@ class GraftStoreProvider extends RelationProvider
 
   private def parseCols(s: String): Seq[String] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** `spark.readStream.format("graft-store")`: follow the store as a
+    * changed-bucket upsert feed (see [[GraftStoreStreamSource]]). The
+    * schema is the store's committed schema — the store must exist when
+    * the stream starts (a follower follows something), unless the caller
+    * supplies one explicitly via `.schema(...)`. */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val p = path(parameters)
+    val s = schema.orElse(
+      BucketedMergeTarget.currentManifest(sqlContext.sparkSession, p).map(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"graft-store source: no committed manifest under $p — seed the store " +
+          "first, or pass an explicit .schema(...)"))
+    (s"graft-store[$p]", s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val p = path(parameters)
+    new GraftStoreStreamSource(sqlContext.sparkSession, p,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+  }
 
   /** `df.writeStream.format("graft-store")`: every micro-batch lands as
     * ONE merge commit. The EPOCH id is the cursor (unless option

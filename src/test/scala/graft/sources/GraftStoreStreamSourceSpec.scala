@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sinks.BucketedMergeTarget
+
+/** The graft-store STREAMING SOURCE: initial snapshot, changed-bucket
+  * deltas (I/O ∝ change, not store size), and store→store replication
+  * with `format("graft-store")` on BOTH ends of a streaming query. */
+class GraftStoreStreamSourceSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): java.nio.file.Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def kv(rows: Seq[(Long, Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "cursor", "v")
+  }
+
+  test("snapshot then changed-bucket delta: unchanged buckets are not re-emitted") {
+    val root = tmp("gsrc-delta")
+    val src = root.resolve("store").toString
+    val seed = (0L until 160L).map(i => (i, 1L, s"v$i"))
+    BucketedMergeTarget.merge(kv(seed), src, Seq("id"), "cursor", nBuckets = 8)
+
+    val q = spark.readStream.format("graft-store").load(src)
+      .writeStream.format("memory").queryName("gsrc_delta")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterSnap = spark.table("gsrc_delta").count()
+      assert(afterSnap == 160L, s"first batch must be the full snapshot, got $afterSnap")
+
+      // one commit touching a single key → exactly one bucket changes
+      BucketedMergeTarget.merge(kv(Seq((42L, 2L, "v42!"))),
+        src, Seq("id"), "cursor", nBuckets = 8)
+      q.processAllAvailable()
+      val all = spark.table("gsrc_delta")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val second = all.length - 160
+      // the delta re-emits only id=42's bucket: ~1/8 of the keys, never all
+      assert(second > 0, "the changed bucket must be re-emitted")
+      assert(second <= 160 / 4,
+        s"delta re-emitted $second rows — unchanged buckets leaked into the batch")
+      assert(all.contains((42L, 2L, "v42!")), "the updated row must be in the delta")
+      // latest-wins over the append log reconstructs the store state
+      val latest = all.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+      val want = seed.filterNot(_._1 == 42L).toSet + ((42L, 2L, "v42!"))
+      assert(latest == want)
+    } finally q.stop()
+  }
+
+  test("no new commit → no new batch (steady state is offset polls only)") {
+    val root = tmp("gsrc-idle")
+    val src = root.resolve("store").toString
+    BucketedMergeTarget.merge(kv((0L until 20L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 4)
+    val q = spark.readStream.format("graft-store").load(src)
+      .writeStream.format("memory").queryName("gsrc_idle")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_idle").count() == 20L)
+      q.processAllAvailable() // nothing new committed
+      assert(spark.table("gsrc_idle").count() == 20L,
+        "an idle store must not produce another batch")
+    } finally q.stop()
+  }
+
+  test("store→store streaming replication: graft-store on both ends") {
+    val root = tmp("gsrc-repl")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val seed = (0L until 120L).map(i => (i, 1L, s"v$i"))
+    BucketedMergeTarget.merge(kv(seed), src, Seq("id"), "cursor", nBuckets = 8)
+
+    val q = spark.readStream.format("graft-store").load(src)
+      .writeStream.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").option("buckets", "8")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      // two more source commits: an update wave and a fresh insert
+      BucketedMergeTarget.merge(
+        kv((0L until 120L by 10L).map(i => (i, 2L, s"u$i"))),
+        src, Seq("id"), "cursor", nBuckets = 8)
+      BucketedMergeTarget.merge(kv(Seq((500L, 2L, "new"))),
+        src, Seq("id"), "cursor", nBuckets = 8)
+      q.processAllAvailable()
+      val got = spark.read.format("graft-store").load(dst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = seed.map { case (i, c, v) =>
+        if (i % 10 == 0) (i, 2L, s"u$i") else (i, c, v)
+      }.toSet + ((500L, 2L, "new"))
+      assert(got == want, "mirror must converge to the source's latest-wins state")
+    } finally q.stop()
+  }
+}
