@@ -61,7 +61,10 @@ class GraftStoreProvider extends RelationProvider
     * changed-bucket upsert feed (see [[GraftStoreStreamSource]]). The
     * schema is the store's committed schema — the store must exist when
     * the stream starts (a follower follows something), unless the caller
-    * supplies one explicitly via `.schema(...)`. */
+    * supplies one explicitly via `.schema(...)`. Option
+    * `maxBucketsPerTrigger` bounds each micro-batch's bucket count
+    * (`maxFilesPerTrigger` discipline — large catch-up deltas walk
+    * through as a series of bounded batches). */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -80,7 +83,8 @@ class GraftStoreProvider extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val p = path(parameters)
     new GraftStoreStreamSource(sqlContext.sparkSession, p,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("maxBucketsPerTrigger").map(_.toInt))
   }
 
   /** `df.writeStream.format("graft-store")`: every micro-batch lands as

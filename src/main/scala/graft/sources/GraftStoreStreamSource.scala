@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
@@ -17,13 +16,25 @@ import graft.sinks.BucketedMergeTarget.Manifest
   * .StoreFollower]] provides imperatively, lifted into Structured
   * Streaming's engine-managed offset/commit loop).
   *
-  * OFFSETS are committed manifest versions. Each [[getOffset]] poll is
-  * one manifest read — no data I/O, no Spark job in steady state, the
-  * same cheap no-op answer `StoreFollower.poll` gives. A micro-batch
-  * `(start, end]` emits the CURRENT contents of the buckets whose owning
-  * version dir changed between the two pinned manifests: multiple store
-  * commits between polls coalesce into one delta naturally, and I/O per
-  * batch is ∝ what changed, never ∝ store size.
+  * OFFSETS are `(manifest version, buckets emitted)` pairs
+  * ([[StoreSourceOffset]]). Each [[getOffset]] poll is one manifest read
+  * — no data I/O, no Spark job in steady state, the same cheap no-op
+  * answer `StoreFollower.poll` gives. A micro-batch `(start, end]`
+  * emits the CURRENT contents of the buckets whose owning version dir
+  * changed between the two pinned manifests: multiple store commits
+  * between polls coalesce into one delta naturally, and I/O per batch
+  * is ∝ what changed, never ∝ store size.
+  *
+  * `maxBucketsPerTrigger` BOUNDS each micro-batch: a large delta — the
+  * initial snapshot, or a follower catching up after a long gap, where
+  * "changed" may be most of a very large store — is walked as a series
+  * of bounded batches (the changed-bucket list is sliced in sorted
+  * order; the offset's `emitted` field tracks the cut). One store
+  * commit is never split mid-bucket, and a NEWER commit does not
+  * preempt a delta mid-walk: the in-flight delta completes first, then
+  * the next poll diffs against it. This is `maxFilesPerTrigger`
+  * discipline for stores — without it, one huge catch-up batch is the
+  * classic streaming failure at scale.
   *
   * The feed is upsert-shaped and at-least-once PER KEY (keys sharing a
   * bucket with a changed key are re-emitted; the rows carry the store's
@@ -36,12 +47,16 @@ import graft.sinks.BucketedMergeTarget.Manifest
   * upsert-only while reconcile handles deletes (`src/xmin/daemon.rs`,
   * `src/commands/reconcile.rs`).
   *
-  * RECOVERY: manifests are pinned in memory between poll and commit.
-  * After a restart the checkpointed start version's manifest is usually
-  * gone (store gc retains only the newest two) — the source then
-  * re-emits ALL buckets of the end manifest. That is the documented
-  * [[graft.streaming.StoreFollower.Start]] semantics: full re-emit is
-  * correctness-free for the idempotent consumers this feed targets.
+  * RECOVERY: manifests and the in-flight changed list are pinned in
+  * memory between poll and commit. After a restart that state is gone
+  * and the checkpointed start version's manifest usually is too (store
+  * gc retains only the newest two) — the source then re-emits ALL
+  * buckets of the end manifest in one recovery batch, ignoring the
+  * offsets' slice positions: those index the LOST changed list, and
+  * slicing a different list could silently drop buckets from the feed.
+  * Full re-emit is the documented [[graft.streaming.StoreFollower
+  * .Start]] semantics — correctness-free for the idempotent consumers
+  * this feed targets — and bounded batching resumes from the next poll.
   *
   * Schema is fixed at stream start (the manifest's schema when the
   * source was created). Columns added to the store mid-stream by
@@ -49,51 +64,78 @@ import graft.sinks.BucketedMergeTarget.Manifest
   * Structured Streaming requires a stable source schema.
   */
 final class GraftStoreStreamSource(spark: SparkSession, path: String,
-                                   override val schema: StructType)
+                                   override val schema: StructType,
+                                   maxBucketsPerTrigger: Option[Int] = None)
     extends Source {
 
-  /** Manifests pinned between getOffset and getBatch/commit, by version.
-    * Bounded: commit() drops everything below the committed version, and
-    * getOffset only pins when the version advances. */
-  private val pinned = scala.collection.mutable.Map.empty[Long, Manifest]
-  private var newestPolled: Option[Long] = None
+  require(maxBucketsPerTrigger.forall(_ > 0),
+    s"graft-store source: maxBucketsPerTrigger must be positive, got $maxBucketsPerTrigger")
 
-  private def ver(o: V1Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset after restart
-  }
+  /** The delta being walked: `base` is the fully-committed diff base
+    * (None = nothing committed yet — the snapshot walk), `target` the
+    * manifest whose changed buckets are being emitted, `changed` those
+    * buckets in sorted order, `handedOut` how many of them getOffset
+    * has released so far. */
+  private final case class Walk(base: Option[Manifest], target: Manifest,
+                                changed: IndexedSeq[Int], handedOut: Int)
+
+  private var walk: Option[Walk] = None
+  private var committedBase: Option[Manifest] = None
+  private var lastOffset: Option[StoreSourceOffset] = None
+
+  private def changedBetween(base: Option[Manifest], cur: Manifest): IndexedSeq[Int] =
+    base match {
+      case None => cur.buckets.keySet.toIndexedSeq.sorted
+      case Some(b) =>
+        (cur.buckets.collect {
+          case (k, d) if !b.buckets.get(k).contains(d) => k
+        }.toSet ++ (b.buckets.keySet -- cur.buckets.keySet)).toIndexedSeq.sorted
+    }
 
   override def getOffset: Option[V1Offset] = synchronized {
-    BucketedMergeTarget.currentManifest(spark, path).foreach { m =>
-      if (!newestPolled.exists(_ >= m.version)) {
-        pinned(m.version) = m
-        newestPolled = Some(m.version)
-      }
+    walk match {
+      case Some(w) if w.handedOut < w.changed.size =>
+        // mid-delta: release the next bounded slice of the SAME target —
+        // newer store commits wait until this walk completes
+        val next = maxBucketsPerTrigger.fold(w.changed.size)(
+          m => math.min(w.changed.size, w.handedOut + m))
+        walk = Some(w.copy(handedOut = next))
+        lastOffset = Some(StoreSourceOffset(w.target.version, next))
+      case _ =>
+        BucketedMergeTarget.currentManifest(spark, path).foreach { m =>
+          val base = walk.map(_.target).orElse(committedBase)
+          if (!base.exists(_.version >= m.version)) {
+            val changed = changedBetween(base, m)
+            val handed = maxBucketsPerTrigger.fold(changed.size)(
+              math.min(changed.size, _))
+            walk = Some(Walk(base, m, changed, handed))
+            lastOffset = Some(StoreSourceOffset(m.version, handed))
+          }
+        }
     }
-    newestPolled.map(LongOffset.apply)
+    lastOffset
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val (endM, changed) = synchronized {
-      val endV = ver(end)
-      // end's manifest: pinned normally; after a restart re-read the
-      // store — exact version if it survives gc, else newest (the feed
-      // is upsert-shaped, emitting newer state early is harmless)
-      val em = pinned.get(endV)
-        .orElse(BucketedMergeTarget.currentManifest(spark, path))
-        .getOrElse(throw new IllegalStateException(
-          s"graft-store source: no committed manifest under $path for offset $endV"))
-      val ch = start.map(ver).flatMap(pinned.get) match {
-        case Some(sm) =>
-          // changed = owner dir differs, plus buckets emptied since start
-          em.buckets.collect {
-            case (b, d) if !sm.buckets.get(b).contains(d) => b
-          }.toSet ++ (sm.buckets.keySet -- em.buckets.keySet)
-        case None => em.buckets.keySet // first batch or unpinned restart
+    val (m, buckets) = synchronized {
+      val endO = StoreSourceOffset.of(end)
+      val startO = start.map(StoreSourceOffset.of)
+      walk match {
+        case Some(w) if w.target.version == endO.version =>
+          // in-run: slice the pinned changed list between the two cuts.
+          // A start from an OLDER version means this walk's delta began
+          // there — its slice positions index this walk's list from 0.
+          val from = startO.filter(_.version == endO.version).map(_.emitted).getOrElse(0)
+          (w.target, w.changed.slice(from, endO.emitted).toSet)
+        case _ =>
+          // restart: pinned state lost — re-emit everything (see scaladoc)
+          val m = BucketedMergeTarget.currentManifest(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"graft-store source: no committed manifest under $path for offset $endO"))
+          (m, m.buckets.keySet)
       }
-      (em, ch)
     }
-    val batch = BucketedMergeTarget.readBuckets(spark, path, endM, changed)
+    val batch = BucketedMergeTarget.readBuckets(spark, path, m, buckets)
       .drop(BucketedMergeTarget.BucketCol)
       // conform to the stream's declared schema: columns added to the
       // store after stream start are deferred to a restart
@@ -105,13 +147,38 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
   }
 
   override def commit(end: V1Offset): Unit = synchronized {
-    val v = ver(end)
-    // keep the committed version's manifest — it is the diff base for
-    // the NEXT batch; everything older is unreachable
-    pinned.filterInPlace { case (k, _) => k >= v }
+    val endO = StoreSourceOffset.of(end)
+    walk.foreach { w =>
+      if (w.target.version == endO.version && endO.emitted >= w.changed.size) {
+        // delta fully processed: its target becomes the next diff base
+        committedBase = Some(w.target)
+        walk = None
+      }
+    }
   }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStoreStreamSource($path)"
+}
+
+/** `(manifest version, changed buckets emitted)` — totally ordered
+  * lexicographically because a walk's `emitted` only grows within one
+  * version and versions only grow across walks. */
+final case class StoreSourceOffset(version: Long, emitted: Int) extends V1Offset {
+  override def json: String = s"""{"v":$version,"k":$emitted}"""
+}
+
+object StoreSourceOffset {
+  private val JsonRe = """\s*\{\s*"v"\s*:\s*(\d+)\s*,\s*"k"\s*:\s*(\d+)\s*\}\s*""".r
+
+  /** Accepts this class, its serialized json, and a bare long (offsets
+    * checkpointed by the pre-`maxBucketsPerTrigger` source). */
+  def of(o: V1Offset): StoreSourceOffset = o match {
+    case s: StoreSourceOffset => s
+    case other => other.json match {
+      case JsonRe(v, k) => StoreSourceOffset(v.toLong, k.toInt)
+      case bare => StoreSourceOffset(bare.trim.toLong, Int.MaxValue)
+    }
+  }
 }

@@ -82,6 +82,43 @@ class GraftStoreStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBucketsPerTrigger walks a large delta as bounded micro-batches") {
+    val root = tmp("gsrc-bounded")
+    val src = root.resolve("store").toString
+    val seed = (0L until 160L).map(i => (i, 1L, s"v$i"))
+    BucketedMergeTarget.merge(kv(seed), src, Seq("id"), "cursor", nBuckets = 8)
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-store")
+      .option("maxBucketsPerTrigger", "3").load(src)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the 8-bucket snapshot must arrive as ceil(8/3) = 3 bounded
+      // batches, not one big one — and nothing may be lost or doubled
+      val sizes = batchSizes.synchronized(batchSizes.toList)
+      assert(sizes.count(_ > 0) == 3,
+        s"snapshot should walk through as 3 bounded batches, got $sizes")
+      assert(sizes.sum == 160L, s"walk must cover every row exactly once: $sizes")
+      assert(sizes.max < 160L, s"no single batch may carry the whole store: $sizes")
+
+      // a single-key update after the walk is one small batch again
+      BucketedMergeTarget.merge(kv(Seq((42L, 2L, "v42!"))),
+        src, Seq("id"), "cursor", nBuckets = 8)
+      q.processAllAvailable()
+      val after = batchSizes.synchronized(batchSizes.toList).drop(sizes.length)
+      assert(after.count(_ > 0) == 1 && after.sum <= 160 / 4,
+        s"post-walk delta should be one bucket-sized batch, got $after")
+    } finally q.stop()
+  }
+
   test("store→store streaming replication: graft-store on both ends") {
     val root = tmp("gsrc-repl")
     val src = root.resolve("src").toString
