@@ -781,6 +781,20 @@ object QueriesPipeline {
       Similarity.lshBucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 20, hPlanes = 3, portable = true)),
 
+    // IVF ANN through the gate in its degenerate-to-exact regime:
+    // deterministic seeded-Lloyd cells, then nProbe = ALL cells — the
+    // probe filter passes every partition, so the full IVF path
+    // (kmeansCentroids → withIvfCell literal-centroid argmin → probe →
+    // in-cell exact cosine) must reproduce exact top-25. Partial-probe
+    // recall stays the unit-pinned property (it is approximate by
+    // design — no SQL oracle can replay "close enough").
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "embedding", k = 8)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryVec(s, dir), 25,
+        cents, nProbe = cents.length)
+    }),
+
     // Embedding near-dup pairs (cosine ≥ 0.99) over planted ×2-scaled
     // copies, restricted to same-SRP-bucket candidates with hot-bucket cap.
     "q_cosine_pairs" -> ((s, dir) =>
@@ -1472,6 +1486,15 @@ object QueriesPipeline {
            |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
            |FROM embeddings
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      // Full-probe IVF is exact search wearing cells: the oracle never
+      // sees a centroid, only the exact cosine ranking.
+      "q_ann_ivf" ->
+        s"""SELECT vec_id,
+           | round(${sqlDot("embedding", sqlQueryVec)}
+           |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
+           |FROM embeddings
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 25""".stripMargin,
 
       "q_corpus_mix" ->
         """SELECT source, lang, count(*) AS n_docs,
