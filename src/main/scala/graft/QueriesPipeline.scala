@@ -729,6 +729,23 @@ object QueriesPipeline {
       out
     }),
 
+    // The sharded JSONL corpus exchange through the gate: export a
+    // projection of `documents` as hash-sharded gzip JSONL + manifest,
+    // read it back under the manifest's recorded schema. The round-trip
+    // must be the identity — the oracle never knows a file format,
+    // shard, or manifest existed.
+    "q_jsonl_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val root = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      val corp = root.resolve("corpus").toString
+      graft.sources.JsonlCorpus.write(docs, corp, nShards = 4,
+        shardKey = Seq("doc_id"))
+      val out = graft.sources.JsonlCorpus.read(s, corp)
+        .localCheckpoint(true) // materialize before the scratch export goes
+      rmTree(root)
+      out
+    }),
+
     // Duplicate-CLUSTER resolution — the stage after pair verification:
     // Jaccard-verified candidate pairs become edges, connected components
     // (min-label propagation + pointer jumping) turn them into clusters,
@@ -1450,6 +1467,10 @@ object QueriesPipeline {
           | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
           | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
           |FROM documents""".stripMargin,
+
+      // JSONL export/import must be the identity on its input projection.
+      "q_jsonl_corpus" ->
+        "SELECT doc_id, lang, n_chars FROM documents",
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.

@@ -132,6 +132,21 @@ object QueriesRelational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Salted skew join through the gate: the salting machinery (row salt
+    // on the big side, salt-replicated small side, join on key+salt) is
+    // pure implementation detail — the oracle sees only the plain join
+    // semantics it must be equivalent to. saltFactor 4 exercises real
+    // replication; the aggregate keeps the gated result compact.
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+      val part = t(s, dir, "part").select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Skew.saltedJoin(li, part, Seq("l_partkey"), saltFactor = 4)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+    }),
+
     // Grouping-sets rollup (beyond the reference — pipeline analytics):
     // per (lang, source) doc counts with subtotal and grand-total rows.
     "q_rollup" -> ((s, dir) =>
@@ -318,6 +333,12 @@ object QueriesRelational {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
