@@ -729,6 +729,21 @@ object QueriesPipeline {
       out
     }),
 
+    // Z-ORDER cell assignment through the gate: the layout operator's
+    // numeric core — uniform 2^16 bucketing of both dimensions between
+    // their observed min/max, then the 32-bit Morton interleave — is
+    // pure integer/IEEE arithmetic, so DuckDB replays it bit-exactly
+    // (list-comprehension interleave; disjoint bits make sum == OR).
+    // Grouping by the top 8 Morton bits = the curve cells zorderWrite
+    // partitions files by; their populations pin the whole pipeline.
+    "q_zorder_cells" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+      graft.operators.Layout.withZValue(ev, "user_id", "value")
+        .groupBy(shiftright(col("zval"),
+          2 * graft.operators.Layout.DimBits - 8).cast("int").as("zcell"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // The sharded JSONL corpus exchange through the gate: export a
     // projection of `documents` as hash-sharded gzip JSONL + manifest,
     // read it back under the manifest's recorded schema. The round-trip
@@ -1471,6 +1486,28 @@ object QueriesPipeline {
       // JSONL export/import must be the identity on its input projection.
       "q_jsonl_corpus" ->
         "SELECT doc_id, lang, n_chars FROM documents",
+
+      // Morton cells replayed exactly: same bucket arithmetic (floor ==
+      // Spark's toward-zero int cast — the ratio is never negative),
+      // same bit interleave (sum over disjoint bit positions).
+      "q_zorder_cells" ->
+        """WITH r AS (
+          |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_a, max(CAST(user_id AS DOUBLE)) AS hi_a,
+          |         min(CAST(value AS DOUBLE)) AS lo_b, max(CAST(value AS DOUBLE)) AS hi_b
+          |  FROM events),
+          |b AS (
+          |  SELECT
+          |   CASE WHEN hi_a <= lo_a THEN 0 ELSE least(CAST(floor(
+          |     (CAST(user_id AS DOUBLE) - lo_a) / (hi_a - lo_a) * 65536) AS INT), 65535) END AS ba,
+          |   CASE WHEN hi_b <= lo_b THEN 0 ELSE least(CAST(floor(
+          |     (CAST(value AS DOUBLE) - lo_b) / (hi_b - lo_b) * 65536) AS INT), 65535) END AS bb
+          |  FROM events, r),
+          |z AS (
+          |  SELECT list_sum([((ba >> i) & 1) * (1::BIGINT << (2*i+1))
+          |                 + ((bb >> i) & 1) * (1::BIGINT << (2*i)) for i in range(16)]) AS zval
+          |  FROM b)
+          |SELECT CAST(zval >> 24 AS INT) AS zcell, count(*) AS n_rows
+          |FROM z GROUP BY zcell""".stripMargin,
 
       // Dedup RESOLUTION: inside each multi-doc duplicate cluster keep the
       // longest doc (ties → smallest id) and account for what gets dropped.
