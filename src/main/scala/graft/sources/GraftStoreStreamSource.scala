@@ -66,7 +66,10 @@ import graft.sinks.BucketedMergeTarget.Manifest
 final class GraftStoreStreamSource(spark: SparkSession, path: String,
                                    override val schema: StructType,
                                    maxBucketsPerTrigger: Option[Int] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
 
   require(maxBucketsPerTrigger.forall(_ > 0),
     s"graft-store source: maxBucketsPerTrigger must be positive, got $maxBucketsPerTrigger")
@@ -82,6 +85,10 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
   private var walk: Option[Walk] = None
   private var committedBase: Option[Manifest] = None
   private var lastOffset: Option[StoreSourceOffset] = None
+  // Trigger.AvailableNow: commits after prepare are out of scope for
+  // this run — the drain loop must see a FIXED end or it never ends
+  private var availableNowMode = false
+  private var availableNowTarget: Option[Manifest] = None
 
   private def changedBetween(base: Option[Manifest], cur: Manifest): IndexedSeq[Int] =
     base match {
@@ -92,7 +99,7 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
         }.toSet ++ (b.buckets.keySet -- cur.buckets.keySet)).toIndexedSeq.sorted
     }
 
-  override def getOffset: Option[V1Offset] = synchronized {
+  private def advanceOffset(): Option[StoreSourceOffset] = synchronized {
     walk match {
       case Some(w) if w.handedOut < w.changed.size =>
         // mid-delta: release the next bounded slice of the SAME target —
@@ -102,7 +109,9 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
         walk = Some(w.copy(handedOut = next))
         lastOffset = Some(StoreSourceOffset(w.target.version, next))
       case _ =>
-        BucketedMergeTarget.currentManifest(spark, path).foreach { m =>
+        val cur = if (availableNowMode) availableNowTarget
+                  else BucketedMergeTarget.currentManifest(spark, path)
+        cur.foreach { m =>
           val base = walk.map(_.target).orElse(committedBase)
           if (!base.exists(_.version >= m.version)) {
             val changed = changedBetween(base, m)
@@ -115,6 +124,26 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
     }
     lastOffset
   }
+
+  override def getOffset: Option[V1Offset] = advanceOffset()
+
+  /** [[org.apache.spark.sql.connector.read.streaming
+    * .SupportsTriggerAvailableNow]]: without it the engine demotes
+    * Trigger.AvailableNow to ONE micro-batch — which, under
+    * `maxBucketsPerTrigger`, would silently drain only the first slice
+    * of the snapshot. Pinning the prepare-time manifest gives the drain
+    * loop a fixed end even if writers keep committing. */
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowMode = true
+    availableNowTarget = BucketedMergeTarget.currentManifest(spark, path)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    // the per-trigger bound lives in the walk logic (maxBucketsPerTrigger)
+    ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset =
+    advanceOffset().orNull
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val (m, buckets) = synchronized {

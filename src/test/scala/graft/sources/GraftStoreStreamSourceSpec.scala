@@ -119,6 +119,26 @@ class GraftStoreStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the snapshot in bounded batches, then stops") {
+    val root = tmp("gsrc-avnow")
+    val src = root.resolve("store").toString
+    BucketedMergeTarget.merge(kv((0L until 80L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    val q = spark.readStream.format("graft-store")
+      .option("maxBucketsPerTrigger", "3").load(src)
+      .writeStream.format("memory").queryName("gsrc_avnow")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(!q.isActive, "AvailableNow query must self-terminate after draining")
+      assert(spark.table("gsrc_avnow").count() == 80L,
+        "the run-once drain must cover the whole snapshot")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("store→store streaming replication: graft-store on both ends") {
     val root = tmp("gsrc-repl")
     val src = root.resolve("src").toString
