@@ -147,6 +147,33 @@ object QueriesRelational {
           sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
     }),
 
+    // CO-LOCATED join through the gate: both sides written once as
+    // bucketed + in-bucket-sorted catalog tables on the join key, then
+    // joined — the SMJ plans with no Exchange on either side (the plan
+    // property PlanSpec pins); the oracle only sees the plain join the
+    // layout must be transparent to. Scratch tables are per-query and
+    // dropped after materialization.
+    "q_colocated_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      s.sql("DROP TABLE IF EXISTS graft_co_orders")
+      s.sql("DROP TABLE IF EXISTS graft_co_lineitem")
+      graft.operators.Colocate.writeBucketed(o, "graft_co_orders", 8,
+        Seq("o_orderkey"))
+      graft.operators.Colocate.writeBucketed(l, "graft_co_lineitem", 8,
+        Seq("o_orderkey"))
+      val out = s.table("graft_co_orders")
+        .join(s.table("graft_co_lineitem"), "o_orderkey")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+        .localCheckpoint(true) // materialize before the scratch tables go
+      s.sql("DROP TABLE IF EXISTS graft_co_orders")
+      s.sql("DROP TABLE IF EXISTS graft_co_lineitem")
+      out
+    }),
+
     // Grouping-sets rollup (beyond the reference — pipeline analytics):
     // per (lang, source) doc counts with subtotal and grand-total rows.
     "q_rollup" -> ((s, dir) =>
@@ -339,6 +366,12 @@ object QueriesRelational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_colocated_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
