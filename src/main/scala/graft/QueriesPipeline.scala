@@ -813,6 +813,19 @@ object QueriesPipeline {
       Similarity.lshBucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 20, hPlanes = 3, portable = true)),
 
+    // PQ-ANN through the gate ROWS-ONLY (the q_lsh_prod precedent for
+    // production paths with no SQL oracle): train m=8 sub-codebooks,
+    // encode the corpus to 8-code vectors, ADC top-20 over the literal
+    // query-distance table — the 64×-memory-cut scan path executes
+    // end-to-end inside the gate; ADC is approximate by construction,
+    // so exactness stays the unit-pinned lossless-regime property.
+    "q_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, "embedding", m = 8, k = 16)
+      val enc = Similarity.pqEncode(emb, "embedding", books)
+      Similarity.pqTopK(enc, "vec_id", queryVec(s, dir), 20, books)
+    }),
+
     // IVF ANN through the gate in its degenerate-to-exact regime:
     // deterministic seeded-Lloyd cells, then nProbe = ALL cells — the
     // probe filter passes every partition, so the full IVF path
