@@ -729,6 +729,14 @@ object QueriesPipeline {
       out
     }),
 
+    // Overlapping token-window chunking (document → RAG/embedding
+    // chunks): windows of 50 whitespace tokens every 40 (10-token
+    // overlap), one row per chunk with its offsets and text. The oracle
+    // rebuilds the same windows from the same whitespace split.
+    "q_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", window = 50, stride = 40)),
+
     // Z-ORDER cell assignment through the gate: the layout operator's
     // numeric core — uniform 2^16 bucketing of both dimensions between
     // their observed min/max, then the 32-bit Morton interleave — is
@@ -1499,6 +1507,23 @@ object QueriesPipeline {
       // JSONL export/import must be the identity on its input projection.
       "q_jsonl_corpus" ->
         "SELECT doc_id, lang, n_chars FROM documents",
+
+      // Same whitespace split, same window/stride arithmetic, same
+      // 1-based inclusive token slices.
+      "q_doc_chunks" ->
+        """WITH d AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+          |c AS (
+          |  SELECT doc_id, toks, n,
+          |    unnest(range(0, CAST(ceil(greatest(n - 50, 0) / 40.0) AS INT) + 1)) AS i
+          |  FROM n)
+          |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+          | CAST(i * 40 AS BIGINT) AS start_tok,
+          | CAST(least(50, n - i * 40) AS BIGINT) AS n_toks,
+          | array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text
+          |FROM c""".stripMargin,
 
       // Morton cells replayed exactly: same bucket arithmetic (floor ==
       // Spark's toward-zero int cast — the ratio is never negative),

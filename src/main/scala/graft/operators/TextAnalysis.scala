@@ -245,4 +245,32 @@ object TextAnalysis {
       .filter(col("term_rank") <= k)
       .select(col(idCol), col("term"), col("tfidf"), col("term_rank"))
   }
+
+  /** Overlapping token-window chunking — the standard document→chunk
+    * step before embedding/indexing (RAG ingestion, context packing):
+    * whitespace tokens in windows of `window` tokens every `stride`
+    * (stride < window ⇒ overlap carries context across cuts). One row
+    * per chunk: `(id, chunk_id, start_tok, n_toks, chunk_text)`. Every
+    * doc yields ≥1 chunk (a short doc is one short chunk); the last
+    * chunk may be shorter than `window`. A narrow generate-and-explode
+    * over the token array — per-doc work ∝ tokens, no shuffle, stays
+    * inside whole-stage codegen. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__starts", sequence(lit(0),
+        ceil(greatest(col("__n") - window, lit(0)).cast("double") / stride)
+          .cast("int")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "__i")))
+      .select(col(idCol), col("chunk_id"),
+        (col("__i") * stride).cast("long").as("start_tok"),
+        least(lit(window), col("__n") - col("__i") * stride).cast("long")
+          .as("n_toks"),
+        array_join(slice(col("__toks"), col("__i") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

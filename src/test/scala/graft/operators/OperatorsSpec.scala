@@ -301,6 +301,25 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- TextAnalysis ---------------------------------------------------
 
+  test("chunkTokens: coverage, overlap, and short-doc/short-tail invariants") {
+    val text120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkTokens(
+      docs(1L -> text120, 2L -> "only three tokens"),
+      "doc_id", "text", window = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 120 tokens, w=50 s=40 → starts 0/40/80: ceil((120-50)/40)+1 = 3
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0L, 50L), (1, 40L, 50L), (2, 80L, 40L)))
+    // every token appears in some chunk; consecutive chunks overlap by 10
+    assert(d1(0)._5.startsWith("w1 ") && d1(2)._5.endsWith(" w120"))
+    assert(d1(0)._5.split(" ").toSet.intersect(d1(1)._5.split(" ").toSet).size == 10)
+    // a doc shorter than the window is exactly one short chunk
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0, 0L, 3L, "only three tokens")))
+  }
+
   test("langId picks the marker-dominant language, und when silent") {
     val out = docs(
       1L -> "the cat and the dog of the house",
