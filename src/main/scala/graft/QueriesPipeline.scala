@@ -729,6 +729,14 @@ object QueriesPipeline {
       out
     }),
 
+    // BPE pair statistics (the counting step of tokenizer training):
+    // adjacent character pairs over the corpus vocabulary, weighted by
+    // word frequency — the top row is the first merge a BPE trainer
+    // would apply. Fully deterministic ordering makes the top-50 edge
+    // engine-independent.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 50)),
+
     // Overlapping token-window chunking (document → RAG/embedding
     // chunks): windows of 50 whitespace tokens every 40 (10-token
     // overlap), one row per chunk with its offsets and text. The oracle
@@ -1507,6 +1515,23 @@ object QueriesPipeline {
       // JSONL export/import must be the identity on its input projection.
       "q_jsonl_corpus" ->
         "SELECT doc_id, lang, n_chars FROM documents",
+
+      // Same whitespace split, same per-word adjacent pairs, same
+      // frequency weighting; character-based substring in both engines.
+      "q_bpe_pairs" ->
+        """WITH w AS (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+          |  FROM documents),
+          |wc AS (SELECT word, count(*) AS wcnt FROM w
+          |       WHERE len(word) >= 2 GROUP BY word),
+          |p AS (
+          |  SELECT substring(word, CAST(i AS INT), 1) AS left_sym,
+          |         substring(word, CAST(i AS INT) + 1, 1) AS right_sym, wcnt
+          |  FROM (SELECT word, wcnt, unnest(range(1, len(word))) AS i FROM wc))
+          |SELECT left_sym, right_sym, CAST(sum(wcnt) AS BIGINT) AS pair_count
+          |FROM p GROUP BY left_sym, right_sym
+          |ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+          |LIMIT 50""".stripMargin,
 
       // Same whitespace split, same window/stride arithmetic, same
       // 1-based inclusive token slices.

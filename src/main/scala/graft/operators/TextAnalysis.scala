@@ -246,6 +246,29 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("term_rank"))
   }
 
+  /** Corpus-scale BPE pair statistics — the counting step of tokenizer
+    * training (Sennrich et al. '16): every word's adjacent character
+    * pairs, weighted by word frequency; the top pair is the next merge
+    * a BPE trainer would apply. Two shuffles, both small: words
+    * aggregate to the VOCABULARY (not the corpus — map-side combine
+    * collapses repeats before the exchange), pairs aggregate to the
+    * alphabet², trivially. Corpus text itself never shuffles. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => struct(col("word").substr(i, lit(1)).as("l"),
+                      col("word").substr(i + 1, lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(k)
+  }
+
   /** Overlapping token-window chunking — the standard document→chunk
     * step before embedding/indexing (RAG ingestion, context packing):
     * whitespace tokens in windows of `window` tokens every `stride`

@@ -301,6 +301,19 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- TextAnalysis ---------------------------------------------------
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, deterministic top") {
+    // "ababab" contributes ab×3 + ba×2 per occurrence; two docs carry it
+    // twice and once → ab = 9, ba = 6; "xy" adds xy = 3 via one word ×3
+    val out = TextAnalysis.bpePairCounts(
+      docs(1L -> "ababab xy ababab", 2L -> "ababab xy xy"),
+      "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.head == (("a", "b", 9L)), s"top pair wrong: ${out.head}")
+    assert(out.toSeq.contains(("b", "a", 6L)) && out.toSeq.contains(("x", "y", 3L)))
+    // single-character words contribute no pairs
+    assert(TextAnalysis.bpePairCounts(docs(1L -> "a b c"), "text", 10).count() == 0)
+  }
+
   test("chunkTokens: coverage, overlap, and short-doc/short-tail invariants") {
     val text120 = (1 to 120).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunkTokens(
