@@ -73,11 +73,32 @@ object IncrementalCluster {
              driverMaxEdges: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = edges.sparkSession
-    val e = edges.select(col("id_a"), col("id_b"))
-      .filter(col("id_a") =!= col("id_b")).distinct()
-    val idType = edges.schema("id_a").dataType
+    // Bucket hashes are type-sensitive (Murmur3 over Int literals differs
+    // from the same values as Longs), so a batch whose id type differs
+    // from the store's would probe the WRONG buckets and silently miss
+    // existing assignments — in the driver path (readMatchingLocal) and
+    // the distributed path (readMatching bucket-prunes on the keys
+    // frame's type) alike. Align the batch to the stored type up front:
+    // widen when safe, fail loudly when the cast would narrow.
+    val rawType = edges.schema("id_a").dataType
+    val storedType = BucketedMergeTarget.currentManifest(spark, byIdPath)
+      .flatMap(m => m.schema.fields.find(_.name == "id").map(_.dataType))
+    val width = Map[org.apache.spark.sql.types.DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val aligned = storedType match {
+      case Some(st) if st != rawType =>
+        require(width.contains(rawType) && width.contains(st) &&
+            width(rawType) < width(st),
+          s"edge id type $rawType does not match the store's id type $st " +
+            "and cannot widen to it — probes would hash the wrong buckets")
+        edges.select(col("id_a").cast(st).as("id_a"),
+          col("id_b").cast(st).as("id_b"))
+      case _ => edges.select(col("id_a"), col("id_b"))
+    }
+    val e = aligned.filter(col("id_a") =!= col("id_b")).distinct()
+    val idType = e.schema("id_a").dataType
     val integral = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType) &&
-      idType == edges.schema("id_b").dataType
+      idType == e.schema("id_b").dataType
     if (integral && driverMaxEdges > 0) {
       val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
       // count the gate, don't collect it (the connectedComponents fast-path

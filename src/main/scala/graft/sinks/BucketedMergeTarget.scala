@@ -438,7 +438,12 @@ object BucketedMergeTarget {
       val entries = f.listStatus(p).toSeq
       entries.map(_.getPath.getName).foreach {
         case n @ ManifestRe(v) if v.toLong < ourVer && !keepVers.contains(v.toLong) =>
-          f.delete(new Path(p, n), false); ()
+          val mp = new Path(p, n)
+          f.delete(mp, false)
+          // retire the commit register's state for the reclaimed version
+          // too, or a lock-service register grows one entry per commit
+          // forever (no-op under FsNative)
+          CommitLock.forTarget(f, mp).reclaim(f, mp)
         case _ => ()
       }
       // crashed writers' debris, AGE-GATED on the standard orphan-TTL
@@ -496,6 +501,12 @@ object BucketedMergeTarget {
       case Some(m) =>
         require(m.bucketCols.isEmpty || m.bucketCols == probeCols,
           s"target is bucketed by ${m.bucketCols} — probe with exactly those columns")
+        // bucketCols empty means the store is bucketed by its full PK: a
+        // probe over any other column set would hash the wrong key and
+        // silently miss rows. (Pre-pkCols manifests record Nil and keep
+        // the caller-is-right behavior.)
+        require(m.bucketCols.nonEmpty || m.pkCols.isEmpty || m.pkCols == probeCols,
+          s"target is bucketed by its PK ${m.pkCols} — probe with exactly those columns")
         val keyed = withBucket(keys.select(probeCols.map(col): _*).distinct(), probeCols, m.nBuckets)
         val touched = keyed.select(BucketCol).distinct()
           .collect().map(_.getInt(0)).toSet.intersect(m.buckets.keySet)
@@ -525,6 +536,10 @@ object BucketedMergeTarget {
         StructType(Seq(org.apache.spark.sql.types.StructField(probeCol, keyType)))))
     require(m.bucketCols.isEmpty || m.bucketCols == Seq(probeCol),
       s"target is bucketed by ${m.bucketCols} — probe with exactly those columns")
+    // as in readMatching: a bucketCols-less store hashes its full PK, so a
+    // single-column probe is only sound when the PK IS that column.
+    require(m.bucketCols.nonEmpty || m.pkCols.isEmpty || m.pkCols == Seq(probeCol),
+      s"target is bucketed by its PK ${m.pkCols} — probe with exactly those columns")
     val distinctKeys = keys.distinct
     val touched = distinctKeys.map(k => localBucket(k, keyType, m.nBuckets)).toSet
       .intersect(m.buckets.keySet)

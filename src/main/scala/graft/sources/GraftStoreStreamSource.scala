@@ -85,6 +85,10 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
   private var walk: Option[Walk] = None
   private var committedBase: Option[Manifest] = None
   private var lastOffset: Option[StoreSourceOffset] = None
+  // manifest served by a restart-recovery getBatch (walk state lost):
+  // commit(end) adopts it as the diff base so recovery costs ONE
+  // full-store batch, not two
+  private var recovered: Option[Manifest] = None
   // Trigger.AvailableNow: commits after prepare are out of scope for
   // this run — the drain loop must see a FIXED end or it never ends
   private var availableNowMode = false
@@ -161,6 +165,7 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
           val m = BucketedMergeTarget.currentManifest(spark, path).getOrElse(
             throw new IllegalStateException(
               s"graft-store source: no committed manifest under $path for offset $endO"))
+          recovered = Some(m)
           (m, m.buckets.keySet)
       }
     }
@@ -177,13 +182,23 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
 
   override def commit(end: V1Offset): Unit = synchronized {
     val endO = StoreSourceOffset.of(end)
-    walk.foreach { w =>
-      if (w.target.version == endO.version && endO.emitted >= w.changed.size) {
-        // delta fully processed: its target becomes the next diff base
-        committedBase = Some(w.target)
-        walk = None
-      }
+    walk match {
+      case Some(w) =>
+        if (w.target.version == endO.version && endO.emitted >= w.changed.size) {
+          // delta fully processed: its target becomes the next diff base
+          committedBase = Some(w.target)
+          walk = None
+        }
+      case None =>
+        // a restart-recovery batch emitted EVERY bucket of `recovered`,
+        // so once that batch commits, `recovered` is a fully-processed
+        // diff base — without this, committedBase stays None and the
+        // next getOffset re-emits the whole store a second time
+        recovered.filter(_.version >= endO.version).foreach { m =>
+          committedBase = Some(m)
+        }
     }
+    recovered = None
   }
 
   override def stop(): Unit = ()

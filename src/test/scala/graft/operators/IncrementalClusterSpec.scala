@@ -55,6 +55,31 @@ class IncrementalClusterSpec extends AnyFunSuite {
       stored(byId).values.toSet)
   }
 
+  test("a narrower-typed batch widens to the store's id type instead of missing buckets") {
+    // ADVICE r5: bucket hashes are type-sensitive — an Int-typed batch
+    // probing a Long-seeded store would hash the wrong buckets, silently
+    // miss existing assignments, and fragment clusters. The update must
+    // align the batch to the stored type up front.
+    val (byId, byRep) = tmp()
+    val s = spark
+    import s.implicits._
+    IncrementalCluster.update(edges(1L -> 2L), byId, byRep, batchId = 0L)
+    // same logical keys, INT typed: 2 joins the existing {1,2} cluster
+    IncrementalCluster.update(Seq((2, 3)).toDF("id_a", "id_b"), byId, byRep, batchId = 1L)
+    assert(stored(byId) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "narrower-typed batch fragmented the cluster (probed the wrong buckets)")
+    // the store keeps its Long schema — the batch was widened, not the store narrowed
+    val idType = BucketedMergeTarget.currentManifest(s, byId).get.schema("id").dataType
+    assert(idType == org.apache.spark.sql.types.LongType)
+    // the reverse (a WIDER batch against a narrow store) cannot be cast
+    // safely and must fail loudly, not probe wrong buckets
+    val (byId2, byRep2) = tmp()
+    IncrementalCluster.update(Seq((1, 2)).toDF("id_a", "id_b"), byId2, byRep2, batchId = 0L)
+    intercept[IllegalArgumentException] {
+      IncrementalCluster.update(edges(2L -> 3L), byId2, byRep2, batchId = 1L)
+    }
+  }
+
   test("probes are bucket-pruned: a small batch reads a sliver of the stores") {
     val (byId, byRep) = tmp()
     // 200 two-node clusters

@@ -168,4 +168,35 @@ class GraftStoreStreamSourceSpec extends AnyFunSuite {
       assert(got == want, "mirror must converge to the source's latest-wins state")
     } finally q.stop()
   }
+
+  test("restart recovery costs ONE full-store batch, not two (ADVICE r5)") {
+    // Drive the Source API the way the engine does on restart: a fresh
+    // source instance (pinned walk state lost) replays the checkpointed
+    // uncommitted offset via getBatch — the recovery branch re-emits the
+    // whole store — then commits it. That commit must adopt the recovery
+    // manifest as the diff base: the next getOffset has nothing new to
+    // hand out. Pre-fix, committedBase stayed None and the source began a
+    // SECOND full-store walk.
+    val root = tmp("gsrc-recover")
+    val src = root.resolve("store").toString
+    BucketedMergeTarget.merge(kv((0L until 160L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    val m1 = BucketedMergeTarget.currentManifest(spark, src).get
+    assert(m1.version == 1L)
+
+    val source = new GraftStoreStreamSource(spark, src, m1.schema, Some(3))
+    // engine restart: replay the uncommitted slice (v1, 3 of 8 buckets)
+    source.getBatch(None, StoreSourceOffset(1L, 3))
+    source.commit(StoreSourceOffset(1L, 3))
+    // the recovery batch covered the ENTIRE store — nothing left to emit
+    assert(source.getOffset.isEmpty,
+      "post-recovery poll restarted a full-store walk (second re-emit)")
+
+    // and a NEW commit diffs against the adopted base: one changed bucket
+    BucketedMergeTarget.merge(kv(Seq((42L, 2L, "v42!"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    val off = source.getOffset.map(StoreSourceOffset.of)
+    assert(off.exists(o => o.version == 2L && o.emitted == 1),
+      s"expected a one-bucket delta against the recovered base, got $off")
+  }
 }
