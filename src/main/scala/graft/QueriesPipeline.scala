@@ -618,9 +618,11 @@ object QueriesPipeline {
       val d = java.nio.file.Files.createTempDirectory("graft-inccluster")
       val byId = d.resolve("byId").toString
       val byRep = d.resolve("byRep").toString
-      // Round-5: updates run the DRIVER-LOCAL path (one collect + two
-      // zero-shuffle pruned probes + two single-action commits — was ≈20
-      // tiny jobs), and nBuckets=8 sizes the stores to the fixture (see
+      // Round-5/6: updates run the DRIVER-LOCAL path (one fused
+      // gate+collect job, two zero-shuffle pruned probes, then ONE
+      // overlapped commit round — both stores stage concurrently,
+      // manifests publish byId-first — was ≈20 tiny jobs in round 4),
+      // and nBuckets=8 sizes the stores to the fixture (see
       // q_incremental_dedup note); the per-batch cost curve stays flat
       // (StoreGrowthBench), the property that matters at scale
       IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L,

@@ -108,9 +108,13 @@ object IncrementalCluster {
       // re-deriving the whole edge lineage for each of its consumers
       val persisted = e.persist()
       try {
-        val n = persisted.limit(cap).count()
-        if (n <= driverMaxEdges) {
-          val out = updateLocal(spark, persisted.collect(), idType,
+        // ONE job gates AND fetches: collecting through limit(cap) means
+        // a result shorter than the cap IS the complete distinct edge
+        // set (the limit never truncated), so the size check and the
+        // collect no longer cost a job each
+        val limited = traced("edge collect")(persisted.limit(cap).collect())
+        if (limited.length <= driverMaxEdges) {
+          val out = updateLocal(spark, limited, idType,
             byIdPath, byRepPath, batchId, nBuckets, driverMaxEdges)
           // None = the batch is small but its affected-cluster membership
           // is not — fall through to the distributed path, whose work is
@@ -131,6 +135,19 @@ object IncrementalCluster {
     * exceeds `maxLocal` — a small batch can touch an arbitrarily large
     * accumulated cluster, and the driver regime is bounded by what lands
     * on the driver (edges + members), not by the batch alone. */
+  /** Coarse stage timing to stderr when SPARK_GRAFT_TRACE is set — the
+    * per-batch latency budget is fixed overhead (jobs + commits), so
+    * where it goes is worth being able to see in any environment. */
+  private val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def traced[A](name: String)(f: => A): A =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[inc-cluster] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   private def updateLocal(spark: SparkSession, eRows: Array[org.apache.spark.sql.Row],
                           idType: org.apache.spark.sql.types.DataType,
                           byIdPath: String, byRepPath: String, batchId: Long,
@@ -147,23 +164,25 @@ object IncrementalCluster {
     val touched: Set[Long] = eL.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
 
     val byIdManifest = BucketedMergeTarget.currentManifest(spark, byIdPath)
-    val known: Map[Long, (Long, Long)] =
+    val known: Map[Long, (Long, Long)] = traced("probe byId") {
       if (byIdManifest.isEmpty) Map.empty
       else BucketedMergeTarget.readMatchingLocal(spark, byIdPath, "id",
           touched.map(orig).toSeq, idType, byIdManifest)
         .select(col("id"), col("rep"), col("prev_rep")).collect()
         .map(r => reg(r.get(0)) -> (reg(r.get(1)), reg(r.get(2)))).toMap
+    }
     val touchedAsg: Map[Long, (Long, Long)] =
       touched.iterator.map(id => id -> known.getOrElse(id, (id, id))).toMap
 
     val reps: Set[Long] = touchedAsg.valuesIterator.flatMap(v => Iterator(v._1, v._2)).toSet
     val byRepManifest = BucketedMergeTarget.currentManifest(spark, byRepPath)
     val memberCap = math.min(maxLocal, Int.MaxValue.toLong - 1).toInt
-    val memberRows: Array[org.apache.spark.sql.Row] =
+    val memberRows: Array[org.apache.spark.sql.Row] = traced("probe byRep") {
       if (byRepManifest.isEmpty) Array.empty
       else BucketedMergeTarget.readMatchingLocal(spark, byRepPath, "rep",
           reps.map(orig).toSeq, idType, byRepManifest)
         .select(col("rep"), col("id")).limit(memberCap + 1).collect()
+    }
     // a touched mega-cluster (more members than the local budget) must
     // not be union-found on the driver — bail to the distributed path
     if (memberRows.length > memberCap) return None
@@ -219,11 +238,6 @@ object IncrementalCluster {
     val asgRows = newAsg.map(t =>
       org.apache.spark.sql.Row(orig(t._1), orig(t._2), orig(t._3), batchId))
 
-    // byId FIRST (same crash/replay contract as the distributed path);
-    // both commits run through the single-action local form — the dedup,
-    // bucket selection and delete keys are already driver-resident
-    BucketedMergeTarget.applyBatchLocal(spark, asgSchema, asgRows, Nil,
-      byIdPath, Seq("id"), "batch_id", nBuckets)
     val byRepSchema = StructType(Seq(
       StructField("rep", idType), StructField("id", idType),
       StructField("batch_id", LongType)))
@@ -231,8 +245,28 @@ object IncrementalCluster {
       org.apache.spark.sql.Row(orig(t._2), orig(t._1), batchId))
     val movedRows = moved.map(p =>
       org.apache.spark.sql.Row(orig(p._1), orig(p._2)))
-    BucketedMergeTarget.applyBatchLocal(spark, byRepSchema, byRepUpserts, movedRows,
-      byRepPath, Seq("rep", "id"), "batch_id", nBuckets, Seq("rep"))
+    // ONE overlapped commit round for both stores: the two stagings are
+    // independent Spark jobs over different paths and run CONCURRENTLY;
+    // only the manifest publishes are serialized, byId FIRST — the
+    // crash/replay contract lives in publish order (byRep's manifest
+    // must never precede byId's), not staging order. A crash between
+    // the publishes leaves "byId landed, byRep did not", healed by
+    // replay exactly as before; a failed byId prepare abandons byRep's
+    // uniquely-named staging to the orphan TTL.
+    traced("commit both") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val prepById = Future(BucketedMergeTarget.prepareBatchLocal(
+        spark, asgSchema, asgRows, Nil, byIdPath, Seq("id"), "batch_id", nBuckets))
+      val prepByRep = Future(BucketedMergeTarget.prepareBatchLocal(
+        spark, byRepSchema, byRepUpserts, movedRows, byRepPath,
+        Seq("rep", "id"), "batch_id", nBuckets, Seq("rep")))
+      Await.result(prepById, 600.seconds)
+        .foreach(p => BucketedMergeTarget.publishVersion(spark, p))
+      Await.result(prepByRep, 600.seconds)
+        .foreach(p => BucketedMergeTarget.publishVersion(spark, p))
+    }
     Some(spark.createDataFrame(
       newAsg.map(t => org.apache.spark.sql.Row(orig(t._1), orig(t._2), orig(t._3))).asJava,
       StructType(asgSchema.fields.dropRight(1))))

@@ -311,11 +311,32 @@ object BucketedMergeTarget {
     *     window of version-skipping schemes is closed by construction.
     * The thrown IOException means "replay the batch" — merges are
     * idempotent, so the caller retries against the fresh state. */
+  /** A commit whose DATA is fully staged (version dir written, counts
+    * read, manifest built) but whose manifest is NOT yet published.
+    * Publishing is the linearization point; splitting it out lets a
+    * caller maintaining TWO stores overlap their staging work and
+    * serialize only the publishes (the crash-ordering contract lives in
+    * publish order, not staging order). An unpublished staging dir left
+    * by a crash is uniquely-named debris on the standard orphan TTL. */
+  private[graft] final case class PreparedVersion(
+      path: String, existing: Option[Manifest], newManifest: Manifest,
+      verDir: Path, touched: Int)
+
   private def commitVersion(spark: SparkSession, path: String,
                             existing: Option[Manifest], data: DataFrame,
                             dropFromOld: Set[Int], nBuckets: Int,
                             bucketCols: Seq[String] = Nil,
-                            pkCols: Seq[String] = Nil): MergeStats = {
+                            pkCols: Seq[String] = Nil): MergeStats =
+    publishVersion(spark,
+      prepareVersion(spark, path, existing, data, dropFromOld, nBuckets,
+        bucketCols, pkCols))
+
+  private def prepareVersion(spark: SparkSession, path: String,
+                             existing: Option[Manifest], data: DataFrame,
+                             dropFromOld: Set[Int], nBuckets: Int,
+                             bucketCols: Seq[String] = Nil,
+                             pkCols: Seq[String] = Nil,
+                             preBucketed: Boolean = false): PreparedVersion = {
     val (f, p) = fileSystem(spark, path)
     val newVer = existing.map(_.version).getOrElse(0L) + 1
     val dirName = versionDirName(newVer)
@@ -328,7 +349,10 @@ object BucketedMergeTarget {
     // dominant cost of signature-store appends). One batch-sized shuffle
     // buys ~one file per bucket, which is also what keeps NameNode/object
     // listing pressure flat over long merge histories at scale.
-    data.repartition(col(BucketCol))
+    // `preBucketed` callers (the driver-local batch path) already built
+    // their frame with one RDD partition per bucket — the shuffle stage
+    // would only re-derive that layout, so it is skipped.
+    (if (preBucketed) data else data.repartition(col(BucketCol)))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
     // empty batches write no partition dirs — an empty staging dir renames
     // fine and yields present = ∅ below, same as before. The destination
@@ -390,20 +414,27 @@ object BucketedMergeTarget {
     val pk = if (pkCols.nonEmpty) pkCols else existing.map(_.pkCols).getOrElse(Nil)
     val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
       bucketCols, pk)
+    PreparedVersion(path, existing, newManifest, verDir,
+      (dropFromOld ++ present).size)
+  }
+
+  private[graft] def publishVersion(spark: SparkSession,
+                                    prep: PreparedVersion): MergeStats = {
+    val (f, p) = fileSystem(spark, prep.path)
     // the single linearization point: winner takes version base+1; a
     // loser cleans up its (unreferenced, uniquely-named) data dir and
     // replays against the winner's state
-    try writeManifest(f, p, newManifest)
+    try writeManifest(f, p, prep.newManifest)
     catch {
       case e: java.io.IOException =>
-        f.delete(verDir, true)
+        f.delete(prep.verDir, true)
         throw e
     }
 
     val bytes =
-      if (f.exists(verDir)) f.getContentSummary(verDir).getLength else 0L
-    gc(f, p, Seq(newManifest) ++ existing)
-    MergeStats(newVer, (dropFromOld ++ present).size, nBuckets, bytes)
+      if (f.exists(prep.verDir)) f.getContentSummary(prep.verDir).getLength else 0L
+    gc(f, p, Seq(prep.newManifest) ++ prep.existing)
+    MergeStats(prep.newManifest.version, prep.touched, prep.newManifest.nBuckets, bytes)
   }
 
   /** Garbage collection by RETAINED SET, not by numeric version gap: keep
@@ -578,7 +609,26 @@ object BucketedMergeTarget {
   def applyBatchLocal(spark: SparkSession, schema: StructType, upserts: Seq[Row],
                       deleteKeys: Seq[Row], path: String, pkCols: Seq[String],
                       cursorCol: String, nBuckets: Int = DefaultBuckets,
-                      bucketCols: Seq[String] = Nil): MergeStats = {
+                      bucketCols: Seq[String] = Nil): MergeStats =
+    prepareBatchLocal(spark, schema, upserts, deleteKeys, path, pkCols,
+      cursorCol, nBuckets, bucketCols) match {
+      case Left(stats) => stats
+      case Right(prep) => publishVersion(spark, prep)
+    }
+
+  /** The staging half of [[applyBatchLocal]]: everything except the
+    * manifest publish. Left = the batch touched nothing (already final);
+    * Right = staged and ready for [[publishVersion]]. A caller updating
+    * TWO stores can run both prepares concurrently (independent Spark
+    * jobs over different paths) and serialize only the publishes,
+    * preserving its crash-ordering contract at roughly half the wall
+    * cost — the lever behind the incremental operators' per-batch
+    * latency. */
+  private[graft] def prepareBatchLocal(spark: SparkSession, schema: StructType,
+                      upserts: Seq[Row], deleteKeys: Seq[Row], path: String,
+                      pkCols: Seq[String], cursorCol: String,
+                      nBuckets: Int = DefaultBuckets,
+                      bucketCols: Seq[String] = Nil): Either[MergeStats, PreparedVersion] = {
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
     val bc = resolveBucketCols(existing, pkCols, bucketCols)
@@ -604,13 +654,16 @@ object BucketedMergeTarget {
     val touched = latest.map(bucketOfUpsert).toSet ++
       dedupedDeletes.map(bucketOfDelete).toSet.intersect(owned)
     if (touched.isEmpty)
-      return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
+      return Left(MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L))
 
     import scala.jdk.CollectionConverters._
-    val batchRel = withBucket(
-      spark.createDataFrame(latest.asJava, schema), bc, nb)
-    val merged = existing match {
-      case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
+    val mergesExisting =
+      existing.exists(_.buckets.keySet.intersect(touched).nonEmpty)
+    val (merged, preBucketed) =
+      if (mergesExisting) {
+        val m = existing.get
+        val batchRel = withBucket(
+          spark.createDataFrame(latest.asJava, schema), bc, nb)
         val remaining =
           if (dedupedDeletes.isEmpty) readBuckets(spark, path, m, touched)
           else {
@@ -619,13 +672,27 @@ object BucketedMergeTarget {
               .join(spark.createDataFrame(dedupedDeletes.asJava, delSchema),
                 pkCols, "left_anti")
           }
-        IncrementalSync.latestByKey(
+        (IncrementalSync.latestByKey(
           remaining.unionByName(batchRel, allowMissingColumns = true),
-          pkCols, cursorCol)
-      case Some(m) => addMissingColumns(batchRel, m.schema)
-      case None => batchRel
-    }
-    commitVersion(spark, path, existing, merged, touched, nb, bc, pkCols)
+          pkCols, cursorCol), false)
+      } else {
+        // no existing bucket overlaps: the whole write is the batch, and
+        // its bucket layout is already known on the driver — build ONE
+        // RDD partition per bucket so the commit write needs no shuffle
+        // stage (the bucket values match withBucket: localBucketOf IS the
+        // same Murmur3 expression, pin-tested)
+        val grouped = latest.groupBy(bucketOfUpsert).toSeq.sortBy(_._1)
+        val withB = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(BucketCol,
+            org.apache.spark.sql.types.IntegerType, nullable = false))
+        val rdd = spark.sparkContext
+          .parallelize(grouped, math.max(grouped.size, 1))
+          .flatMap { case (b, rows) => rows.map(r => Row.fromSeq(r.toSeq :+ b)) }
+        val rel = spark.createDataFrame(rdd, withB)
+        (existing.map(m => addMissingColumns(rel, m.schema)).getOrElse(rel), true)
+      }
+    Right(prepareVersion(spark, path, existing, merged, touched, nb, bc, pkCols,
+      preBucketed = preBucketed))
   }
 
   /** The bucket-key columns in force for a target: what the manifest
