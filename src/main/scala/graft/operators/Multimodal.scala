@@ -71,12 +71,117 @@ object Multimodal {
     }
   }
 
-  /** Library-backed codec placeholder — the real JNI/FFmpeg/turbojpeg
-    * binding goes here; absent in this container by design. */
+  /** REAL image codec on the JDK's built-in `javax.imageio` (PNG, BMP,
+    * GIF, JPEG readers ship with every JRE — no external dependency):
+    * genuine header-parsed dimensions, genuine pixel-raster features, a
+    * genuine scaled re-encode. Payloads ImageIO cannot read (exotic or
+    * non-image formats) fall through to `fallback` (the stub by
+    * default), so one codec instance serves a mixed-format corpus.
+    *
+    * Feature extraction is the decoded-domain analog of the stub's byte
+    * histogram: an L1-normalized histogram of gray levels over the
+    * DECODED raster (single-band rasters read raw samples — for
+    * grayscale PNG that is bit-exactly the stored byte; multi-band
+    * images use integer mean of R,G,B). Deterministic across JVMs:
+    * PNG/BMP decoding is exact, no float color math on the sample path. */
+  final class ImageIoCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache in executors
+
+    private def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def decodeDims(payload: Array[Byte]): (Int, Int) =
+      read(payload).map(i => (i.getWidth, i.getHeight))
+        .getOrElse(fallback.decodeDims(payload))
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      read(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          if (img.getRaster.getNumBands == 1)
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }.getOrElse(fallback.resize(payload, w, h))
+
+    /** A still image is its own single frame; non-images fall back. */
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+      read(payload).map(_ => Seq(payload))
+        .getOrElse(fallback.sampleFrames(payload, n))
+
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+      read(payload).map { img =>
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val gray =
+              if (bands == 1) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              }
+            hist(gray % dim) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(1f, (w * h).toFloat)
+        hist.map(_ / total)
+      }.getOrElse(fallback.extractFeatures(payload, dim))
+  }
+
+  /** Encode raw bytes as a REAL grayscale PNG: a 1×N column image whose
+    * raster IS the byte sequence (PNG gray is lossless, so decode gives
+    * back exactly these samples). This is how a text/bytes fixture
+    * becomes a genuine image corpus whose pixel statistics an external
+    * oracle can still replay from the source bytes. */
+  def encodeGrayPng(bytes: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, bytes.length)
+    val img = new java.awt.image.BufferedImage(1, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) { raster.setSample(0, i, 0, bytes(i) & 0xff); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Rewrite the media frame's payloads as real grayscale PNGs
+    * (partition-wise — the encoder runs where the data lives, the same
+    * iterator shape as every other media pass). Meta format flips to
+    * "png"; n_bytes tracks the encoded payload. */
+  def encodeAsPng(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val metaIdx = schema.fieldIndex("meta")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val png = encodeGrayPng(r.getAs[Array[Byte]](payloadIdx))
+        val meta = r.getStruct(metaIdx)
+        val newMeta = Row(png.length, meta.get(1), meta.get(2), meta.get(3), "png")
+        Row.fromSeq(r.toSeq.updated(payloadIdx, png).updated(metaIdx, newMeta))
+      }
+    }(enc)
+  }
+
+  /** Library-backed codec placeholder — JNI/FFmpeg/turbojpeg for audio
+    * and video decode goes here; absent in this container by design.
+    * (Still images no longer need it: [[ImageIoCodec]] is real.) */
   object NativeCodec {
     def apply(): MediaCodec =
       throw new UnsupportedOperationException(
-        "no native media libraries in this environment — use StubCodec")
+        "no native audio/video libraries in this environment — " +
+          "use ImageIoCodec (images) or StubCodec")
   }
 
   /** Wrap any table into the media frame: payload from a binary (or

@@ -82,6 +82,57 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L)) // self first, near-dup bytes second
   }
 
+  test("gray PNG encode→ImageIO decode is lossless: samples == source bytes") {
+    // the property the q_multimodal_ann oracle RELIES on: the decoded
+    // raster of encodeGrayPng(bytes) is bit-exactly `bytes`, so pixel
+    // statistics are replayable from the source
+    val bytes = (0 until 256).map(_.toByte).toArray ++ "hello media".getBytes("UTF-8")
+    val png = Multimodal.encodeGrayPng(bytes)
+    // a real PNG, not a passthrough
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 1 && img.getHeight == bytes.length)
+    val decoded = Array.tabulate(bytes.length)(i => img.getRaster.getSample(0, i, 0).toByte)
+    assert(decoded.toSeq == bytes.toSeq, "gray PNG round-trip must be lossless")
+  }
+
+  test("ImageIoCodec: real dims, real histogram, real resize; non-images fall back") {
+    val codec = new Multimodal.ImageIoCodec()
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val png = Multimodal.encodeGrayPng(bytes)
+    // header-parsed dims, not the stub's length arithmetic
+    assert(codec.decodeDims(png) == (1, bytes.length))
+    // decoded-pixel histogram == byte histogram of the source (losslessness)
+    assert(codec.extractFeatures(png, 16).toSeq ==
+      Multimodal.StubCodec.extractFeatures(bytes, 16).toSeq)
+    // a real scaled re-encode: output is a PNG with the requested dims
+    val resized = codec.resize(png, 4, 8)
+    assert(codec.decodeDims(resized) == (4, 8))
+    // an image is its own single frame
+    assert(codec.sampleFrames(png, 3).map(_.toSeq) == Seq(png.toSeq))
+    // bytes ImageIO cannot parse take the fallback path wholesale
+    assert(codec.decodeDims(bytes) == Multimodal.StubCodec.decodeDims(bytes))
+    assert(codec.extractFeatures(bytes, 16).toSeq ==
+      Multimodal.StubCodec.extractFeatures(bytes, 16).toSeq)
+  }
+
+  test("encodeAsPng rewrites payloads partition-wise; decodeMeta reads real dims") {
+    val m = Multimodal.encodeAsPng(media())
+    val rows = m.orderBy("media_id").collect()
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      assert(r.getStruct(3).getAs[Int]("n_bytes") == p.length)
+      assert(r.getStruct(3).getAs[String]("format") == "png")
+    }
+    // the decode pass now reports genuine image geometry
+    val decoded = Multimodal.decodeMeta(m, new Multimodal.ImageIoCodec())
+      .orderBy("media_id").collect()
+    assert(decoded(0).getStruct(3).getAs[Int]("width") == 1)
+    assert(decoded(0).getStruct(3).getAs[Int]("height") == 19) // "hello world payload"
+    assert(decoded(1).getStruct(3).getAs[Int]("height") == 1)  // "x"
+  }
+
   test("NativeCodec is an explicit stub (no media libs here)") {
     intercept[UnsupportedOperationException] { Multimodal.NativeCodec() }
   }
