@@ -765,6 +765,46 @@ object QueriesPipeline {
       out
     }),
 
+    // DELETE-FIDELITY streaming replication (round-5 verdict #6): the
+    // same store→store streaming query as q_stream_source, but the
+    // source runs in `tombstones` mode and the sink applies flagged rows
+    // as deletes (`tombstoneCol`) — so a delete at the source REMOVES
+    // the key from the mirror through the row feed itself, with no
+    // StoreFollower involved. Update wave and delete wave arrive in ONE
+    // applyBatch commit (a %21 key is in both sides → upsert wins, the
+    // store contract the oracle mirrors).
+    "q_stream_tombstone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val root = java.nio.file.Files.createTempDirectory("graft-streamtomb")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      graft.sinks.BucketedMergeTarget.merge(
+        docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor")),
+        src, Seq("doc_id"), "cursor", nBuckets = 8)
+      val q = s.readStream.format("graft-store")
+        .option("tombstones", "true").load(src)
+        .writeStream.format("graft-store")
+        .option("pk", "doc_id").option("cursor", "cursor")
+        .option("buckets", "8")
+        .option("tombstoneCol", "_deleted")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        graft.sinks.BucketedMergeTarget.applyBatch(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
+              lit(2L).as("cursor")),
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+          src, Seq("doc_id"), "cursor")
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.read.format("graft-store").load(dst)
+        .localCheckpoint(true) // materialize before the scratch stores go
+      rmTree(root)
+      out
+    }),
+
     // BPE pair statistics (the counting step of tokenizer training):
     // adjacent character pairs over the corpus vocabulary, weighted by
     // word frequency — the top row is the first merge a BPE trainer
@@ -1555,6 +1595,17 @@ object QueriesPipeline {
       // and delete sides of an applyBatch is an upsert (store contract),
       // so %21 == 0 survives with its update.
       "q_store_follow" ->
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
+          | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor
+          |FROM documents
+          |WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)""".stripMargin,
+
+      // The tombstone-replicated mirror is the same final state as
+      // q_store_follow's bucket-replace mirror — deletes REMOVE keys,
+      // updates win, the %21 overlap upserts — reached through the row
+      // feed instead of bucket replacement.
+      "q_stream_tombstone" ->
         """SELECT doc_id,
           | CASE WHEN doc_id % 3 = 0 THEN lang || '!' ELSE lang END AS v,
           | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cursor

@@ -74,8 +74,18 @@ class GraftStoreProvider extends RelationProvider
       .getOrElse(throw new IllegalStateException(
         s"graft-store source: no committed manifest under $p — seed the store " +
           "first, or pass an explicit .schema(...)"))
-    (s"graft-store[$p]", s)
+    // opt-in delete fidelity: the feed grows a boolean tombstone marker
+    val withTomb =
+      if (tombstonesOn(parameters) &&
+          !s.fieldNames.contains(GraftStoreStreamSource.DeletedCol))
+        s.add(GraftStoreStreamSource.DeletedCol,
+          org.apache.spark.sql.types.BooleanType, nullable = false)
+      else s
+    (s"graft-store[$p]", withTomb)
   }
+
+  private def tombstonesOn(parameters: Map[String, String]): Boolean =
+    parameters.get("tombstones").exists(_.toBoolean)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -84,7 +94,8 @@ class GraftStoreProvider extends RelationProvider
     val p = path(parameters)
     new GraftStoreStreamSource(sqlContext.sparkSession, p,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("maxBucketsPerTrigger").map(_.toInt))
+      parameters.get("maxBucketsPerTrigger").map(_.toInt),
+      tombstones = tombstonesOn(parameters))
   }
 
   /** `df.writeStream.format("graft-store")`: every micro-batch lands as
@@ -127,14 +138,35 @@ class GraftStoreProvider extends RelationProvider
           .getOrElse(BucketedMergeTarget.DefaultBuckets)
         val bucketCols = existing.map(_.bucketCols).filter(_.nonEmpty)
           .orElse(parameters.get("bucketCols").map(parseCols)).getOrElse(Nil)
-        cursorOpt match {
-          case Some(c) => // a data column carries the version ordering
-            BucketedMergeTarget.merge(batch, p, pk, c, nBuckets, bucketCols)
+        // option 'tombstoneCol': rows flagged true are DELETES (pk-only);
+        // the rest upsert. Both land in ONE applyBatch commit, so an
+        // epoch is atomic whether or not it carries deletes — the pair
+        // for the source's `tombstones` mode. Without the option the
+        // upsert-only merge path is byte-for-byte what it always was.
+        import org.apache.spark.sql.functions.{coalesce, lit, col => fcol}
+        parameters.get("tombstoneCol") match {
+          case Some(tc) =>
+            val flag = coalesce(fcol(tc), lit(false))
+            val upserts = batch.filter(!flag).drop(tc)
+            val deletes = batch.filter(flag).select(pk.map(fcol): _*)
+            cursorOpt match {
+              case Some(c) =>
+                BucketedMergeTarget.applyBatch(upserts, deletes, p, pk, c,
+                  nBuckets, bucketCols)
+              case None =>
+                BucketedMergeTarget.applyBatch(
+                  upserts.withColumn("_graft_epoch", lit(batchId)),
+                  deletes, p, pk, "_graft_epoch", nBuckets, bucketCols)
+            }
           case None =>
-            BucketedMergeTarget.merge(
-              batch.withColumn("_graft_epoch",
-                org.apache.spark.sql.functions.lit(batchId)),
-              p, pk, "_graft_epoch", nBuckets, bucketCols)
+            cursorOpt match {
+              case Some(c) => // a data column carries the version ordering
+                BucketedMergeTarget.merge(batch, p, pk, c, nBuckets, bucketCols)
+              case None =>
+                BucketedMergeTarget.merge(
+                  batch.withColumn("_graft_epoch", lit(batchId)),
+                  p, pk, "_graft_epoch", nBuckets, bucketCols)
+            }
         }
         ()
       }

@@ -40,12 +40,18 @@ import graft.sinks.BucketedMergeTarget.Manifest
   * bucket with a changed key are re-emitted; the rows carry the store's
   * cursor column, so a latest-wins consumer — e.g. the `graft-store`
   * streaming SINK with `cursor` pointing at it — absorbs replays
-  * idempotently). Deletes are NOT expressed: a deleted key simply stops
-  * appearing. A consumer needing delete fidelity wants bucket-replace
-  * mirroring — [[graft.streaming.StoreFollower.replicate]] — not a row
-  * feed. This mirrors the reference's follower split: its xmin feed is
-  * upsert-only while reconcile handles deletes (`src/xmin/daemon.rs`,
-  * `src/commands/reconcile.rs`).
+  * idempotently). By DEFAULT deletes are not expressed: a deleted key
+  * simply stops appearing, mirroring the reference's follower split —
+  * its xmin feed is upsert-only while reconcile handles deletes
+  * (`src/xmin/daemon.rs`, `src/commands/reconcile.rs`). The OPT-IN
+  * `tombstones` mode adds delete fidelity to the row feed: each delta
+  * batch also emits a `_deleted = true` pk-only row for every key
+  * present in the base version of a changed bucket but absent from the
+  * target version (cost still ∝ changed buckets — the base side reads
+  * the same bucket ids one version back). Consumers pair it with the
+  * streaming sink's `tombstoneCol` option; bucket-replace mirroring
+  * ([[graft.streaming.StoreFollower.replicate]]) remains the
+  * whole-store alternative.
   *
   * RECOVERY: manifests and the in-flight changed list are pinned in
   * memory between poll and commit. After a restart that state is gone
@@ -65,14 +71,23 @@ import graft.sinks.BucketedMergeTarget.Manifest
   */
 final class GraftStoreStreamSource(spark: SparkSession, path: String,
                                    override val schema: StructType,
-                                   maxBucketsPerTrigger: Option[Int] = None)
+                                   maxBucketsPerTrigger: Option[Int] = None,
+                                   tombstones: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
+  import GraftStoreStreamSource.DeletedCol
 
   require(maxBucketsPerTrigger.forall(_ > 0),
     s"graft-store source: maxBucketsPerTrigger must be positive, got $maxBucketsPerTrigger")
+  require(!tombstones || schema.fieldNames.contains(DeletedCol),
+    s"graft-store source: tombstone mode requires the $DeletedCol column in the schema")
+
+  /** The store's data columns — the declared schema minus the tombstone
+    * marker (identical to `schema` in upsert mode). */
+  private val dataFields: Array[String] =
+    schema.fieldNames.filterNot(_ == DeletedCol)
 
   /** The delta being walked: `base` is the fully-committed diff base
     * (None = nothing committed yet — the snapshot walk), `target` the
@@ -150,7 +165,7 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
     advanceOffset().orNull
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val (m, buckets) = synchronized {
+    val (m, base, buckets) = synchronized {
       val endO = StoreSourceOffset.of(end)
       val startO = start.map(StoreSourceOffset.of)
       walk match {
@@ -159,25 +174,63 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
           // A start from an OLDER version means this walk's delta began
           // there — its slice positions index this walk's list from 0.
           val from = startO.filter(_.version == endO.version).map(_.emitted).getOrElse(0)
-          (w.target, w.changed.slice(from, endO.emitted).toSet)
+          (w.target, w.base, w.changed.slice(from, endO.emitted).toSet)
         case _ =>
           // restart: pinned state lost — re-emit everything (see scaladoc)
           val m = BucketedMergeTarget.currentManifest(spark, path).getOrElse(
             throw new IllegalStateException(
               s"graft-store source: no committed manifest under $path for offset $endO"))
           recovered = Some(m)
-          (m, m.buckets.keySet)
+          (m, None, m.buckets.keySet)
       }
     }
-    val batch = BucketedMergeTarget.readBuckets(spark, path, m, buckets)
+    val upserts = BucketedMergeTarget.readBuckets(spark, path, m, buckets)
       .drop(BucketedMergeTarget.BucketCol)
       // conform to the stream's declared schema: columns added to the
       // store after stream start are deferred to a restart
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .select(dataFields.toIndexedSeq.map(col): _*)
+    val batch =
+      if (!tombstones) upserts
+      else {
+        // DELETE FIDELITY (opt-in): keys present in the BASE version of
+        // the changed buckets but absent from the target version are the
+        // delta's deletes — emitted as pk-only rows flagged _deleted.
+        // Cost stays ∝ changed buckets (the base side reads the SAME
+        // bucket ids, one version back). A snapshot or recovery batch
+        // (no base) carries no tombstones by construction. NOTE the
+        // retention coupling: the base manifest's bucket dirs must still
+        // be on disk, which the store's keep-two-manifests gc guarantees
+        // for a follower no more than one commit behind; a stream lagging
+        // beyond retention fails loudly here and recovers via restart
+        // (snapshot re-emit), never silently dropping deletes.
+        val pk = m.pkCols
+        require(pk.nonEmpty,
+          "graft-store source: tombstone mode needs the store manifest to " +
+            "record pkCols (write once with a pk-carrying merge to upgrade)")
+        val deletes = base match {
+          case None => None
+          case Some(b) =>
+            val baseRows = BucketedMergeTarget.readBuckets(spark, path, b, buckets)
+              .drop(BucketedMergeTarget.BucketCol)
+            Some(baseRows.join(upserts.select(pk.map(col): _*), pk, "left_anti")
+              .select(pk.map(col): _*))
+        }
+        val live = upserts.withColumn(DeletedCol,
+          org.apache.spark.sql.functions.lit(false))
+        deletes.fold(live) { d =>
+          val dead = dataFields.foldLeft(d) { (df, f) =>
+            if (pk.contains(f)) df
+            else df.withColumn(f, org.apache.spark.sql.functions.lit(null)
+              .cast(schema(f).dataType))
+          }.withColumn(DeletedCol, org.apache.spark.sql.functions.lit(true))
+          live.unionByName(dead.select(live.columns.toIndexedSeq.map(col): _*))
+        }
+      }
+    val conformed = batch.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     // getBatch must return a STREAMING frame; wrap the batch plan's
     // executed rows the way FileStreamSource does
     org.apache.spark.sql.graftshim.StreamingFrame.streaming(
-      spark, batch.queryExecution.toRdd, schema)
+      spark, conformed.queryExecution.toRdd, schema)
   }
 
   override def commit(end: V1Offset): Unit = synchronized {
@@ -204,6 +257,12 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStoreStreamSource($path)"
+}
+
+object GraftStoreStreamSource {
+  /** Tombstone marker column emitted in `tombstones` mode (and the
+    * default column the streaming sink's `tombstoneCol` option names). */
+  val DeletedCol = "_deleted"
 }
 
 /** `(manifest version, changed buckets emitted)` — totally ordered

@@ -169,6 +169,67 @@ class GraftStoreStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tombstone mode propagates deletes through store→store replication") {
+    val root = tmp("gsrc-tomb")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val seed = (0L until 120L).map(i => (i, 1L, s"v$i"))
+    BucketedMergeTarget.merge(kv(seed), src, Seq("id"), "cursor", nBuckets = 8)
+
+    val q = spark.readStream.format("graft-store")
+      .option("tombstones", "true").load(src)
+      .writeStream.format("graft-store")
+      .option("pk", "id").option("cursor", "cursor").option("buckets", "8")
+      .option("tombstoneCol", "_deleted")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft-store").load(dst).count() == 120L)
+      // one commit carrying updates AND deletes
+      BucketedMergeTarget.applyBatch(
+        kv((0L until 120L by 10L).map(i => (i, 2L, s"u$i"))),
+        kv(Seq((7L, 0L, ""), (77L, 0L, ""), (111L, 0L, ""))).select("id"),
+        src, Seq("id"), "cursor")
+      q.processAllAvailable()
+      val got = spark.read.format("graft-store").load(dst)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = seed.filterNot(t => Set(7L, 77L, 111L).contains(t._1)).map {
+        case (i, c, v) => if (i % 10 == 0) (i, 2L, s"u$i") else (i, c, v)
+      }.toSet
+      assert(got == want,
+        "mirror must drop deleted keys and keep updates — no StoreFollower involved")
+      // the mirror's schema carries no tombstone column — it is a marker,
+      // not data
+      assert(!spark.read.format("graft-store").load(dst)
+        .columns.contains("_deleted"))
+    } finally q.stop()
+  }
+
+  test("upsert-only default is unchanged: deleted keys simply stop appearing") {
+    val root = tmp("gsrc-notomb")
+    val src = root.resolve("store").toString
+    BucketedMergeTarget.merge(kv((0L until 40L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    val q = spark.readStream.format("graft-store").load(src)
+      .writeStream.format("memory").queryName("gsrc_notomb")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      BucketedMergeTarget.applyBatch(
+        kv(Seq((1L, 2L, "u1"))), kv(Seq((2L, 0L, ""))).select("id"),
+        src, Seq("id"), "cursor")
+      q.processAllAvailable()
+      val cols = spark.table("gsrc_notomb").columns.toSeq
+      assert(cols == Seq("id", "cursor", "v"), s"default feed grew a column: $cols")
+      // the deleted key's row count never grows after the delete batch
+      val afterDelete = spark.table("gsrc_notomb").filter(col("id") === 2L).count()
+      assert(afterDelete == 1L, "upsert-only feed must not re-emit a deleted key")
+    } finally q.stop()
+  }
+
   test("restart recovery costs ONE full-store batch, not two (ADVICE r5)") {
     // Drive the Source API the way the engine does on restart: a fresh
     // source instance (pinned walk state lost) replays the checkpointed
