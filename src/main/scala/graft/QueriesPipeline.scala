@@ -512,33 +512,44 @@ object QueriesPipeline {
     // output is load-bearing through both assertions.
     "q_lsh_prod" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
-      val (cands, release) = Dedup.minhashCandidatesManaged(corpus, "doc_id",
+      val (candsX, release) = Dedup.minhashCandidatesManaged(corpus, "doc_id",
         col("text"), ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.xxhash, maxBucket = 200)
-      val prod = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
-        .filter(col("jaccard") >= 0.6)
+      // ONE exact-verify pass over the union of both regimes' candidate
+      // sets, membership carried as flags (the candidate frames are tiny
+      // next to the gram computation — verifying per regime paid the
+      // corpus gram projection + candidate joins twice)
+      val tags = candsX.select(col("id_a"), col("id_b"))
+        .withColumn("p", lit(true)).withColumn("m", lit(false))
+        .unionByName(lshCandidates(s, dir).select(col("id_a"), col("id_b"))
+          .withColumn("p", lit(false)).withColumn("m", lit(true)))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("p")).as("in_prod"), max(col("m")).as("in_port"))
         .localCheckpoint(true) // materialize before releasing the banded cache
       release()
-      val portable = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3,
-          lshCandidates(s, dir))
+      val verified = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3,
+          tags.select(col("id_a"), col("id_b")))
         .filter(col("jaccard") >= 0.6)
+        .join(tags, Seq("id_a", "id_b"))
         .localCheckpoint(true)
-      val prod1 = prod.filter(col("jaccard") === 1.0)
-      val port1 = portable.filter(col("jaccard") === 1.0)
-      val certainDiff = prod1.exceptAll(port1).count() + port1.exceptAll(prod1).count()
-      if (certainDiff != 0)
+      // both assertions from ONE aggregation action
+      val stats = verified.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("in_prod") =!= col("in_port"), 1L).otherwise(0L)).as("sym"),
+        sum(when(col("jaccard") === 1.0 && col("in_prod") =!= col("in_port"), 1L)
+          .otherwise(0L)).as("cert")).head()
+      val (n, sym, cert) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      if (cert != 0)
         throw new IllegalStateException(
-          s"xxhash and md5 regimes diverged on $certainDiff SIGNATURE-IDENTICAL " +
+          s"xxhash and md5 regimes diverged on $cert SIGNATURE-IDENTICAL " +
             "pairs — certain-recall candidates cannot differ between hash " +
             "families; the production signature path is broken")
-      val symDiff = prod.exceptAll(portable).count() + portable.exceptAll(prod).count()
-      val union = prod.unionByName(portable).distinct().count()
-      if (symDiff * 50 > union)
+      if (sym * 50 > n)
         throw new IllegalStateException(
-          s"xxhash and md5 verified sets diverged by $symDiff of $union pairs " +
+          s"xxhash and md5 verified sets diverged by $sym of $n pairs " +
             "(≥ 2 %) — far beyond borderline banding variance; the " +
             "production regime's recall has collapsed")
-      portable
+      verified.filter(col("in_port")).select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
     // Decontamination: training corpus (documents) swept against a
@@ -1112,6 +1123,19 @@ object QueriesPipeline {
     "q_tfidf_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.tfIdfTopTerms(docs, "doc_id", col("text"), 3, docs.count())
+    }),
+
+    // CCNet-style unigram LM surprise (the perplexity-filter decision in
+    // its portable form): mean token -ln p under the corpus unigram
+    // distribution, integer micro-nats per distinct token so both
+    // engines replay the aggregation exactly (see
+    // TextAnalysis.unigramSurprise). High = gibberish/OCR noise; low =
+    // boilerplate — the standard both-tails curation filter.
+    "q_unigram_surprise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
     }),
 
     // Gopher-style repetition signal: fraction of 2-gram occurrences
@@ -1724,6 +1748,27 @@ object QueriesPipeline {
            |  JOIN grams ga ON ga.doc_id = p.id_a
            |  JOIN grams gb ON gb.doc_id = p.id_b)
            |WHERE jaccard >= 0.6""".stripMargin,
+
+      // Per distinct token the -ln p cost is rounded to integer
+      // micro-nats (transcendental isolated to one rounded value per
+      // vocab entry); per-doc sums are integer-exact in both engines.
+      "q_unigram_surprise" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+           |t2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t2),
+           |cost AS (
+           |  SELECT tok,
+           |    CAST(round(1000000.0 * ln((SELECT total FROM n) / count(*))) AS BIGINT)
+           |      AS micro_nats
+           |  FROM t2 GROUP BY tok)
+           |SELECT t2.doc_id,
+           |  count(*) AS n_tokens,
+           |  CAST(sum(cost.micro_nats) AS BIGINT) AS surprise_micro,
+           |  round(CAST(sum(cost.micro_nats) AS DOUBLE) / count(*) / 1000000.0, 6)
+           |    AS mean_surprise
+           |FROM t2 JOIN cost USING (tok)
+           |GROUP BY t2.doc_id""".stripMargin,
 
       "q_ann_topk" ->
         s"""SELECT vec_id,

@@ -296,4 +296,45 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("__i") * stride + 1, lit(window)), " ")
           .as("chunk_text"))
   }
+
+  /** CCNet-style language-model quality signal (Wenzek et al. '20 score
+    * documents by KenLM perplexity; this is the portable UNIGRAM form —
+    * the same "how surprising is this document under the corpus
+    * distribution" decision, exactly replayable): each document's mean
+    * token surprise −ln p(tok) under the corpus unigram distribution.
+    * High surprise = rare-token soup (gibberish, OCR noise,
+    * wrong-language fragments); unusually low = boilerplate. The
+    * standard curation move is dropping both tails.
+    *
+    * DETERMINISM ACROSS ENGINES: transcendentals are the only
+    * non-portable float ops (ln differs in final ulps between libm
+    * implementations), so the per-token cost is computed ONCE per
+    * distinct token and immediately rounded to integer MICRO-NATS
+    * (`round(1e6 · ln(N/cnt))` — a boundary flip needs two engines' ln
+    * within ~1e-9 of the same half-integer, vanishing in practice).
+    * Every aggregation after that is exact integer arithmetic; the
+    * output path's only float ops are one exact division chain and the
+    * final 6-decimal round.
+    *
+    * Shape: explode → token-frequency agg (map-side combine, shuffle ∝
+    * VOCABULARY) → tokens⋈cost join (broadcast-friendly: cost is
+    * vocab-sized) → per-doc integer sum. `nTokens` is the corpus token
+    * count, passed by the caller (a metadata count) so the operator
+    * stays a pure transform. */
+  def unigramSurprise(df: DataFrame, idCol: String, text: Column,
+                      nTokens: Long): DataFrame = {
+    require(nTokens > 0, s"nTokens must be positive, got $nTokens")
+    val toks = df.select(col(idCol), explode(Dedup.tokens(text)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cost = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("micro_nats",
+        round(lit(1e6) * log(lit(nTokens.toDouble) / col("cnt"))).cast("long"))
+    toks.join(cost.select(col("tok"), col("micro_nats")), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("micro_nats")).as("surprise_micro"))
+      .withColumn("mean_surprise",
+        round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6))
+  }
 }

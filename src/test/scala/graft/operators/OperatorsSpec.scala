@@ -333,6 +333,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((2L, 0, 0L, 3L, "only three tokens")))
   }
 
+  test("unigramSurprise: rare-token docs score high, repeated-token docs low") {
+    // corpus: 8 tokens total. "a" ×4, "b" ×2, "c" ×1, "d" ×1.
+    // micro-nat costs: a = round(1e6·ln(8/4)) = 693147, b = ln(8/2) →
+    // 1386294, c = d = ln(8/1) → 2079442.
+    val out = TextAnalysis.unigramSurprise(
+      docs(1L -> "a a a a", 2L -> "b b", 3L -> "c d"),
+      "doc_id", col("text"), nTokens = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 4L * 693147L, 0.693147)))
+    assert(out(2L) == ((2L, 2L * 1386294L, 1.386294)))
+    assert(out(3L) == ((2L, 2L * 2079442L, 2.079442)))
+    // the graded ordering the curation filter relies on: all-common <
+    // mid < all-rare
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+  }
+
   test("langId picks the marker-dominant language, und when silent") {
     val out = docs(
       1L -> "the cat and the dog of the house",
