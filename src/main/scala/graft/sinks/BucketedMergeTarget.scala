@@ -873,6 +873,32 @@ object BucketedMergeTarget {
     commitVersion(spark, path, existing, bucketed, buckets, nBuckets, bc, pkCols)
   }
 
+  /** MAJOR COMPACTION: rewrite every live bucket into ONE new version
+    * directory. Incremental merges leave each bucket owned by whichever
+    * version dir last rewrote it, so a long commit history scatters the
+    * store across many directories (gc caps MANIFESTS at two, but a
+    * never-rewritten bucket keeps its old dir alive indefinitely) and
+    * accretes one small file per bucket per rewrite generation. At
+    * object-store scale that is the classic small-file/LIST-pressure
+    * debt every LSM/table format answers with compaction. This is the
+    * maintenance operation: contents, schema, PK, bucketing and version
+    * ordering are untouched (rows are already latest-per-key — no dedup
+    * pass); it commits through the standard manifest protocol, so it is
+    * crash-safe and multi-writer-arbitrated like any merge, and the
+    * superseded directories are reclaimed by gc one commit later (the
+    * standard retention window). Cost: one full-store read + write —
+    * schedule it like any compaction, off the ingest path. */
+  def compact(spark: SparkSession, path: String): MergeStats = {
+    val existing = currentManifest(spark, path)
+    val m = existing.getOrElse(
+      return MergeStats(0L, 0, DefaultBuckets, 0L))
+    if (m.buckets.isEmpty)
+      return MergeStats(m.version, 0, m.nBuckets, 0L)
+    val all = readBuckets(spark, path, m, m.buckets.keySet)
+    commitVersion(spark, path, existing, all, m.buckets.keySet, m.nBuckets,
+      m.bucketCols, m.pkCols)
+  }
+
   /** Full replacement (seed / wraparound resync): every old bucket is
     * dropped; the new contents own the whole keyspace. */
   def replaceAll(data: DataFrame, path: String, pkCols: Seq[String], cursorCol: String,

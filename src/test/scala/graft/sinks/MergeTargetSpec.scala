@@ -205,6 +205,58 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(BucketedMergeTarget.currentManifest(spark, dir).get.version == before.version + 1)
   }
 
+  test("compact rewrites every bucket into one version dir; contents and reads unchanged") {
+    val dir = tmp("mt-compact").resolve("t").toString
+    // five commits, each touching a different key range → buckets end up
+    // owned by several version dirs, one file per bucket per rewrite
+    BucketedMergeTarget.merge(kv((0L until 64L).map(i => (i, 1L, s"v$i"))),
+      dir, Seq("id"), "cursor", 16)
+    for (b <- 1 to 4)
+      BucketedMergeTarget.merge(
+        kv((b * 3L until 64L by 16L).map(i => (i, b + 1L, s"u$b-$i"))),
+        dir, Seq("id"), "cursor", 16)
+    val before = contents(dir)
+    val mBefore = BucketedMergeTarget.currentManifest(spark, dir).get
+    assert(mBefore.buckets.values.toSet.size > 1,
+      "fixture must scatter buckets across version dirs")
+    // the debt compaction sheds: version dirs ON DISK accrete one per
+    // commit (referenced-file count stays one per bucket — the manifest
+    // always points at the latest rewrite; it is the dir scatter and the
+    // unreferenced generations that grow)
+    val (f0, root0) = hfs(dir)
+    val dirsBefore = f0.listStatus(root0).map(_.getPath.getName)
+      .count(_.startsWith("_v"))
+    assert(dirsBefore >= 4, s"fixture should hold several version dirs, got $dirsBefore")
+
+    val stats = BucketedMergeTarget.compact(spark, dir)
+    val m = BucketedMergeTarget.currentManifest(spark, dir).get
+    assert(m.version == mBefore.version + 1)
+    assert(m.buckets.values.toSet.size == 1,
+      s"compaction must leave ONE owning dir, got ${m.buckets.values.toSet}")
+    assert(m.buckets.keySet == mBefore.buckets.keySet)
+    assert(m.pkCols == Seq("id") && m.nBuckets == 16)
+    assert(contents(dir) == before, "compaction changed the store's contents")
+    val filesAfter = BucketedMergeTarget.read(spark, dir).inputFiles.length
+    assert(filesAfter == m.buckets.size,
+      s"expected one file per bucket after compaction, got $filesAfter")
+    assert(stats.bucketsRewritten == mBefore.buckets.size)
+
+    // row counts carried exactly; an incremental merge after compaction
+    // behaves normally and gc then reclaims the superseded dirs
+    assert(m.rowCounts.values.sum == before.size.toLong)
+    BucketedMergeTarget.merge(kv(Seq((0L, 99L, "post"))), dir, Seq("id"), "cursor", 16)
+    val (f, root) = hfs(dir)
+    val dirs = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_v")).toSet
+    val mAfter = BucketedMergeTarget.currentManifest(spark, dir).get
+    // on disk: exactly the compaction dir + the post-merge dir — every
+    // pre-compaction version dir left the retained set and was reclaimed
+    assert(dirs == mAfter.buckets.values.toSet,
+      s"pre-compaction dirs must be reclaimed after the next commit: $dirs " +
+        s"vs ${mAfter.buckets.values.toSet}")
+    assert(contents(dir) == before - ((0L, 1L, "v0")) + ((0L, 99L, "post")))
+  }
+
   test("a torn newest manifest falls back to the previous committed state") {
     val dir = tmp("mt-crash").resolve("t").toString
     BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"))), dir, Seq("id"), "cursor", 4)
