@@ -65,10 +65,16 @@ object BucketedMergeTarget {
     * columns fails loudly instead of silently pruning the wrong buckets
     * (empty = a legacy manifest from before this field; probes of those
     * are unchecked by necessity). */
+  /** `compactedFrom` ≥ 0 marks a [[compact]] commit: this version's
+    * contents are BY CONSTRUCTION identical to that prior version's
+    * (only the owning directories moved), so a follower whose watermark
+    * IS that version has nothing to emit — the owner-dir diff would
+    * otherwise read the whole store for a no-op. -1 = a normal commit. */
   final case class Manifest(version: Long, nBuckets: Int, buckets: Map[Int, String],
                             schemaB64: String, rowCounts: Map[Int, Long] = Map.empty,
                             bucketCols: Seq[String] = Nil,
-                            pkCols: Seq[String] = Nil) {
+                            pkCols: Seq[String] = Nil,
+                            compactedFrom: Long = -1L) {
     def schema: StructType =
       DataType.fromJson(new String(Base64.getDecoder.decode(schemaB64), "UTF-8"))
         .asInstanceOf[StructType]
@@ -99,6 +105,7 @@ object BucketedMergeTarget {
     def colList(cols: Seq[String]): String = cols
       .map(n => Base64.getEncoder.encodeToString(n.getBytes("UTF-8"))).mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},"schema":"${m.schemaB64}",""" +
+      (if (m.compactedFrom >= 0) s""""compactedFrom":${m.compactedFrom},""" else "") +
       s""""bucketCols":"${colList(m.bucketCols)}","pkCols":"${colList(m.pkCols)}",""" +
       s""""rowCounts":{${intMapJson(m.rowCounts)}},"buckets":{${dirMapJson(m.buckets)}}}"""
   }
@@ -151,8 +158,14 @@ object BucketedMergeTarget {
         .map(_.split(",", -1).toSeq.map(b => new String(Base64.getDecoder.decode(b), "UTF-8")))
         .getOrElse(Nil)
     }
+    // absent (normal commits, and every pre-compaction manifest) → -1
+    val compactedFrom = {
+      val re = "\"compactedFrom\":(\\d+)".r
+      re.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+    }
     Manifest(num("version"), num("nBuckets").toInt, dirMapFromJson(s, "buckets"),
-      schemaB64, intMapFromJson(s, "rowCounts"), colList("bucketCols"), colList("pkCols"))
+      schemaB64, intMapFromJson(s, "rowCounts"), colList("bucketCols"),
+      colList("pkCols"), compactedFrom)
   }
 
   // ---- filesystem plumbing (Hadoop FS — works on any scheme) ----------
@@ -326,17 +339,19 @@ object BucketedMergeTarget {
                             existing: Option[Manifest], data: DataFrame,
                             dropFromOld: Set[Int], nBuckets: Int,
                             bucketCols: Seq[String] = Nil,
-                            pkCols: Seq[String] = Nil): MergeStats =
+                            pkCols: Seq[String] = Nil,
+                            compactedFrom: Long = -1L): MergeStats =
     publishVersion(spark,
       prepareVersion(spark, path, existing, data, dropFromOld, nBuckets,
-        bucketCols, pkCols))
+        bucketCols, pkCols, compactedFrom = compactedFrom))
 
   private def prepareVersion(spark: SparkSession, path: String,
                              existing: Option[Manifest], data: DataFrame,
                              dropFromOld: Set[Int], nBuckets: Int,
                              bucketCols: Seq[String] = Nil,
                              pkCols: Seq[String] = Nil,
-                             preBucketed: Boolean = false): PreparedVersion = {
+                             preBucketed: Boolean = false,
+                             compactedFrom: Long = -1L): PreparedVersion = {
     val (f, p) = fileSystem(spark, path)
     val newVer = existing.map(_.version).getOrElse(0L) + 1
     val dirName = versionDirName(newVer)
@@ -413,7 +428,7 @@ object BucketedMergeTarget {
     // a pk-carrying write keeps it from then on)
     val pk = if (pkCols.nonEmpty) pkCols else existing.map(_.pkCols).getOrElse(Nil)
     val newManifest = Manifest(newVer, nBuckets, newBuckets, schemaB64, rowCounts,
-      bucketCols, pk)
+      bucketCols, pk, compactedFrom)
     PreparedVersion(path, existing, newManifest, verDir,
       (dropFromOld ++ present).size)
   }
@@ -895,8 +910,11 @@ object BucketedMergeTarget {
     if (m.buckets.isEmpty)
       return MergeStats(m.version, 0, m.nBuckets, 0L)
     val all = readBuckets(spark, path, m, m.buckets.keySet)
+    // the commit is marked content-identical-to(m.version): a follower
+    // or streaming source whose watermark is exactly m.version emits
+    // NOTHING for it instead of re-reading the whole store
     commitVersion(spark, path, existing, all, m.buckets.keySet, m.nBuckets,
-      m.bucketCols, m.pkCols)
+      m.bucketCols, m.pkCols, compactedFrom = m.version)
   }
 
   /** Full replacement (seed / wraparound resync): every old bucket is

@@ -112,6 +112,10 @@ final class GraftStoreStreamSource(spark: SparkSession, path: String,
   private def changedBetween(base: Option[Manifest], cur: Manifest): IndexedSeq[Int] =
     base match {
       case None => cur.buckets.keySet.toIndexedSeq.sorted
+      // a compaction commit over EXACTLY our base is content-identical
+      // by construction — only the owning dirs moved; the dir diff would
+      // re-emit the whole store for a no-op
+      case Some(b) if cur.compactedFrom == b.version => IndexedSeq.empty
       case Some(b) =>
         (cur.buckets.collect {
           case (k, d) if !b.buckets.get(k).contains(d) => k

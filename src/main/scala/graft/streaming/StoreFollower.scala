@@ -61,10 +61,15 @@ object StoreFollower {
         val prev = state.seen.map(_.buckets).getOrElse(Map.empty[Int, String])
         // changed = owner dir differs, plus buckets EMPTIED since last
         // seen (present before, absent now) — those carry no rows but a
-        // mirror must still clear them
-        val changed = cur.buckets.collect {
-          case (b, d) if !prev.get(b).contains(d) => b
-        }.toSet ++ (prev.keySet -- cur.buckets.keySet)
+        // mirror must still clear them. EXCEPTION: a compaction commit
+        // over exactly our watermark is content-identical by
+        // construction (only owner dirs moved) — advance past it with
+        // zero I/O instead of re-reading the store
+        val changed =
+          if (state.seen.exists(_.version == cur.compactedFrom)) Set.empty[Int]
+          else cur.buckets.collect {
+            case (b, d) if !prev.get(b).contains(d) => b
+          }.toSet ++ (prev.keySet -- cur.buckets.keySet)
         val rows = BucketedMergeTarget.readBuckets(spark, path, cur, changed)
           .drop(BucketedMergeTarget.BucketCol)
         Some(Delta(rows, changed, cur.version, FollowState(Some(cur))))

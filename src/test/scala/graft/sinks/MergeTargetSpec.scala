@@ -39,6 +39,10 @@ class MergeTargetSpec extends AnyFunSuite {
     val back = BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(m))
     assert(back == m)
     assert(back.schema.fieldNames.toSeq == Seq("id"))
+    // compaction marker round-trips; absent (normal commits) parses as -1
+    val mc = m.copy(compactedFrom = 6L)
+    assert(BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(mc)) == mc)
+    assert(back.compactedFrom == -1L)
     // probe-key bucketing survives the round trip (names b64'd — any chars)
     val mb = m.copy(bucketCols = Seq("band", "weird,name"))
     assert(BucketedMergeTarget.manifestFromJson(BucketedMergeTarget.manifestToJson(mb)) == mb)

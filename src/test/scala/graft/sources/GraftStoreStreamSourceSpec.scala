@@ -169,6 +169,34 @@ class GraftStoreStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a compaction commit emits NO micro-batch; later changes still flow") {
+    val root = tmp("gsrc-compact")
+    val src = root.resolve("store").toString
+    BucketedMergeTarget.merge(kv((0L until 160L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    val q = spark.readStream.format("graft-store").load(src)
+      .writeStream.format("memory").queryName("gsrc_compact")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_compact").count() == 160L)
+      // content-identical by construction: nothing to emit
+      BucketedMergeTarget.compact(spark, src)
+      q.processAllAvailable()
+      assert(spark.table("gsrc_compact").count() == 160L,
+        "a compaction commit re-emitted unchanged content into the stream")
+      // an update after the compaction arrives as a normal bounded delta
+      BucketedMergeTarget.merge(kv(Seq((42L, 2L, "v42!"))),
+        src, Seq("id"), "cursor", nBuckets = 8)
+      q.processAllAvailable()
+      val after = spark.table("gsrc_compact").count()
+      assert(after > 160L && after <= 160L + 160L / 4,
+        s"post-compaction delta should be one bucket, got ${after - 160L} rows")
+    } finally q.stop()
+  }
+
   test("tombstone mode propagates deletes through store→store replication") {
     val root = tmp("gsrc-tomb")
     val src = root.resolve("src").toString

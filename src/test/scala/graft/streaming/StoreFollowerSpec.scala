@@ -104,6 +104,35 @@ class StoreFollowerSpec extends AnyFunSuite {
     assert(StoreFollower.poll(spark, src, st).isEmpty)
   }
 
+  test("a compaction commit over the watermark advances with ZERO changed buckets") {
+    val r = root("follow-compact")
+    val src = r.resolve("src").toString
+    val dst = r.resolve("dst").toString
+    BucketedMergeTarget.merge(kv((0L until 160L).map(i => (i, 1L, s"v$i"))),
+      src, Seq("id"), "cursor", nBuckets = 8)
+    BucketedMergeTarget.merge(kv(Seq((3L, 2L, "u3"))), src, Seq("id"), "cursor", 8)
+    var st = StoreFollower.replicate(spark, src, dst)
+    // compaction moves every bucket's owner dir but changes no contents:
+    // the follower must advance past it without reading a single bucket
+    BucketedMergeTarget.compact(spark, src)
+    val d = StoreFollower.poll(spark, src, st).get
+    assert(d.changedBuckets.isEmpty,
+      s"compaction re-emitted ${d.changedBuckets.size} buckets of unchanged content")
+    assert(d.rows.isEmpty)
+    st = d.state
+    assert(StoreFollower.poll(spark, src, st).isEmpty) // steady again
+    // a STALE follower (watermark older than the compaction base) gets
+    // the conservative full diff — correctness over cleverness
+    val dStale = StoreFollower.poll(spark, src, StoreFollower.Start).get
+    assert(dStale.changedBuckets.nonEmpty)
+    // and real changes after the compaction flow incrementally
+    BucketedMergeTarget.merge(kv(Seq((7L, 3L, "u7"))), src, Seq("id"), "cursor", 8)
+    val d2 = StoreFollower.poll(spark, src, st).get
+    assert(d2.changedBuckets.size == 1)
+    st = StoreFollower.replicate(spark, src, dst, st)
+    assert(contents(dst) == contents(src))
+  }
+
   test("replicate refuses a bucket-count mismatch instead of scattering rows") {
     val r = root("follow-nb")
     val src = r.resolve("src").toString
