@@ -1173,6 +1173,36 @@ object QueriesPipeline {
       TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
     }),
 
+    // The QUALITY GATE every curation pipeline ends with (CCNet/Gopher
+    // shape): one keep/drop decision per document from the gated signal
+    // family — token count, 2-gram repetition, unigram LM surprise, C4
+    // quality score — under a deterministic priority order. Thresholds
+    // are calibrated so every rule fires on this corpus (non-vacuous:
+    // min tokens 10 < 12; rep max 0.167 > 0.1; surprise tail > 3.45;
+    // quality floor 0.667 < 0.9). The oracle replays the entire
+    // composition.
+    "q_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      val surprise = TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
+        .select(col("doc_id"), col("mean_surprise"))
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_toks"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      base
+        .join(TextAnalysis.repetitionRatios(docs, "doc_id", col("text"), n = 2),
+          Seq("doc_id"))
+        .join(surprise, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("n_toks") < 12, "too_short")
+            .when(col("rep_ratio") > 0.1, "repetitive")
+            .when(col("mean_surprise") > 3.45, "rare_token_soup")
+            .when(col("quality") < 0.9, "low_quality")
+            .otherwise("keep").as("reason"))
+        .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
+    }),
+
     // Gopher-style repetition signal: fraction of 2-gram occurrences
     // taken by the most frequent 2-gram per doc (boilerplate detector).
     // Tokens projected once; the gram/array math reads the attribute.
