@@ -178,8 +178,28 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // ---- main phase: every query from a clean slate -------------------
+    // The LSH family shares one banded-signature memo by design; under
+    // per-query isolation each member used to re-pay the whole fill (plus
+    // family-first JIT), so q_cluster_keep's recorded "cold" was really
+    // fill + operator (round-6 verdict next-round #5). The fill is now an
+    // untimed, separately-itemized fixture step for every family member
+    // EXCEPT q_minhash_pairs — which IS the fill, and keeps measuring it
+    // cold — so per-query numbers read as operator cost and nothing is
+    // hidden: `fixture_sec` carries each fill, and the headline total
+    // still includes them.
+    val fixtureSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       clearSessionState(spark)
+      if (LshFamily.contains(name) && name != "q_minhash_pairs") {
+        val f0 = System.nanoTime()
+        try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name memo fixture fill FAILED " +
+            s"(its number below is fill-inclusive cold): ${e.getMessage}")
+        }
+        fixtureSec(name) = (System.nanoTime() - f0) / 1e9
+      }
       name -> timed(name, fn, failed ::= _)
     }
 
@@ -216,6 +236,12 @@ object Bench {
     val rerun = slowest.map { case (name, firstSec, firstExt) =>
       val attempts = (1 to 2).flatMap { _ =>
         clearSessionState(spark)
+        // mirror the main phase's fixture treatment, so rerun_min is
+        // comparable to the recorded per-query number
+        if (LshFamily.contains(name) && name != "q_minhash_pairs")
+          try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
         timed(name, SparkEntry.queries(name), _ => ()).sec
       }
       val best = if (attempts.isEmpty) None else Some(attempts.min)
@@ -238,10 +264,15 @@ object Bench {
     val exts = jmap(results.map { case (n, q) => n -> f"${q.extShare}%.3f" })
     val warmJs = jmap(warm)
     val rerunJs = jmap(rerun.collect { case (n, _, _, Some(m)) => n -> f"$m%.3f" })
-    val total = results.flatMap(_._2.sec).sum
+    val fixJs = jmap(fixtureSec.toSeq.map { case (n, s) => n -> f"$s%.3f" })
+    // headline total = operator cost of every query PLUS every untimed
+    // fixture fill — the fills are excluded from per-query numbers but
+    // never from the bill
+    val total = results.flatMap(_._2.sec).sum + fixtureSec.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""warm":$warmJs,"gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
+        s""""warm":$warmJs,"fixture_sec":$fixJs,""" +
+        s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
         s""""contention_suspect":$contentionSuspect,""" +
         s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""

@@ -1848,6 +1848,59 @@ object QueriesPipeline {
            |FROM t2 JOIN cost USING (tok)
            |GROUP BY t2.doc_id""".stripMargin,
 
+      // The quality gate replayed end-to-end: the four individually
+      // oracle-green signals (whitespace token count, C4-style quality
+      // score, max-2-gram repetition ratio, unigram surprise in integer
+      // micro-nats) recomputed verbatim from their own oracles, then
+      // folded through the same CASE priority order as the Spark query.
+      "q_quality_gate" -> {
+        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+          .map(sqlWordCount).mkString("(", " + ", ")")
+        s"""WITH st AS (
+           |  SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+           |st2 AS (SELECT doc_id, tok FROM st WHERE len(tok) > 0),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM st2),
+           |cost AS (
+           |  SELECT tok,
+           |    CAST(round(1000000.0 * ln((SELECT total FROM n) / count(*))) AS BIGINT)
+           |      AS micro_nats
+           |  FROM st2 GROUP BY tok),
+           |surp AS (
+           |  SELECT st2.doc_id,
+           |    round(CAST(sum(cost.micro_nats) AS DOUBLE) / count(*) / 1000000.0, 6)
+           |      AS mean_surprise
+           |  FROM st2 JOIN cost USING (tok) GROUP BY st2.doc_id),
+           |toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |g AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS g
+           |FROM toks),
+           |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+           |r AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep FROM c GROUP BY doc_id),
+           |q AS (SELECT doc_id,
+           |  length(text) AS nc,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+           |  $stop AS ns
+           |FROM documents),
+           |base AS (SELECT doc_id, nt AS n_toks,
+           |  round(((CASE WHEN nc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) <= 0.2 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) > 0 THEN 1 ELSE 0 END)
+           |        ) / 3.0, 6) AS quality
+           |FROM q),
+           |gate AS (
+           |  SELECT b.doc_id,
+           |    CASE WHEN b.n_toks < 12 THEN 'too_short'
+           |         WHEN COALESCE(r.rep, 0.0) > 0.1 THEN 'repetitive'
+           |         WHEN surp.mean_surprise > 3.45 THEN 'rare_token_soup'
+           |         WHEN b.quality < 0.9 THEN 'low_quality'
+           |         ELSE 'keep' END AS reason
+           |  FROM base b LEFT JOIN r USING (doc_id) JOIN surp USING (doc_id))
+           |SELECT doc_id, reason,
+           |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM gate""".stripMargin
+      },
+
       "q_ann_topk" ->
         s"""SELECT vec_id,
            | round(${sqlDot("embedding", sqlQueryVec)}

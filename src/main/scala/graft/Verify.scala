@@ -13,13 +13,40 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // Log the fixture schemas up front: when the driver regenerates a
+    // parquet fixture with a different physical type, the cause is
+    // diagnosable from this artifact alone (one line per table).
+    for (f <- Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+         if f.getName.endsWith(".parquet")) {
+      val t = f.getName.stripSuffix(".parquet")
+      val schema =
+        try spark.read.parquet(f.getPath).schema.simpleString
+        catch { case e: Throwable => s"UNREADABLE: ${e.getMessage}" }
+      System.err.println(s"[verify] fixture $t: $schema")
+    }
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashing query must leave a LOUD artifact, not an absence:
+        // write a one-row parquet with the exception in the query's
+        // output slot, so the driver's DuckDB compare records a hard
+        // mismatch (err row) instead of silently omitting the query —
+        // mirrors the reference's verify-as-failure stance
+        // (database-replicator src/commands/verify.rs:321-332).
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"$name CRASHED: ${Option(e.getMessage).getOrElse(e.toString).take(1000)}")
+            .toDF("_query_crashed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-artifact write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +65,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} crashed: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

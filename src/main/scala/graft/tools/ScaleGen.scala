@@ -85,9 +85,11 @@ object ScaleGen {
     require(m >= 1, "multiplier must be >= 1")
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects —
-    // read nanos as long (the Tables.events treatment); the scaled copy
-    // stores plain int64 nanos, which Tables.events handles identically
+    // events.ts has shipped as TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    // across fixture generations; nanosAsLong makes the nanos variant
+    // readable (as int64) and is a no-op for micros. The scaled copy
+    // keeps the source encoding either way — Tables.events branches on
+    // the dtype at read time, so both survive the round trip.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     AllTables.foreach { t =>
       val n = scaleTable(spark, srcDir, outDir, t, m)

@@ -367,6 +367,30 @@ class MergeTargetSpec extends AnyFunSuite {
     assert(contents(dir) == Set((1L, 1L, "a")))
   }
 
+  test("readMatchingLocal rejects a single-column probe of a composite-PK store") {
+    // regression pin (round-6 advice): a store without explicit bucketCols
+    // hashes its FULL PK — a driver-side probe over one column of a
+    // composite PK would hash the wrong buckets and silently miss rows,
+    // so it must fail loudly instead.
+    val s = spark
+    import s.implicits._
+    val dir = tmp("mt-local-guard").resolve("t").toString
+    BucketedMergeTarget.merge(
+      Seq(("a", 1L, 1L, "x"), ("b", 2L, 1L, "y")).toDF("region", "id", "cursor", "v"),
+      dir, Seq("region", "id"), "cursor", 8)
+    val e = intercept[IllegalArgumentException] {
+      BucketedMergeTarget.readMatchingLocal(s, dir, "id", Seq(1L),
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("probe with exactly those columns"))
+    // the same probe against a single-column-PK store works and prunes
+    val ok = tmp("mt-local-ok").resolve("t").toString
+    BucketedMergeTarget.merge(kv(Seq((1L, 1L, "a"), (2L, 1L, "b"))), ok, Seq("id"), "cursor", 8)
+    val hit = BucketedMergeTarget.readMatchingLocal(s, ok, "id", Seq(1L),
+      org.apache.spark.sql.types.LongType)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("composite PKs bucket and merge correctly") {
     val s = spark
     import s.implicits._
