@@ -1210,6 +1210,24 @@ object QueriesPipeline {
       TextAnalysis.repetitionRatios(t(s, dir, "documents"), "doc_id",
         col("text"), n = 2)),
 
+    // Gopher's duplicate n-gram COVERAGE (Rae et al. '21): fraction of
+    // token positions covered by within-doc repeated 2-/3-grams —
+    // catches looped boilerplate no single dominant gram betrays.
+    "q_ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.repeatedNgramCoverage(t(s, dir, "documents"), "doc_id",
+        col("text"), Seq(2, 3))),
+
+    // Character-entropy gibberish detector (integer micro-nat ln, same
+    // replayable-transcendental regime as q_unigram_surprise).
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", col("text"))),
+
+    // C4-style chunk-dedup APPLY: every duplicated 8-token chunk keeps
+    // its first (doc, idx) occurrence corpus-wide; docs are rebuilt
+    // without the dropped chunks. The rewrite q_chunk_dedup only detects.
+    "q_chunk_dedup_apply" -> ((s, dir) =>
+      TextAnalysis.chunkDedupApply(t(s, dir, "documents"), "doc_id", "text")),
+
     // Per-language corpus length statistics (exact median over ints —
     // identical midpoint interpolation in both engines).
     "q_length_stats" -> ((s, dir) =>
@@ -2223,6 +2241,63 @@ object QueriesPipeline {
            |r AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep FROM c GROUP BY doc_id)
            |SELECT d.doc_id, COALESCE(r.rep, 0.0) AS rep_ratio
            |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+      // duplicate n-gram coverage: per n, positions covered by grams
+      // occurring >=2 times in the doc (1-based here, 0-based in Spark —
+      // only the covered-position COUNT compares). Gram text replaces the
+      // Spark side's xxhash64 — identical grouping absent a collision.
+      "q_ngram_coverage" -> {
+        def covCte(n: Int) =
+          s"""g$n AS (SELECT doc_id, i AS s, array_to_string(w[i:i+${n - 1}], ' ') AS gm
+             |  FROM toks, UNNEST(range(1, len(w) - ${n - 2})) AS t(i)),
+             |d$n AS (SELECT doc_id, flatten(list_transform(list(s), x -> range(x, x + $n))) AS rs
+             |  FROM g$n GROUP BY doc_id, gm HAVING count(*) >= 2),
+             |c$n AS (SELECT doc_id, len(list_distinct(flatten(list(rs)))) AS cov
+             |  FROM d$n GROUP BY doc_id)""".stripMargin
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |${covCte(2)},
+           |${covCte(3)}
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+           |  round(CAST(COALESCE(c2.cov, 0) AS DOUBLE) / greatest(len(t.w), 1), 6) AS cov2,
+           |  round(CAST(COALESCE(c3.cov, 0) AS DOUBLE) / greatest(len(t.w), 1), 6) AS cov3
+           |FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin
+      },
+
+      // character entropy in integer micro-nats (the replayable-ln
+      // regime of q_unigram_surprise, per (doc, char) instead of token)
+      "q_char_entropy" ->
+        """WITH ch AS (
+          |  SELECT doc_id, length(text) AS n, substr(text, i, 1) AS c
+          |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+          |pc AS (SELECT doc_id, max(n) AS n, count(*) AS cnt,
+          |  count(*) * CAST(round(1000000.0 * ln(CAST(max(n) AS DOUBLE) / count(*))) AS BIGINT) AS micro
+          |FROM ch GROUP BY doc_id, c),
+          |e AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+          |  round(CAST(sum(micro) AS DOUBLE) / max(n) / 1000000.0, 6) AS entropy
+          |FROM pc GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  COALESCE(e.n_chars, 0) AS n_chars,
+          |  COALESCE(e.entropy, 0.0) AS entropy
+          |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
+
+      // chunk-dedup apply: keeper = first (doc_id, idx) per md5 chunk
+      // hash corpus-wide; text rebuilt from kept chunks in order
+      "q_chunk_dedup_apply" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |chunks AS (SELECT doc_id, i AS idx,
+           |  array_to_string(w[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ') AS ct,
+           |  md5(array_to_string(w[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ')) AS h
+           |FROM toks, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+           |rk AS (SELECT doc_id, idx, ct,
+           |  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rk
+           |FROM chunks),
+           |kept AS (SELECT doc_id, idx, ct FROM rk WHERE rk = 1)
+           |SELECT t.doc_id,
+           |  CAST(ceil(max(len(t.w)) / 8.0) AS BIGINT) AS n_chunks,
+           |  CAST(count(k.idx) AS BIGINT) AS n_kept,
+           |  COALESCE(string_agg(k.ct, ' ' ORDER BY k.idx), '') AS clean_text
+           |FROM toks t LEFT JOIN kept k USING (doc_id)
+           |GROUP BY t.doc_id""".stripMargin,
 
       "q_length_stats" ->
         """SELECT lang, count(*) AS n_docs,

@@ -337,4 +337,125 @@ object TextAnalysis {
       .withColumn("mean_surprise",
         round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6))
   }
+
+  /** Gopher's "duplicate n-gram coverage" repetition signal (Rae et al.
+    * '21 table A1; stricter than [[repetitionRatios]]' top-gram share):
+    * for each n the FRACTION OF TOKEN POSITIONS covered by n-grams that
+    * occur ≥2 times within the document. Boilerplate/looped text scores
+    * near 1 even when no single gram dominates — the case the top-gram
+    * ratio misses.
+    *
+    * Shape per n: one gram projection (positions are original token
+    * indexes — the null-filter only trims the tail), a hash-aggregate on
+    * (id, gram-hash) with map-side combine, a distinct over (id,
+    * position) ints, and a per-doc count — shuffles carry 8-byte hashes
+    * and int positions, never gram text (xxhash64; a within-doc 64-bit
+    * collision merging two distinct grams is ~2⁻⁶⁴ per pair and would
+    * only matter if it flipped a count past the ≥2 threshold). Linear
+    * in corpus size; nothing global. */
+  def repeatedNgramCoverage(df: DataFrame, idCol: String, text: Column,
+                            ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"need n >= 2, got $ns")
+    val toks = df.select(col(idCol), Dedup.tokens(text).as("__w"))
+      .withColumn("__n_toks", size(col("__w")))
+    val perN = ns.map { n =>
+      val grams = toks.select(col(idCol),
+        posexplode(filter(transform(col("__w"), (_, i) =>
+          when(i + n <= size(col("__w")),
+            xxhash64(array_join(slice(col("__w"), i + 1, lit(n)), " ")))),
+          x => x.isNotNull)).as(Seq("__start", "__h")))
+      grams.groupBy(col(idCol), col("__h"))
+        .agg(collect_list(col("__start")).as("__starts"))
+        .filter(size(col("__starts")) >= 2)
+        .select(col(idCol), explode(col("__starts")).as("__s"))
+        .select(col(idCol), explode(sequence(col("__s"), col("__s") + (n - 1))).as("__p"))
+        .distinct()
+        .groupBy(col(idCol)).agg(count(lit(1)).as(s"__cov$n"))
+    }
+    val base = toks.select(col(idCol), col("__n_toks"))
+    val joined = perN.foldLeft(base)((acc, c) => acc.join(c, Seq(idCol), "left"))
+    joined.select(
+      col(idCol) +: col("__n_toks").cast("long").as("n_toks") +:
+        ns.map(n => round(
+          coalesce(col(s"__cov$n"), lit(0)).cast("double") /
+            greatest(col("__n_toks"), lit(1)), 6).as(s"cov$n")): _*)
+  }
+
+  /** Character-level Shannon entropy in nats — the cheap gibberish /
+    * binary-spill / single-char-run detector (keysmash and base64 blobs
+    * sit far from natural-language entropy in either direction). Same
+    * cross-engine determinism treatment as [[unigramSurprise]]: the only
+    * transcendental (ln) is computed once per distinct (doc, char) and
+    * immediately rounded to integer micro-nats; everything after is
+    * exact integer arithmetic. H = Σ (c/N)·ln(N/c) over per-char counts
+    * c, total chars N.
+    *
+    * Shape: char explode → (id, char) hash-aggregate (map-side combine;
+    * keyspace ≤ docs × alphabet) → per-doc integer sum. Linear, no text
+    * in shuffles beyond single chars. */
+  def charEntropy(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val chars = df
+      .select(col(idCol), length(text).as("__len"), explode(split(text, "")).as("__ch"))
+      .filter(length(col("__ch")) > 0)
+    val perChar = chars.groupBy(col(idCol), col("__ch"))
+      .agg(max(col("__len")).as("__len"), count(lit(1)).as("__c"))
+      .withColumn("__micro",
+        col("__c") * round(lit(1e6) *
+          log(col("__len").cast("double") / col("__c"))).cast("long"))
+    val ent = perChar.groupBy(col(idCol)).agg(
+      max(col("__len")).cast("long").as("n_chars"),
+      sum(col("__micro")).as("__sum"))
+      .withColumn("entropy",
+        round(col("__sum").cast("double") / col("n_chars") / lit(1e6), 6))
+      .select(col(idCol), col("n_chars"), col("entropy"))
+    // restore zero-length docs (dropped by the char filter) as entropy 0
+    df.select(col(idCol)).join(ent, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
+  /** C4-style chunk dedup APPLY — the rewrite step after
+    * [[graft.Dedup]]-style chunk detection: every duplicated 8-token
+    * chunk keeps exactly ONE occurrence corpus-wide (first by (doc, chunk
+    * index) — deterministic) and every other occurrence is dropped from
+    * its document's text. Returns one row per doc: the rebuilt text plus
+    * kept/total chunk counts.
+    *
+    * Scale shape: chunk hashes (md5, matching the detection operator's
+    * regime) shuffle for the keeper window — partitioned BY HASH, so the
+    * key space is the chunk universe, never skewed by doc size; the
+    * winners shuffle back as (doc, int index) pairs only. The
+    * chunk-EXPLODED rows (≈ a full copy of the corpus text as chunk
+    * strings) never enter an exchange — only their md5 + int index do.
+    * The final doc-level join moves each document's token array at most
+    * once (zero when the kept-index frame broadcasts), the same cost as
+    * any per-doc enrichment join; cleaned text is rebuilt from the
+    * document's own token array at the final projection. */
+  def chunkDedupApply(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 8): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
+    val chunks = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0),
+          (ceil(size(col("__w")).cast("double") / window) - 1).cast("int")),
+        i => md5(array_join(slice(col("__w"), i * window + 1, lit(window)), " "))))
+        .as(Seq("__idx", "__h")))
+    val kept = chunks
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+          .orderBy(col(idCol), col("__idx"))))
+      .filter(col("__rk") === 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
+    toks.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        ceil(size(col("__w")).cast("double") / window).cast("long").as("n_chunks"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(flatten(transform(col("__keep"),
+            i => slice(col("__w"), i * window + 1, lit(window)))), " "),
+          lit("")).as("clean_text"))
+  }
 }

@@ -169,6 +169,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(cluster_rep"))
   }
 
+  test("q_ngram_coverage shuffles 8-byte gram hashes and int positions — never text") {
+    val p = plan("q_ngram_coverage")
+    // per-(doc, gram-hash) agg partial-aggregates map-side before its shuffle
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+    assert(p.contains("xxhash64"), "grams must be hashed before the shuffle")
+    // no exchange may carry the gram text or the raw document text
+    assert(!p.contains("hashpartitioning(text"))
+    assert(!p.contains("hashpartitioning(gm"))
+  }
+
+  test("q_char_entropy is two hash aggregations with map-side combine") {
+    val p = plan("q_char_entropy")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+    // the per-(doc, char) keyspace shuffles single chars, never documents
+    assert(!p.contains("hashpartitioning(text"))
+  }
+
+  test("q_chunk_dedup_apply windows by chunk hash; text never enters an exchange") {
+    val p = plan("q_chunk_dedup_apply")
+    // keeper selection partitions by the md5 chunk hash (chunk-universe
+    // keyspace, not doc-skewed)
+    assert(p.contains("windowspecdefinition(__h") || p.contains("hashpartitioning(__h"),
+      "keeper window must partition by chunk hash")
+    // the winners come back as (doc, idx) pairs; no exchange carries text
+    // or the token array — clean_text is rebuilt at the final projection
+    assert(!p.contains("hashpartitioning(text"))
+    assert(!p.contains("hashpartitioning(__w"))
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     val s = spark
     val saved = Seq(
