@@ -1173,6 +1173,15 @@ object QueriesPipeline {
       TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
     }),
 
+    // One rung up the CCNet ladder: Jelinek–Mercer ½/½ bigram⊕unigram
+    // surprise — flags common-word salad the unigram LM scores as fine.
+    "q_bigram_surprise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens)
+    }),
+
     // The QUALITY GATE every curation pipeline ends with (CCNet/Gopher
     // shape): one keep/drop decision per document from the gated signal
     // family — token count, 2-gram repetition, unigram LM surprise, C4
@@ -1865,6 +1874,42 @@ object QueriesPipeline {
            |    AS mean_surprise
            |FROM t2 JOIN cost USING (tok)
            |GROUP BY t2.doc_id""".stripMargin,
+
+      // interpolated bigram surprise: first token unigram-scored, the
+      // rest −ln(½·(c_bt/c_prev) + ½·(c_t/N)) — the mixture's
+      // parenthesization matches the Spark side exactly so the double
+      // arithmetic (and hence the micro-nat rounding) replays
+      "q_bigram_surprise" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |t1 AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+           |t2 AS (SELECT doc_id, tok FROM t1 WHERE len(tok) > 0),
+           |uni AS (SELECT tok, count(*) AS c_t FROM t2 GROUP BY tok),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t2),
+           |ucost AS (SELECT tok,
+           |  CAST(round(1000000.0 * ln((SELECT total FROM n) / c_t)) AS BIGINT) AS micro_uni
+           |FROM uni),
+           |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS tok
+           |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |bcnt AS (SELECT prev, tok, count(*) AS c_bt FROM bg GROUP BY prev, tok),
+           |bcost AS (SELECT b.prev, b.tok,
+           |  CAST(round(-1000000.0 * ln(
+           |    0.5 * (CAST(b.c_bt AS DOUBLE) / up.c_t) +
+           |    0.5 * (CAST(ut.c_t AS DOUBLE) / (SELECT total FROM n)))) AS BIGINT) AS micro_bi
+           |FROM bcnt b
+           |JOIN uni up ON up.tok = b.prev
+           |JOIN uni ut ON ut.tok = b.tok),
+           |docbi AS (SELECT bg.doc_id, count(*) AS n_bi, sum(bcost.micro_bi) AS sum_bi
+           |  FROM bg JOIN bcost ON bcost.prev = bg.prev AND bcost.tok = bg.tok
+           |  GROUP BY bg.doc_id),
+           |docfirst AS (SELECT t.doc_id, ucost.micro_uni
+           |  FROM (SELECT doc_id, w[1] AS tok FROM toks WHERE len(w[1]) > 0) t
+           |  JOIN ucost USING (tok))
+           |SELECT f.doc_id,
+           |  CAST(COALESCE(d.n_bi, 0) + 1 AS BIGINT) AS n_tokens,
+           |  CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS BIGINT) AS surprise_micro,
+           |  round(CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS DOUBLE)
+           |    / (COALESCE(d.n_bi, 0) + 1) / 1000000.0, 6) AS mean_surprise
+           |FROM docfirst f LEFT JOIN docbi d USING (doc_id)""".stripMargin,
 
       // The quality gate replayed end-to-end: the four individually
       // oracle-green signals (whitespace token count, C4-style quality

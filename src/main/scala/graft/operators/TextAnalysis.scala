@@ -338,6 +338,69 @@ object TextAnalysis {
         round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6))
   }
 
+  /** Interpolated BIGRAM LM surprise — one rung up the CCNet ladder from
+    * [[unigramSurprise]] toward the real KenLM decision: each token after
+    * the first is scored −ln p̂(tok | prev) under the Jelinek–Mercer
+    * mixture p̂ = ½·(c(prev,tok)/c(prev)) + ½·(c(tok)/N); the first token
+    * falls back to its unigram surprise. Catches word-salad whose
+    * UNIGRAMS are all common ("the of and a is …" scores low under a
+    * unigram LM, high here).
+    *
+    * Context counts use the plain unigram count of `prev` (not
+    * "occurrences followed by something") — replayable, and the
+    * difference is one count per document-final token.
+    *
+    * DETERMINISM: same integer micro-nat regime as [[unigramSurprise]];
+    * the mixture inside ln is fixed-shape double arithmetic
+    * (½·(a/b) + ½·(c/d), identical parenthesization in the SQL oracle),
+    * rounded to integer micro-nats once per distinct bigram. All
+    * aggregation after is exact.
+    *
+    * Shape: bigram explode → (prev,tok) count agg (map-side combine,
+    * shuffle ∝ distinct bigrams) → cost join (cost table ∝ observed
+    * bigram vocabulary — broadcastable far beyond this sf; a shuffle
+    * join on the same keys at 100 TB) → per-doc integer sum. */
+  def bigramSurprise(df: DataFrame, idCol: String, text: Column,
+                     nTokens: Long): DataFrame = {
+    require(nTokens > 0, s"nTokens must be positive, got $nTokens")
+    val toks = df.select(col(idCol), Dedup.tokens(text).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c_t"))
+    val uniCost = uni.withColumn("__micro_uni",
+      round(lit(1e6) * log(lit(nTokens.toDouble) / col("__c_t"))).cast("long"))
+    val bigrams = toks.select(col(idCol),
+      explode(filter(transform(col("__w"), (_, i) =>
+        when(i >= 1, struct(element_at(col("__w"), i).as("prev"),
+          element_at(col("__w"), i + 1).as("tok")))),
+        x => x.isNotNull)).as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.tok").as("tok"))
+    val biCost = bigrams.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("__c_bt"))
+      .join(uni.select(col("tok").as("prev"), col("__c_t").as("__c_prev")), Seq("prev"))
+      .join(uni, Seq("tok"))
+      .withColumn("__micro_bi",
+        round(lit(-1e6) * log(
+          lit(0.5) * (col("__c_bt").cast("double") / col("__c_prev")) +
+            lit(0.5) * (col("__c_t").cast("double") / lit(nTokens.toDouble))))
+          .cast("long"))
+      .select(col("prev"), col("tok"), col("__micro_bi"))
+    val docBi = bigrams.join(biCost, Seq("prev", "tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_bi"), sum(col("__micro_bi")).as("__sum_bi"))
+    val docFirst = toks
+      .select(col(idCol), element_at(col("__w"), 1).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(uniCost.select(col("tok"), col("__micro_uni")), Seq("tok"))
+      .select(col(idCol), col("__micro_uni"))
+    docFirst.join(docBi, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("__n_bi"), lit(0L)) + 1L).as("n_tokens"),
+        (col("__micro_uni") + coalesce(col("__sum_bi"), lit(0L))).as("surprise_micro"))
+      .withColumn("mean_surprise",
+        round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6))
+  }
+
   /** Gopher's "duplicate n-gram coverage" repetition signal (Rae et al.
     * '21 table A1; stricter than [[repetitionRatios]]' top-gram share):
     * for each n the FRACTION OF TOKEN POSITIONS covered by n-grams that

@@ -179,6 +179,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(gm"))
   }
 
+  test("q_bigram_surprise partial-aggregates bigram counts map-side") {
+    val p = plan("q_bigram_surprise")
+    assert(p.contains("partial_count"), "bigram counting must map-side combine")
+    // per-doc rollup keys on doc_id; no exchange partitions on raw text
+    assert(p.contains("hashpartitioning(doc_id"))
+    assert(!p.contains("hashpartitioning(text"))
+  }
+
   test("q_char_entropy is two hash aggregations with map-side combine") {
     val p = plan("q_char_entropy")
     assert(p.contains("HashAggregate"))
