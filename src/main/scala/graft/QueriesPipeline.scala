@@ -1212,6 +1212,31 @@ object QueriesPipeline {
         .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
     }),
 
+    // The round-7 GATE over the round-7 signals (Gopher-complete
+    // companion to q_quality_gate's CCNet/C4 family): duplicate-3-gram
+    // span coverage, character entropy, and interpolated bigram surprise
+    // under a deterministic priority order. Thresholds calibrated
+    // non-vacuous on this corpus (cov3 tail ≈ p95 0.064, entropy p05
+    // 2.711, bigram surprise p99 3.480 — every rule fires).
+    "q_quality_gate_v2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      val cov = TextAnalysis.repeatedNgramCoverage(docs, "doc_id", col("text"), Seq(3))
+        .select(col("doc_id"), col("cov3"))
+      val ent = TextAnalysis.charEntropy(docs, "doc_id", col("text"))
+        .select(col("doc_id"), col("entropy"))
+      val big = TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens)
+        .select(col("doc_id"), col("mean_surprise"))
+      cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("cov3") > 0.08, "repetitive_spans")
+            .when(col("entropy") < 2.70, "low_entropy")
+            .when(col("mean_surprise") > 3.46, "incoherent")
+            .otherwise("keep").as("reason"))
+        .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
+    }),
+
     // Gopher-style repetition signal: fraction of 2-gram occurrences
     // taken by the most frequent 2-gram per doc (boilerplate detector).
     // Tokens projected once; the gram/array math reads the attribute.
@@ -1910,6 +1935,66 @@ object QueriesPipeline {
            |  round(CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS DOUBLE)
            |    / (COALESCE(d.n_bi, 0) + 1) / 1000000.0, 6) AS mean_surprise
            |FROM docfirst f LEFT JOIN docbi d USING (doc_id)""".stripMargin,
+
+      // gate v2 replayed end-to-end: the three round-7 signals recomputed
+      // verbatim from their own (individually green) oracles, folded
+      // through the same CASE priority order as the Spark query
+      "q_quality_gate_v2" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           |g3 AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS gm
+           |  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+           |d3 AS (SELECT doc_id, flatten(list_transform(list(s), x -> range(x, x + 3))) AS rs
+           |  FROM g3 GROUP BY doc_id, gm HAVING count(*) >= 2),
+           |c3 AS (SELECT doc_id, len(list_distinct(flatten(list(rs)))) AS cov
+           |  FROM d3 GROUP BY doc_id),
+           |cov AS (SELECT t.doc_id,
+           |  round(CAST(COALESCE(c3.cov, 0) AS DOUBLE) / greatest(len(t.w), 1), 6) AS cov3
+           |FROM toks t LEFT JOIN c3 USING (doc_id)),
+           |ch AS (SELECT doc_id, length(text) AS nch, substr(text, i, 1) AS c
+           |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+           |pc AS (SELECT doc_id, max(nch) AS nch,
+           |  count(*) * CAST(round(1000000.0 * ln(CAST(max(nch) AS DOUBLE) / count(*))) AS BIGINT) AS micro
+           |FROM ch GROUP BY doc_id, c),
+           |ent AS (SELECT d.doc_id, COALESCE(
+           |    (SELECT round(CAST(sum(p.micro) AS DOUBLE) / max(p.nch) / 1000000.0, 6)
+           |     FROM pc p WHERE p.doc_id = d.doc_id), 0.0) AS entropy
+           |FROM documents d),
+           |t2 AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+           |  WHERE len(tok) > 0),
+           |uni AS (SELECT tok, count(*) AS c_t FROM t2 GROUP BY tok),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t2),
+           |ucost AS (SELECT tok,
+           |  CAST(round(1000000.0 * ln((SELECT total FROM n) / c_t)) AS BIGINT) AS micro_uni
+           |FROM uni),
+           |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS tok
+           |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |bcnt AS (SELECT prev, tok, count(*) AS c_bt FROM bg GROUP BY prev, tok),
+           |bcost AS (SELECT b.prev, b.tok,
+           |  CAST(round(-1000000.0 * ln(
+           |    0.5 * (CAST(b.c_bt AS DOUBLE) / up.c_t) +
+           |    0.5 * (CAST(ut.c_t AS DOUBLE) / (SELECT total FROM n)))) AS BIGINT) AS micro_bi
+           |FROM bcnt b
+           |JOIN uni up ON up.tok = b.prev
+           |JOIN uni ut ON ut.tok = b.tok),
+           |docbi AS (SELECT bg.doc_id, count(*) AS n_bi, sum(bcost.micro_bi) AS sum_bi
+           |  FROM bg JOIN bcost ON bcost.prev = bg.prev AND bcost.tok = bg.tok
+           |  GROUP BY bg.doc_id),
+           |docfirst AS (SELECT t.doc_id, ucost.micro_uni
+           |  FROM (SELECT doc_id, w[1] AS tok FROM toks WHERE len(w[1]) > 0) t
+           |  JOIN ucost USING (tok)),
+           |bsurp AS (SELECT f.doc_id,
+           |  round(CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS DOUBLE)
+           |    / (COALESCE(d.n_bi, 0) + 1) / 1000000.0, 6) AS mean_surprise
+           |FROM docfirst f LEFT JOIN docbi d USING (doc_id)),
+           |gate AS (SELECT cov.doc_id,
+           |  CASE WHEN cov.cov3 > 0.08 THEN 'repetitive_spans'
+           |       WHEN ent.entropy < 2.70 THEN 'low_entropy'
+           |       WHEN bsurp.mean_surprise > 3.46 THEN 'incoherent'
+           |       ELSE 'keep' END AS reason
+           |FROM cov JOIN ent USING (doc_id) JOIN bsurp USING (doc_id))
+           |SELECT doc_id, reason,
+           |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM gate""".stripMargin,
 
       // The quality gate replayed end-to-end: the four individually
       // oracle-green signals (whitespace token count, C4-style quality
