@@ -350,6 +350,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
   }
 
+  test("repeatedNgramCoverage: full, zero, and partial span coverage") {
+    val out = TextAnalysis.repeatedNgramCoverage(
+      docs(1L -> "x x x x x", 2L -> "a b c d e", 3L -> "p q p q z z z w"),
+      "doc_id", col("text"), Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // all-same tokens: every position covered at both n
+    assert(out(1L) == ((5L, 1.0, 1.0)))
+    // all-distinct tokens: nothing repeats
+    assert(out(2L) == ((5L, 0.0, 0.0)))
+    // "p q"×2 covers 0-3, "z z"×2 covers 4-6, position 7 ("w") uncovered
+    assert(out(3L) == ((8L, 0.875, 0.0)))
+  }
+
+  test("charEntropy: uniform, degenerate, and empty texts") {
+    val out = TextAnalysis.charEntropy(
+      docs(1L -> "aaaa", 2L -> "abab", 3L -> ""), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((4L, 0.0)))              // one symbol → zero entropy
+    assert(out(2L) == ((4L, 0.693147)))         // two equiprobable → ln 2
+    assert(out(3L) == ((0L, 0.0)))              // empty text restored as 0
+  }
+
+  test("chunkDedupApply keeps first (doc, idx) occurrence; rebuilt text is exact") {
+    val c1 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val c2 = (1 to 8).map(i => s"u$i").mkString(" ")
+    val cv = (1 to 8).map(i => s"v$i").mkString(" ")
+    val out = TextAnalysis.chunkDedupApply(
+      docs(1L -> s"$c1 $c2", 2L -> s"$c1 $cv", 3L -> s"$c1 $c2"),
+      "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, s"$c1 $c2")))   // first doc keeps everything
+    assert(out(2L) == ((2L, 1L, cv)))           // loses the shared chunk, keeps its own
+    assert(out(3L) == ((2L, 0L, "")))           // exact clone loses everything
+    // corpus-wide: kept chunks == distinct chunk universe
+    assert(out.values.map(_._2).sum == 3L)
+  }
+
+  test("bigramSurprise separates word salad from patterned text at equal unigrams") {
+    // both docs are 4×a + 4×b — identical unigram distribution, so the
+    // unigram proxy CANNOT separate them; the bigram mixture must.
+    val d = docs(1L -> "a b a b a b a b", 2L -> "a a b b a a b b")
+    val uni = TextAnalysis.unigramSurprise(d, "doc_id", col("text"), 16L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(1L) == uni(2L), "unigram proxy sees the two docs as identical")
+    val out = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), 16L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 8L && out(2L)._1 == 8L)
+    assert(out(2L)._2 > out(1L)._2,
+      s"salad must out-score pattern: ${out(2L)._2} vs ${out(1L)._2}")
+    // exact micro-nat check on the degenerate corpus: "x x x" alone —
+    // first token ln(3/3)=0; two bigrams at −ln(½·(2/3)+½·1) → 182322 each
+    val tiny = TextAnalysis.bigramSurprise(
+      docs(9L -> "x x x"), "doc_id", col("text"), 3L).head()
+    assert(tiny.getLong(1) == 3L && tiny.getLong(2) == 364644L &&
+      tiny.getDouble(3) == 0.121548)
+  }
+
   test("langId picks the marker-dominant language, und when silent") {
     val out = docs(
       1L -> "the cat and the dog of the house",
