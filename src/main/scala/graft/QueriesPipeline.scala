@@ -487,6 +487,29 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // ASYMMETRIC containment over an excerpt-planted corpus: every 20th
+    // doc also appears as its first-⅔-tokens excerpt (doc_id + 900000) —
+    // the quote/subset case where Jaccard ≈ ⅔ but containment(excerpt) =
+    // 1.0. Independent md5 banding (same regime as the oracle family;
+    // the excerpt corpus differs from the shared memo's, like
+    // q_decontaminate's second banding), then exact containment both
+    // directions on the candidates only.
+    "q_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val w = Dedup.tokens(col("text"))
+      val excerpts = d
+        .filter(col("doc_id") % 20 === 0 && size(w) >= 6)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          array_join(slice(w, lit(1), floor(size(w) * 2 / lit(3.0)).cast("int")), " ")
+            .as("text"))
+      val corpus = d.unionAll(excerpts)
+        .filter(size(Dedup.tokens(col("text"))) >= 3)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
+        ngramN = 3, bands = 4, rowsPerBand = 3,
+        hashFn = Dedup.md5Hex, maxBucket = 200)
+      Dedup.ngramContainment(corpus, "doc_id", col("text"), 3, cands)
+    }),
+
     // The PRODUCTION hash regime (xxhash64 signatures — ~30 % faster
     // than the md5 the oracle-replayable family runs, SCALE.md curves)
     // executed END-TO-END inside the gate: candidates → exact Jaccard →
@@ -1858,6 +1881,37 @@ object QueriesPipeline {
       "q_jaccard" ->
         s"""$sqlCandidatePairs
            |SELECT p.id_a, p.id_b,
+           | round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |     / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) AS jaccard
+           |FROM pairs p
+           |JOIN grams ga ON ga.doc_id = p.id_a
+           |JOIN grams gb ON gb.doc_id = p.id_b""".stripMargin,
+
+      // containment over the excerpt-planted corpus: same md5 banding
+      // regime as the family above, independent corpus CTE (documents ∪
+      // first-⅔-token excerpts of every 20th doc), exact intersection
+      // ratios both directions on the banded candidates
+      "q_containment" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 900000 AS doc_id,
+           |    array_to_string(w[1:CAST(floor(len(w) * 2 / 3.0) AS BIGINT)], ' ') AS text
+           |  FROM (SELECT doc_id, $sqlWords AS w FROM documents)
+           |  WHERE doc_id % 20 = 0 AND len(w) >= 6
+           |), corpus3 AS (SELECT * FROM corpus WHERE len($sqlWords) >= 3),
+           |$sqlGrams,
+           |$sqlBandedCapped,
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |)
+           |SELECT p.id_a, p.id_b,
+           | round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |     / greatest(len(ga.g), 1), 6) AS contain_a,
+           | round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |     / greatest(len(gb.g), 1), 6) AS contain_b,
            | round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
            |     / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) AS jaccard
            |FROM pairs p

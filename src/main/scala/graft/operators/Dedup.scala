@@ -532,6 +532,37 @@ object Dedup {
           6).as("jaccard"))
   }
 
+  /** ASYMMETRIC n-gram containment for candidate pairs — the
+    * quote/excerpt/subset detector symmetric Jaccard structurally
+    * misses: a short doc fully contained in a long one has
+    * |A∩B|/|A∪B| ≈ |A|/|B| (small) but containment |A∩B|/|A| ≈ 1.
+    * Emits both directions plus the Jaccard so callers gate on
+    * "contained but not near-identical" (high max-containment, low
+    * Jaccard). Same fused shape and cost profile as [[ngramJaccard]] —
+    * the exact step runs only on candidate pairs. */
+  def ngramContainment(df: DataFrame, idCol: String, text: Column, n: Int,
+                       candidates: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+      .select(col("id"), ngramsOfTokens(col("__t"), n).as("g"))
+    candidates
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), Seq("id_a"))
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("__i"),
+        size(col("ga")).as("__na"), size(col("gb")).as("__nb"),
+        round(
+          size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            greatest(size(array_union(col("ga"), col("gb"))), lit(1)),
+          6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / greatest(col("__na"), lit(1)), 6)
+          .as("contain_a"),
+        round(col("__i").cast("double") / greatest(col("__nb"), lit(1)), 6)
+          .as("contain_b"),
+        col("jaccard"))
+  }
+
   // ---- corpus-level overlap -------------------------------------------
 
   /** Exact corpus-overlap report between two corpora: distinct word

@@ -409,6 +409,19 @@ class OperatorsSpec extends AnyFunSuite {
       tiny.getDouble(3) == 0.121548)
   }
 
+  test("ngramContainment: a strict excerpt scores containment 1.0 at fractional Jaccard") {
+    val s = spark
+    import s.implicits._
+    val full = (1 to 12).map(i => s"w$i").mkString(" ")   // 10 3-grams
+    val half = (1 to 7).map(i => s"w$i").mkString(" ")    // 5 3-grams, all shared
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainment(
+      docs(1L -> full, 2L -> half), "doc_id", col("text"), 3, cands).head()
+    assert(out.getDouble(2) == 0.5)   // contain_a: half of full's grams shared
+    assert(out.getDouble(3) == 1.0)   // contain_b: the excerpt is fully contained
+    assert(out.getDouble(4) == 0.5)   // jaccard misses the subset relationship
+  }
+
   test("langId picks the marker-dominant language, und when silent") {
     val out = docs(
       1L -> "the cat and the dog of the house",
