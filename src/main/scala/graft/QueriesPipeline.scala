@@ -974,6 +974,18 @@ object QueriesPipeline {
       Similarity.lshBucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 20, hPlanes = 3, portable = true)),
 
+    // The index-TUNING number: recall@20 of the SRP-LSH bucket scan vs
+    // the exact ranking, per query (vec_ids 0..9), with the bucket
+    // candidate count — the recall/cost trade the (hPlanes, probeRadius)
+    // knobs move. Portable planes so the oracle replays both rankings.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.annRecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20, hPlanes = 3, portable = true)
+    }),
+
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
     // rows-only gate): the codebook is the 16 ANCHOR vectors' (vec_id
     // < 16) sub-vectors instead of k-means centroids, which makes the
@@ -2193,6 +2205,38 @@ object QueriesPipeline {
            |FROM embeddings
            |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      // recall@20 replay: both rankings (exact cross-scan and bucketed)
+      // rebuilt with the same 6-rounded cosine + id tiebreak, then the
+      // per-query intersection count over 20
+      "q_ann_recall" -> {
+        val cos = (e: String) =>
+          s"round(${sqlDot(s"$e.embedding", "qb.qv")} / (${sqlNorm(s"$e.embedding")} * ${sqlNorm("qb.qv")}), 6)"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qb AS (SELECT query_id, qv, ${sqlSrpBucket("qv", 3)} AS b FROM q),
+           |eb AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding", 3)} AS b FROM embeddings),
+           |exactc AS (SELECT qb.query_id, e.vec_id, ${cos("e")} AS cs
+           |  FROM embeddings e CROSS JOIN qb),
+           |exact AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM exactc) WHERE rk <= 20),
+           |lshc AS (SELECT qb.query_id, e.vec_id, ${cos("e")} AS cs
+           |  FROM eb e JOIN qb ON e.b = qb.b),
+           |lsh AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM lshc) WHERE rk <= 20),
+           |ncand AS (SELECT query_id, count(*) AS n_bucket FROM lshc GROUP BY query_id),
+           |hits AS (SELECT e.query_id, count(*) AS h
+           |  FROM exact e JOIN lsh l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id,
+           |  CAST(COALESCE(n.n_bucket, 0) AS BIGINT) AS n_bucket,
+           |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
+           |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
 
       // ImageIoCodec.extractFeatures over the decoded PNG raster,
       // replayed from the SOURCE bytes: gray PNG is lossless, so the

@@ -203,6 +203,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k EVALUATION harness for the SRP-LSH index — the number an
+    * index tuner actually turns the (hPlanes, probeRadius) knobs by:
+    * per query, |LSH-top-k ∩ exact-top-k| / k, plus the bucket candidate
+    * count (the cost side of the trade). Both rankings order by
+    * 6-rounded cosine with id tiebreak, so the sets are deterministic
+    * and engine-replayable.
+    *
+    * Shape: the query set is BROADCAST twice — once against the full
+    * corpus for the exact ranking (one corpus scan; at 100 TB run this
+    * harness over a sampled slice, recall estimates converge fast), once
+    * against the bucketed corpus for the LSH ranking (bucket-pruned).
+    * Everything after the scans is ∝ |queries|·k. */
+  def annRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, qidCol: String, qVecCol: String,
+                   k: Int, hPlanes: Int, portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = peekDim(corpus, vecCol)
+    val qb = queries.select(col(qidCol), col(qVecCol),
+      srpBucket(col(qVecCol), hPlanes, portable, dim).as("__qb"))
+    val bucketed =
+      if (corpus.columns.contains("srp_bucket")) corpus
+      else withSrpBucket(corpus, vecCol, hPlanes, portable)
+    val win = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    val exact = corpus.crossJoin(broadcast(qb.select(col(qidCol), col(qVecCol))))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
+      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+      .select(col(qidCol), col(idCol))
+    val cand = bucketed.join(broadcast(qb), col("srp_bucket") === col("__qb"))
+    val lsh = cand
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
+      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+      .select(col(qidCol), col(idCol))
+    val nCand = cand.groupBy(col(qidCol)).agg(count(lit(1)).as("n_bucket"))
+    val hits = exact.join(lsh, Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("__hits"))
+    qb.select(col(qidCol))
+      .join(nCand, Seq(qidCol), "left")
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_bucket"), lit(0L)).as("n_bucket"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ----
 
   /** Deterministic Lloyd k-means over a driver-side sample: centroids
