@@ -986,6 +986,17 @@ object QueriesPipeline {
         "query_id", "qv", k = 20, hPlanes = 3, portable = true)
     }),
 
+    // The same harness one knob over: Hamming-≤1 multi-probe. Read next
+    // to q_ann_recall, the pair IS the tuning curve — recall rises,
+    // candidate count multiplies by ~(1 + hPlanes).
+    "q_ann_recall_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.annRecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20, hPlanes = 3, portable = true, probeRadius = 1)
+    }),
+
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
     // rows-only gate): the codebook is the 16 ANCHOR vectors' (vec_id
     // < 16) sub-vectors instead of k-means centroids, which makes the
@@ -2224,6 +2235,37 @@ object QueriesPipeline {
            |  FROM exactc) WHERE rk <= 20),
            |lshc AS (SELECT qb.query_id, e.vec_id, ${cos("e")} AS cs
            |  FROM eb e JOIN qb ON e.b = qb.b),
+           |lsh AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM lshc) WHERE rk <= 20),
+           |ncand AS (SELECT query_id, count(*) AS n_bucket FROM lshc GROUP BY query_id),
+           |hits AS (SELECT e.query_id, count(*) AS h
+           |  FROM exact e JOIN lsh l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id,
+           |  CAST(COALESCE(n.n_bucket, 0) AS BIGINT) AS n_bucket,
+           |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
+           |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
+
+      // multi-probe recall: identical replay with the bucket equality
+      // relaxed to Hamming ≤ 1 (xor bit_count), as in q_multimodal_ann
+      "q_ann_recall_probe" -> {
+        val cos = (e: String) =>
+          s"round(${sqlDot(s"$e.embedding", "qb.qv")} / (${sqlNorm(s"$e.embedding")} * ${sqlNorm("qb.qv")}), 6)"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qb AS (SELECT query_id, qv, ${sqlSrpBucket("qv", 3)} AS b FROM q),
+           |eb AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding", 3)} AS b FROM embeddings),
+           |exactc AS (SELECT qb.query_id, e.vec_id, ${cos("e")} AS cs
+           |  FROM embeddings e CROSS JOIN qb),
+           |exact AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM exactc) WHERE rk <= 20),
+           |lshc AS (SELECT qb.query_id, e.vec_id, ${cos("e")} AS cs
+           |  FROM eb e JOIN qb ON bit_count(xor(e.b, qb.b)) <= 1),
            |lsh AS (SELECT query_id, vec_id FROM (
            |  SELECT query_id, vec_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk

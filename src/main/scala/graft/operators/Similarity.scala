@@ -217,7 +217,8 @@ object Similarity {
     * Everything after the scans is ∝ |queries|·k. */
   def annRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, qidCol: String, qVecCol: String,
-                   k: Int, hPlanes: Int, portable: Boolean = false): DataFrame = {
+                   k: Int, hPlanes: Int, portable: Boolean = false,
+                   probeRadius: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = peekDim(corpus, vecCol)
     val qb = queries.select(col(qidCol), col(qVecCol),
@@ -232,7 +233,13 @@ object Similarity {
         round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
       .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
       .select(col(qidCol), col(idCol))
-    val cand = bucketed.join(broadcast(qb), col("srp_bucket") === col("__qb"))
+    // multi-probe: a bucket within Hamming ≤ radius of the query's is a
+    // probe target — the xor/bit_count algebraic form of probeBuckets.
+    // radius 0 keeps the plain equi-join (hash-joinable at scale).
+    val cond =
+      if (probeRadius == 0) col("srp_bucket") === col("__qb")
+      else bit_count(col("srp_bucket").bitwiseXOR(col("__qb"))) <= probeRadius
+    val cand = bucketed.join(broadcast(qb), cond)
     val lsh = cand
       .select(col(qidCol), col(idCol),
         round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
