@@ -1,8 +1,37 @@
 package graft
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one registered query and write its result into `outDir/name`.
+    * A crash must leave a LOUD artifact, not an absence: the exception
+    * text is written as a one-row parquet in the query's output slot, so
+    * the driver's DuckDB compare records a hard mismatch (err row)
+    * instead of silently omitting the query — mirrors the reference's
+    * verify-as-failure stance (database-replicator
+    * src/commands/verify.rs:321-332). Returns true on success. */
+  def dumpQuery(spark: SparkSession, sfDir: String, outDir: String,
+                name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+      try {
+        import spark.implicits._
+        Seq(s"$name CRASHED: ${Option(e.getMessage).getOrElse(e.toString).take(1000)}")
+          .toDF("_query_crashed")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name error-artifact write failed: ${e2.getMessage}")
+      }
+      false
+    }
   def main(args: Array[String]): Unit = {
     // trailing args (optional) restrict the dump to those queries —
     // dev-loop convenience; the driver always passes exactly two args
@@ -28,27 +57,8 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A crashing query must leave a LOUD artifact, not an absence:
-        // write a one-row parquet with the exception in the query's
-        // output slot, so the driver's DuckDB compare records a hard
-        // mismatch (err row) instead of silently omitting the query —
-        // mirrors the reference's verify-as-failure stance
-        // (database-replicator src/commands/verify.rs:321-332).
-        failed ::= name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        try {
-          import spark.implicits._
-          Seq(s"$name CRASHED: ${Option(e.getMessage).getOrElse(e.toString).take(1000)}")
-            .toDF("_query_crashed")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name error-artifact write failed: ${e2.getMessage}")
-        }
+        if (!dumpQuery(spark, sfDir, outDir, name, fn)) failed ::= name
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
