@@ -63,6 +63,31 @@ import scala.jdk.CollectionConverters._
   *     and needs a clean re-run. (Platforms without /proc/stat record
   *     ext_share -1 and never flag; the raw maps still carry the
   *     evidence.)
+  *
+  * Round-8 hardening (round-7 verdict "What's wrong #1" — `BENCH_r07.json`
+  * recorded 352.7 s, ~2.4x the 139-151 s self-certified steady state, yet
+  * `contention_suspect` read 0: cgroup CPU-quota throttling and I/O stall
+  * burn no CPU visible in /proc/stat, so the ext_share conjunct can never
+  * fire on them):
+  *   - PSI STALL ACCOUNTING: per query, `cpu_stall` / `io_stall` are the
+  *     fraction of the query's wall during which PSI
+  *     (/proc/pressure/{cpu,io} "some total") says a runnable task was
+  *     stalled. PSI counts runnable-but-not-running time, so quota
+  *     throttling and invisible-neighbor contention land here even at
+  *     ext_share ~ 0; `iowait_share` (/proc/stat field 5) and
+  *     `cg_throttled_sec` (this cgroup's cpu.stat nr_throttled/
+  *     throttled_time delta, v1 and v2 paths both handled) carry the
+  *     same evidence from independent kernel counters.
+  *   - RULE B (`rerun_suspect`): rerun_min < 0.3x first-pass flags the
+  *     query with NO external-CPU evidence required — the r07 poisoned
+  *     queries measured 0.01-0.10x, far below the 0.2-0.7x JIT band.
+  *   - RULE C (`stall_suspect`): first-pass PSI/iowait/throttle evidence
+  *     (cpu_stall > 0.2, iowait_share > 0.2, or throttled > 5 % of wall)
+  *     flags any query > 1 s, no rerun needed.
+  *   - the rerun probe widened to the 10 slowest; `self_certified` in the
+  *     JSON is the single headline bit: true only when every rule is
+  *     quiet AND nothing failed. A run that cannot self-certify says so
+  *     loudly on stderr and in the artifact.
   */
 object Bench {
 
@@ -102,6 +127,72 @@ object Bench {
           (if (p.length > 7) p(7) else 0.0)) / 100.0
       } finally f.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** Cumulative iowait seconds across all cores (/proc/stat field 5).
+    * I/O stall burns no CPU anywhere, so `ext_share` is blind to it —
+    * this is one of the two round-7 blind-spot channels. */
+  private def sysIowaitSec: Double =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val p = f.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
+        if (p.length > 4) p(4) / 100.0 else -1.0
+      } finally f.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Cumulative PSI "some" stall seconds from a pressure file
+    * (/proc/pressure/{cpu,io}). PSI counts time a runnable task was NOT
+    * running — it sees cgroup-quota throttling and invisible-neighbor
+    * contention that /proc/stat busy-jiffies cannot (the round-7
+    * certification blind spot: 352.7 s recorded vs 139-151 s steady with
+    * ext_share ~= 0). -1.0 where PSI is unavailable. */
+  private def psiStallSec(path: String): Double =
+    try {
+      val f = scala.io.Source.fromFile(path)
+      try {
+        f.getLines().find(_.startsWith("some")) match {
+          case Some(l) =>
+            l.split("\\s+").collectFirst {
+              case t if t.startsWith("total=") => t.stripPrefix("total=").toDouble / 1e6
+            }.getOrElse(-1.0)
+          case None => -1.0
+        }
+      } finally f.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** This process's cgroup CPU throttle counters:
+    * (nr_throttled, throttled seconds). Resolves the cgroup from
+    * /proc/self/cgroup so a quota applied to a sub-cgroup (how the
+    * validation run throttles itself) is read from the right cpu.stat.
+    * Handles v1 (`throttled_time` ns at /sys/fs/cgroup/cpu<path>/cpu.stat)
+    * and v2 (`throttled_usec` at /sys/fs/cgroup<path>/cpu.stat).
+    * (-1, -1.0) where neither exists. */
+  private def cgThrottle: (Long, Double) = {
+    def parse(path: String, timeKey: String, toSec: Double): Option[(Long, Double)] =
+      try {
+        val f = scala.io.Source.fromFile(path)
+        try {
+          val kv = f.getLines().map(_.split("\\s+")).collect {
+            case Array(k, v) => k -> v.toDouble
+          }.toMap
+          kv.get("nr_throttled").map(n => (n.toLong, kv.getOrElse(timeKey, 0.0) * toSec))
+        } finally f.close()
+      } catch { case _: Throwable => None }
+    val self =
+      try {
+        val f = scala.io.Source.fromFile("/proc/self/cgroup")
+        try f.getLines().toList finally f.close()
+      } catch { case _: Throwable => Nil }
+    val v1Path = self.map(_.split(":", 3)).collectFirst {
+      case Array(_, ctl, path) if ctl.split(",").contains("cpu") => path
+    }
+    val v2Path = self.collectFirst {
+      case l if l.startsWith("0::") => l.stripPrefix("0::")
+    }
+    v1Path.flatMap(p => parse(s"/sys/fs/cgroup/cpu$p/cpu.stat", "throttled_time", 1e-9))
+      .orElse(v2Path.flatMap(p => parse(s"/sys/fs/cgroup$p/cpu.stat", "throttled_usec", 1e-6)))
+      .getOrElse((-1L, -1.0))
+  }
 
   private val NCores = Runtime.getRuntime.availableProcessors.toDouble
 
@@ -143,7 +234,9 @@ object Bench {
     var warmFailed = List.empty[String]
 
     case class QStat(value: String, sec: Option[Double], gcMs: Long,
-        storage: Long, load: Double, cpuSec: Double, extShare: Double)
+        storage: Long, load: Double, cpuSec: Double, extShare: Double,
+        cpuStall: Double, ioStall: Double, iowaitShare: Double,
+        thrN: Long, thrSec: Double)
 
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame,
@@ -151,6 +244,10 @@ object Bench {
       val load0 = loadAvg
       val proc0 = procCpuSec
       val sys0 = sysBusySec
+      val iow0 = sysIowaitSec
+      val psiCpu0 = psiStallSec("/proc/pressure/cpu")
+      val psiIo0 = psiStallSec("/proc/pressure/io")
+      val (thrN0, thrS0) = cgThrottle
       val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
@@ -169,9 +266,23 @@ object Bench {
       val ext =
         if (sys0 < 0 || cpu < 0 || sec <= 0) -1.0
         else math.max(0.0, (sysBusySec - sys0) - cpu) / (sec * NCores)
+      // PSI stall shares: fraction of the query's wall during which SOME
+      // runnable task was stalled (cpu) / blocked on I/O (io). Quota
+      // throttling and I/O stall land HERE even when ext_share reads ~0.
+      def share(before: Double, now: => Double): Double =
+        if (before < 0 || sec <= 0) -1.0
+        else math.min(1.0, math.max(0.0, now - before) / sec)
+      val cpuStall = share(psiCpu0, psiStallSec("/proc/pressure/cpu"))
+      val ioStall = share(psiIo0, psiStallSec("/proc/pressure/io"))
+      val iowaitSh =
+        if (iow0 < 0 || sec <= 0) -1.0
+        else math.max(0.0, sysIowaitSec - iow0) / (sec * NCores)
+      val (thrN1, thrS1) = cgThrottle
       QStat(if (ok) sec.toString else "\"failed\"",
         if (ok) Some(sec) else None, gcMillis - gc0, storageBytes(spark),
-        math.max(load0, loadAvg), cpu, ext)
+        math.max(load0, loadAvg), cpu, ext, cpuStall, ioStall, iowaitSh,
+        if (thrN0 < 0 || thrN1 < 0) -1L else thrN1 - thrN0,
+        if (thrS0 < 0 || thrS1 < 0) -1.0 else math.max(0.0, thrS1 - thrS0))
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -192,13 +303,20 @@ object Bench {
       clearSessionState(spark)
       if (LshFamily.contains(name) && name != "q_minhash_pairs") {
         val f0 = System.nanoTime()
-        try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name memo fixture fill FAILED " +
-            s"(its number below is fill-inclusive cold): ${e.getMessage}")
-        }
-        fixtureSec(name) = (System.nanoTime() - f0) / 1e9
+        val fillOk =
+          try {
+            SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name memo fixture fill FAILED " +
+              s"(its number below is fill-inclusive cold): ${e.getMessage}")
+            false
+          }
+        // only bill the fill when it succeeded — on failure the query
+        // re-pays the whole fill inside its own timing, so recording the
+        // failed attempt here would double-count it in the total
+        if (fillOk) fixtureSec(name) = (System.nanoTime() - f0) / 1e9
       }
       name -> timed(name, fn, failed ::= _)
     }
@@ -224,13 +342,15 @@ object Bench {
         }
       }
 
-    // ---- rerun probe: the 5 slowest queries, twice each, min kept -----
+    // ---- rerun probe: the 10 slowest queries, twice each, min kept ----
     // First-pass inflation from transient external load usually does not
     // reproduce minutes later; a genuine regression does. rerun failures
     // are recorded but don't fail the run (the main numbers stand).
+    // Widened 5 -> 10 (round-7 verdict #1c): the inflated r07 recording
+    // had environment-poisoned queries outside the top 5.
     val slowest = results
       .collect { case (n, q) if q.sec.isDefined => (n, q.sec.get, q.extShare) }
-      .sortBy(-_._2).take(5)
+      .sortBy(-_._2).take(10)
     System.err.println(s"[bench] rerun probe starting: " +
       slowest.map(_._1).mkString(","))
     val rerun = slowest.map { case (name, firstSec, firstExt) =>
@@ -241,17 +361,52 @@ object Bench {
         if (LshFamily.contains(name) && name != "q_minhash_pairs")
           try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name memo fixture fill FAILED " +
+              s"(rerun attempt is fill-inclusive cold): ${e.getMessage}")
+          }
         timed(name, SparkEntry.queries(name), _ => ()).sec
       }
       val best = if (attempts.isEmpty) None else Some(attempts.min)
       (name, firstSec, firstExt, best)
     }
+    // Suspect rules (round-7 verdict #1 — the r07 recording was ~2.4x
+    // inflated yet self-certified clean because ext_share from /proc/stat
+    // cannot see cgroup-quota throttling or I/O stall):
+    //   A (round-6 rule): rerun collapse WITH external-CPU evidence.
+    //   B (new, needs no external evidence): rerun_min < 0.3x first-pass —
+    //     below the documented 0.2-0.7x JIT-warmup band's plausible floor;
+    //     the r07 poisoned queries measured 0.01-0.10x.
+    //   C (new, first-pass evidence): PSI says the machine stalled under
+    //     this query — cpu-stall share > 0.2, or measurable cgroup
+    //     throttling, or iowait share > 0.2. Counted over ALL queries.
     val contentionSuspect = rerun.count {
       case (_, first, firstExt, Some(min)) =>
         min < 0.6 * first && firstExt > 0.2
       case _ => false
     }
+    // first > 5 s: a sub-second/seconds-scale first pass is dominated by
+    // JIT+codegen warmup (measured 0.27x on a clean 1.9 s q1_agg), so the
+    // ratio alone can't separate warmup from poisoning there; the
+    // poisoning that matters inflates multi-second queries (r07: 13-38 s
+    // first pass, 0.01-0.10x rerun).
+    val rerunSuspect = rerun.count {
+      case (_, first, _, Some(min)) => first > 5.0 && min < 0.3 * first
+      case _ => false
+    }
+    val stallSuspect = results.count { case (_, q) =>
+      q.sec.exists(_ > 1.0) &&
+        (q.cpuStall > 0.2 || q.iowaitShare > 0.2 ||
+          (q.sec.exists(s => q.thrSec > 0.05 * s)))
+    }
+    val selfCertified =
+      failed.isEmpty && contentionSuspect == 0 && rerunSuspect == 0 &&
+        stallSuspect == 0
+    if (!selfCertified)
+      System.err.println(s"[bench] RUN CANNOT SELF-CERTIFY: " +
+        s"contention_suspect=$contentionSuspect rerun_suspect=$rerunSuspect " +
+        s"stall_suspect=$stallSuspect failed=${failed.size} — numbers need " +
+        s"a clean re-run before being read as engine performance")
 
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -262,6 +417,10 @@ object Bench {
     val loads = jmap(results.map { case (n, q) => n -> f"${q.load}%.2f" })
     val cpuJs = jmap(results.map { case (n, q) => n -> f"${q.cpuSec}%.2f" })
     val exts = jmap(results.map { case (n, q) => n -> f"${q.extShare}%.3f" })
+    val cpuStallJs = jmap(results.map { case (n, q) => n -> f"${q.cpuStall}%.3f" })
+    val ioStallJs = jmap(results.map { case (n, q) => n -> f"${q.ioStall}%.3f" })
+    val iowaitJs = jmap(results.map { case (n, q) => n -> f"${q.iowaitShare}%.3f" })
+    val thrJs = jmap(results.map { case (n, q) => n -> f"${q.thrSec}%.3f" })
     val warmJs = jmap(warm)
     val rerunJs = jmap(rerun.collect { case (n, _, _, Some(m)) => n -> f"$m%.3f" })
     val fixJs = jmap(fixtureSec.toSeq.map { case (n, s) => n -> f"$s%.3f" })
@@ -274,7 +433,11 @@ object Bench {
         s""""warm":$warmJs,"fixture_sec":$fixJs,""" +
         s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
+        s""""cpu_stall":$cpuStallJs,"io_stall":$ioStallJs,""" +
+        s""""iowait_share":$iowaitJs,"cg_throttled_sec":$thrJs,""" +
         s""""contention_suspect":$contentionSuspect,""" +
+        s""""rerun_suspect":$rerunSuspect,"stall_suspect":$stallSuspect,""" +
+        s""""self_certified":$selfCertified,""" +
         s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")

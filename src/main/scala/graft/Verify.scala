@@ -1,6 +1,8 @@
 package graft
 import java.nio.file.{Files, Paths}
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -20,14 +22,18 @@ object Verify {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       true
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
+      // NonFatal only: an OutOfMemoryError/StackOverflowError means the
+      // JVM can no longer be trusted to produce valid artifacts for the
+      // REMAINING queries — let it abort the whole run (the nonzero exit
+      // signals loudly) instead of continuing on a corrupted heap.
       System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       try {
         import spark.implicits._
         Seq(s"$name CRASHED: ${Option(e.getMessage).getOrElse(e.toString).take(1000)}")
           .toDF("_query_crashed")
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e2: Throwable =>
+      } catch { case NonFatal(e2) =>
         System.err.println(s"[verify] $name error-artifact write failed: ${e2.getMessage}")
       }
       false

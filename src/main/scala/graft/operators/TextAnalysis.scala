@@ -499,7 +499,9 @@ object TextAnalysis {
                       window: Int = 8): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
-    val chunks = toks.select(col(idCol),
+    // size>0 guard: sequence(0, -1) steps DOWNWARD ([0,-1]) when the token
+    // array is empty, which would mint two phantom md5-of-empty chunks
+    val chunks = toks.filter(size(col("__w")) > 0).select(col(idCol),
       posexplode(transform(
         sequence(lit(0),
           (ceil(size(col("__w")).cast("double") / window) - 1).cast("int")),

@@ -389,6 +389,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 3L)
   }
 
+  test("chunkDedupApply: empty/whitespace docs make ONE empty-token chunk, never two phantoms") {
+    // Dedup.tokens("") is [""] (size 1), so an empty doc legitimately
+    // yields one md5-of-"" chunk; the size>0 guard pins the OTHER edge —
+    // a size-0 array would make sequence(0, -1) step DOWNWARD ([0,-1])
+    // and mint TWO phantom chunks (n_chunks would read 0 while two
+    // md5-of-empty occurrences entered the keeper window).
+    val c1 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkDedupApply(
+      docs(1L -> "", 2L -> "   ", 3L -> c1), "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(out(1L) == ((1L, 1L, "")))           // keeper of the shared "" chunk
+    assert(out(2L) == ((1L, 0L, "")))           // duplicate "" chunk dropped
+    assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
+  }
+
   test("bigramSurprise separates word salad from patterned text at equal unigrams") {
     // both docs are 4×a + 4×b — identical unigram distribution, so the
     // unigram proxy CANNOT separate them; the bigram mixture must.
