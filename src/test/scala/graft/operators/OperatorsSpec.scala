@@ -299,6 +299,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("ivfRecallAtK: full probe is recall 1.0 over all candidates; partial probe monotone") {
+    val data = vecs((1L to 60L).map(i =>
+      i -> Seq(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 2.1).toFloat)): _*)
+    val cents = Similarity.kmeansCentroids(data, "embedding", k = 4, iters = 4)
+    val queries = data.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def run(nProbe: Int) = Similarity.ivfRecallAtK(data, queries, "vec_id",
+      "embedding", "qid", "qv", k = 10, cents, nProbe)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = run(4)
+    assert(full.size == 3)
+    assert(full.values.forall { case (n, rec) => n == 60L && rec == 1.0 },
+      s"probing every cell must replay exact search: $full")
+    val partial = run(1)
+    assert(partial.values.forall { case (n, rec) => n < 60L && rec <= 1.0 })
+    // recall is monotone in nProbe, per query
+    val mid = run(2)
+    assert(partial.forall { case (q, (_, r1)) =>
+      r1 <= mid(q)._2 && mid(q)._2 <= full(q)._2 })
+  }
+
+  test("pqRecallAtK: lossless codebooks (every sub-vector a codeword) give recall 1.0") {
+    val rows = (1L to 8L).map(i => i -> Seq(i.toFloat, (i % 3).toFloat,
+      (9 - i).toFloat, (i * i % 5).toFloat))
+    val data = vecs(rows: _*)
+    // m=2 subspaces of 2 dims; codebooks hold every vector's exact
+    // sub-vectors → encode is lossless → ADC ranking == true L2 ranking
+    val books: Array[Array[Array[Double]]] = Array(
+      rows.map(r => Array(r._2(0).toDouble, r._2(1).toDouble)).toArray,
+      rows.map(r => Array(r._2(2).toDouble, r._2(3).toDouble)).toArray)
+    val queries = data.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.pqRecallAtK(data, queries, "vec_id", "embedding",
+      "qid", "qv", k = 5, books)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 2)
+    assert(out.values.forall { case (n, rec) => n == 8L && rec == 1.0 },
+      s"lossless PQ must reproduce the exact L2 top-k: $out")
+  }
+
   // ---- TextAnalysis ---------------------------------------------------
 
   test("bpePairCounts: frequency-weighted adjacent pairs, deterministic top") {
