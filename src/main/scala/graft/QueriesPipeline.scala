@@ -246,6 +246,64 @@ object QueriesPipeline {
        |capped AS (SELECT banded.* FROM banded JOIN keep USING (band, bh))""".stripMargin
   }
 
+  /** q_quality_gate_v2's three signals (duplicate-3-gram coverage, char
+    * entropy, interpolated bigram surprise) as a CTE chain ending in
+    * `gkeep` = the doc_ids the Gopher-complete gate KEEPS. CTE names are
+    * q-prefixed so the chain composes with the curation pipeline's
+    * (whose [[sqlGrams]] also defines a `toks`). Verbatim recomputation
+    * of the individually-green q_quality_gate_v2 oracle. */
+  private lazy val sqlGopherKeep =
+    s"""qtoks AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       |qg3 AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS gm
+       |  FROM qtoks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       |qd3 AS (SELECT doc_id, flatten(list_transform(list(s), x -> range(x, x + 3))) AS rs
+       |  FROM qg3 GROUP BY doc_id, gm HAVING count(*) >= 2),
+       |qc3 AS (SELECT doc_id, len(list_distinct(flatten(list(rs)))) AS cov
+       |  FROM qd3 GROUP BY doc_id),
+       |qcov AS (SELECT t.doc_id,
+       |  round(CAST(COALESCE(qc3.cov, 0) AS DOUBLE) / greatest(len(t.w), 1), 6) AS cov3
+       |FROM qtoks t LEFT JOIN qc3 USING (doc_id)),
+       |qch AS (SELECT doc_id, length(text) AS nch, substr(text, i, 1) AS c
+       |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+       |qpc AS (SELECT doc_id, max(nch) AS nch,
+       |  count(*) * CAST(round(1000000.0 * ln(CAST(max(nch) AS DOUBLE) / count(*))) AS BIGINT) AS micro
+       |FROM qch GROUP BY doc_id, c),
+       |qent AS (SELECT d.doc_id, COALESCE(
+       |    (SELECT round(CAST(sum(p.micro) AS DOUBLE) / max(p.nch) / 1000000.0, 6)
+       |     FROM qpc p WHERE p.doc_id = d.doc_id), 0.0) AS entropy
+       |FROM documents d),
+       |qt2 AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(w) AS tok FROM qtoks)
+       |  WHERE len(tok) > 0),
+       |quni AS (SELECT tok, count(*) AS c_t FROM qt2 GROUP BY tok),
+       |qn AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM qt2),
+       |qucost AS (SELECT tok,
+       |  CAST(round(1000000.0 * ln((SELECT total FROM qn) / c_t)) AS BIGINT) AS micro_uni
+       |FROM quni),
+       |qbg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS tok
+       |  FROM qtoks, UNNEST(range(1, len(w))) AS t(i)),
+       |qbcnt AS (SELECT prev, tok, count(*) AS c_bt FROM qbg GROUP BY prev, tok),
+       |qbcost AS (SELECT b.prev, b.tok,
+       |  CAST(round(-1000000.0 * ln(
+       |    0.5 * (CAST(b.c_bt AS DOUBLE) / up.c_t) +
+       |    0.5 * (CAST(ut.c_t AS DOUBLE) / (SELECT total FROM qn)))) AS BIGINT) AS micro_bi
+       |FROM qbcnt b
+       |JOIN quni up ON up.tok = b.prev
+       |JOIN quni ut ON ut.tok = b.tok),
+       |qdocbi AS (SELECT qbg.doc_id, count(*) AS n_bi, sum(qbcost.micro_bi) AS sum_bi
+       |  FROM qbg JOIN qbcost ON qbcost.prev = qbg.prev AND qbcost.tok = qbg.tok
+       |  GROUP BY qbg.doc_id),
+       |qdocfirst AS (SELECT t.doc_id, qucost.micro_uni
+       |  FROM (SELECT doc_id, w[1] AS tok FROM qtoks WHERE len(w[1]) > 0) t
+       |  JOIN qucost USING (tok)),
+       |qbsurp AS (SELECT f.doc_id,
+       |  round(CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS DOUBLE)
+       |    / (COALESCE(d.n_bi, 0) + 1) / 1000000.0, 6) AS mean_surprise
+       |FROM qdocfirst f LEFT JOIN qdocbi d USING (doc_id)),
+       |gkeep AS (SELECT qcov.doc_id
+       |  FROM qcov JOIN qent USING (doc_id) JOIN qbsurp USING (doc_id)
+       |  WHERE qcov.cov3 <= 0.08 AND qent.entropy >= 2.70
+       |    AND qbsurp.mean_surprise <= 3.46)""".stripMargin
+
   private val sqlCandidatePairs =
     s"""WITH $sqlCorpus,
        |$sqlGrams,
@@ -1583,6 +1641,73 @@ object QueriesPipeline {
             .cast("long").as("pack_id"))
     }),
 
+    // The flagship composition with the round-7 Gopher-complete signals
+    // folded into stage 1 (round-7 verdict next-round #4): the quality
+    // filter now ALSO requires duplicate-3-gram coverage ≤ 0.08, char
+    // entropy ≥ 2.70, and interpolated-bigram mean surprise ≤ 3.46 —
+    // q_quality_gate_v2's exact keep condition — before the dedup /
+    // decontamination / packing stages run. All three signals (and every
+    // later stage) read the SAME persisted base: one scan of documents,
+    // plan-pinned like v1. The bigram LM trains on the full corpus (as
+    // the standalone gate does) — filters must not bias the LM.
+    "q_curation_pipeline_v2" -> ((s, dir) => {
+      val base = curationBase(s, dir).persist()
+      val d = base.select("doc_id", "text")
+      val nTokens = d.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      val cov = TextAnalysis.repeatedNgramCoverage(d, "doc_id", col("text"), Seq(3))
+        .select(col("doc_id"), col("cov3"))
+      val ent = TextAnalysis.charEntropy(d, "doc_id", col("text"))
+        .select(col("doc_id"), col("entropy"))
+      val big = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), nTokens)
+        .select(col("doc_id"), col("mean_surprise"))
+      val gopherKeep = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+        .filter(col("cov3") <= 0.08 && col("entropy") >= 2.70 &&
+          col("mean_surprise") <= 3.46)
+        .select("doc_id")
+      // 1. quality filter: v1 heuristics AND the Gopher-complete gate
+      val kept = base.filter(
+        col("n_chars") >= 50 && col("n_chars") <= 10000 &&
+          col("punct_ratio") <= 0.2 && col("stopword_ratio") =!= 0 &&
+          col("mean_word_len") <= 12)
+        .join(gopherKeep, Seq("doc_id"), "left_semi")
+      // 2. exact dedup: min doc_id per content hash
+      val exactKeep = kept.select(col("doc_id"), md5(col("text")).as("__h"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val exact = kept.join(exactKeep, Seq("doc_id"), "left_semi")
+      // 3. near-dup clusters over the exact survivors + keeper
+      val corpus2 = exact.select("doc_id", "text")
+      val edges = Dedup.ngramJaccard(corpus2, "doc_id", col("text"), 3,
+          Dedup.minhashCandidates(corpus2, "doc_id", col("text"),
+            ngramN = 3, bands = 4, rowsPerBand = 3,
+            hashFn = Dedup.md5Hex, maxBucket = 200))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+      val ranked = Dedup.clusterRepresentatives(corpus2, "doc_id", edges)
+        .join(exact.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("cluster_rep"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      val kept3 = exact.join(
+        ranked.filter(col("__rk") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      // 4. decontamination vs the bench set (derived from the cached base)
+      val bench = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+      val contaminated = Dedup.ngramContamination(kept3, "doc_id", col("text"),
+        bench, col("text"), 8).select(col("id").as("doc_id"))
+      val surv = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. sequence packing per (source, lang), 2048-token budget
+      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      surv.select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens").as("n_tok"))
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          floor((col("__cum") - col("n_tok")) / lit(2048.0))
+            .cast("long").as("pack_id"))
+    }),
+
     "q_filter_chain" -> ((s, dir) => {
       val comps = TextAnalysis.qualityComponents(col("text"))
       val p = t(s, dir, "documents")
@@ -2779,6 +2904,81 @@ object QueriesPipeline {
            |f AS (SELECT * FROM c1
            |      WHERE nc >= 50 AND nc <= 10000 AND pr <= 0.2
            |        AND sr <> 0 AND mwl <= 12),
+           |x AS (SELECT f.* FROM f
+           |      JOIN (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) mk
+           |      USING (doc_id)),
+           |corpus3 AS (SELECT doc_id, text FROM x),
+           |$sqlGrams,
+           |$sqlBandedCapped,
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |jac AS (
+           |  SELECT p.id_a, p.id_b
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.id_a
+           |  JOIN grams gb ON gb.doc_id = p.id_b
+           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jac
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jac),
+           |walk(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           |         FROM walk GROUP BY src),
+           |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
+           |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
+           |ranked AS (
+           |  SELECT r.doc_id, row_number() OVER (PARTITION BY r.cluster_rep
+           |           ORDER BY x.nc DESC, r.doc_id ASC) AS rk
+           |  FROM rep r JOIN x USING (doc_id)),
+           |k3 AS (SELECT x.* FROM x JOIN ranked USING (doc_id) WHERE ranked.rk = 1),
+           |bench AS (
+           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |ctoks AS (SELECT doc_id, $sqlWords AS w FROM k3),
+           |btoks AS (SELECT doc_id, $sqlWords AS w FROM bench),
+           |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM ctoks),
+           |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM btoks),
+           |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+           |surv AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |packed AS (SELECT doc_id, source, lang, CAST(nt AS INTEGER) AS n_tok,
+           |  sum(CAST(nt AS INTEGER)) OVER (PARTITION BY source, lang
+           |                                 ORDER BY doc_id) AS cum
+           |FROM surv)
+           |SELECT doc_id, source, lang, n_tok,
+           | CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+           |FROM packed""".stripMargin
+      },
+
+      // v2: the same six-stage replay with the Gopher-complete gate
+      // (sqlGopherKeep, verbatim from q_quality_gate_v2's green oracle)
+      // conjoined into the stage-1 filter
+      "q_curation_pipeline_v2" -> {
+        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+          .map(sqlWordCount).mkString("(", " + ", ")")
+        s"""WITH RECURSIVE c0 AS (SELECT doc_id, source, lang, text,
+           |  length(text) AS nc,
+           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+           |  $stop AS ns
+           |FROM documents),
+           |c1 AS (SELECT doc_id, source, lang, text, nc, nt,
+           |  round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS pr,
+           |  round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS sr,
+           |  round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS mwl
+           |FROM c0),
+           |$sqlGopherKeep,
+           |f AS (SELECT * FROM c1
+           |      WHERE nc >= 50 AND nc <= 10000 AND pr <= 0.2
+           |        AND sr <> 0 AND mwl <= 12
+           |        AND doc_id IN (SELECT doc_id FROM gkeep)),
            |x AS (SELECT f.* FROM f
            |      JOIN (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) mk
            |      USING (doc_id)),
