@@ -143,6 +143,22 @@ object QueriesPipeline {
     curationBase(s, dir).unpersist(); ()
   }
 
+  /** The three Gopher-complete gate signals per doc — (cov3, entropy,
+    * mean_surprise) frames — shared by q_quality_gate_v2 (constant
+    * thresholds) and q_gate_thresholds/q_quality_gate_auto (data-derived
+    * thresholds). The bigram LM trains on the full corpus. */
+  private def gopherSignals(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    (TextAnalysis.repeatedNgramCoverage(docs, "doc_id", col("text"), Seq(3))
+       .select(col("doc_id"), col("cov3")),
+     TextAnalysis.charEntropy(docs, "doc_id", col("text"))
+       .select(col("doc_id"), col("entropy")),
+     TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens)
+       .select(col("doc_id"), col("mean_surprise")))
+  }
+
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a
     * positive scale preserves every SRP sign bit, so each planted copy
@@ -247,12 +263,12 @@ object QueriesPipeline {
   }
 
   /** q_quality_gate_v2's three signals (duplicate-3-gram coverage, char
-    * entropy, interpolated bigram surprise) as a CTE chain ending in
-    * `gkeep` = the doc_ids the Gopher-complete gate KEEPS. CTE names are
-    * q-prefixed so the chain composes with the curation pipeline's
-    * (whose [[sqlGrams]] also defines a `toks`). Verbatim recomputation
-    * of the individually-green q_quality_gate_v2 oracle. */
-  private lazy val sqlGopherKeep =
+    * entropy, interpolated bigram surprise) as a CTE chain ending at
+    * `qcov`/`qent`/`qbsurp`. CTE names are q-prefixed so the chain
+    * composes with the curation pipeline's (whose [[sqlGrams]] also
+    * defines a `toks`). Verbatim recomputation of the individually-green
+    * q_quality_gate_v2 oracle. */
+  private lazy val sqlGopherSignals =
     s"""qtoks AS (SELECT doc_id, $sqlWords AS w FROM documents),
        |qg3 AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS gm
        |  FROM qtoks, UNNEST(range(1, len(w) - 1)) AS t(i)),
@@ -298,11 +314,36 @@ object QueriesPipeline {
        |qbsurp AS (SELECT f.doc_id,
        |  round(CAST(f.micro_uni + COALESCE(d.sum_bi, 0) AS DOUBLE)
        |    / (COALESCE(d.n_bi, 0) + 1) / 1000000.0, 6) AS mean_surprise
-       |FROM qdocfirst f LEFT JOIN qdocbi d USING (doc_id)),
+       |FROM qdocfirst f LEFT JOIN qdocbi d USING (doc_id))""".stripMargin
+
+  /** [[sqlGopherSignals]] extended with `gkeep` — the doc_ids the
+    * constant-threshold Gopher-complete gate KEEPS. */
+  private lazy val sqlGopherKeep =
+    s"""$sqlGopherSignals,
        |gkeep AS (SELECT qcov.doc_id
        |  FROM qcov JOIN qent USING (doc_id) JOIN qbsurp USING (doc_id)
        |  WHERE qcov.cov3 <= 0.08 AND qent.entropy >= 2.70
        |    AND qbsurp.mean_surprise <= 3.46)""".stripMargin
+
+  /** The per-doc three-signal frame + the DATA-DERIVED thresholds
+    * (discrete rank percentile — the value at row_number ceil(p·n), the
+    * exact mirror of [[graft.operators.TextAnalysis.rankQuantile]]):
+    * cov3 at p98, entropy at p04, surprise at p98 — the percentiles the
+    * round-7 constants sit at on this corpus family. */
+  private lazy val sqlGateAutoBase =
+    s"""$sqlGopherSignals,
+       |sig AS (SELECT qcov.doc_id, qcov.cov3, qent.entropy, qbsurp.mean_surprise
+       |  FROM qcov JOIN qent USING (doc_id) JOIN qbsurp USING (doc_id)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
+       |tc AS (SELECT cov3 AS t FROM (
+       |    SELECT cov3, row_number() OVER (ORDER BY cov3) AS rn FROM sig)
+       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM nn)),
+       |te AS (SELECT entropy AS t FROM (
+       |    SELECT entropy, row_number() OVER (ORDER BY entropy) AS rn FROM sig)
+       |  WHERE rn = (SELECT CAST(ceil(0.04 * n) AS BIGINT) FROM nn)),
+       |ts AS (SELECT mean_surprise AS t FROM (
+       |    SELECT mean_surprise, row_number() OVER (ORDER BY mean_surprise) AS rn FROM sig)
+       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM nn))""".stripMargin
 
   private val sqlCandidatePairs =
     s"""WITH $sqlCorpus,
@@ -1413,20 +1454,46 @@ object QueriesPipeline {
     // non-vacuous on this corpus (cov3 tail ≈ p95 0.064, entropy p05
     // 2.711, bigram surprise p99 3.480 — every rule fires).
     "q_quality_gate_v2" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
-      val cov = TextAnalysis.repeatedNgramCoverage(docs, "doc_id", col("text"), Seq(3))
-        .select(col("doc_id"), col("cov3"))
-      val ent = TextAnalysis.charEntropy(docs, "doc_id", col("text"))
-        .select(col("doc_id"), col("entropy"))
-      val big = TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens)
-        .select(col("doc_id"), col("mean_surprise"))
+      val (cov, ent, big) = gopherSignals(s, dir)
       cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
         .select(col("doc_id"),
           when(col("cov3") > 0.08, "repetitive_spans")
             .when(col("entropy") < 2.70, "low_entropy")
             .when(col("mean_surprise") > 3.46, "incoherent")
+            .otherwise("keep").as("reason"))
+        .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
+    }),
+
+    // DATA-DERIVED gate thresholds (round-7 verdict next-round #5): real
+    // corpora drift, so the production gate calibrates its cutoffs from
+    // the corpus instead of freezing constants — cov3 at p98, entropy at
+    // p04, surprise at p98, the percentiles the round-7 constants sit at.
+    // Exact discrete rank (rankQuantile) so the oracle replays the value;
+    // the percentile_approx production path is unit-pinned against it.
+    "q_gate_thresholds" -> ((s, dir) => {
+      val (cov, ent, big) = gopherSignals(s, dir)
+      val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
+        .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
+        .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
+    }),
+
+    // The self-calibrating quality gate: q_quality_gate_v2's shape with
+    // the constants replaced by the q_gate_thresholds values (broadcast —
+    // one row). On this corpus the derived gate reproduces the constant
+    // twin on 498/500 docs (the 2 flips sit inside the threshold gap
+    // 0.08→0.0811 / 2.70→2.6927 / 3.46→3.4588); spec-pinned.
+    "q_quality_gate_auto" -> ((s, dir) => {
+      val (cov, ent, big) = gopherSignals(s, dir)
+      val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      val th = TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
+        .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
+        .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
+      sig.crossJoin(broadcast(th))
+        .select(col("doc_id"),
+          when(col("cov3") > col("cov3_t"), "repetitive_spans")
+            .when(col("entropy") < col("entropy_t"), "low_entropy")
+            .when(col("mean_surprise") > col("surprise_t"), "incoherent")
             .otherwise("keep").as("reason"))
         .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
     }),
@@ -2284,6 +2351,28 @@ object QueriesPipeline {
            |       WHEN bsurp.mean_surprise > 3.46 THEN 'incoherent'
            |       ELSE 'keep' END AS reason
            |FROM cov JOIN ent USING (doc_id) JOIN bsurp USING (doc_id))
+           |SELECT doc_id, reason,
+           |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM gate""".stripMargin,
+
+      // the three discrete-rank thresholds as one row (value at
+      // row_number ceil(p*n) — an observed datum, so tie order is moot)
+      "q_gate_thresholds" ->
+        s"""WITH $sqlGateAutoBase
+           |SELECT (SELECT t FROM tc) AS cov3_t,
+           |  (SELECT t FROM te) AS entropy_t,
+           |  (SELECT t FROM ts) AS surprise_t""".stripMargin,
+
+      // the self-calibrating gate: gate-v2's CASE with the derived
+      // thresholds substituted for the constants
+      "q_quality_gate_auto" ->
+        s"""WITH $sqlGateAutoBase,
+           |gate AS (SELECT doc_id,
+           |  CASE WHEN cov3 > (SELECT t FROM tc) THEN 'repetitive_spans'
+           |       WHEN entropy < (SELECT t FROM te) THEN 'low_entropy'
+           |       WHEN mean_surprise > (SELECT t FROM ts) THEN 'incoherent'
+           |       ELSE 'keep' END AS reason
+           |FROM sig)
            |SELECT doc_id, reason,
            |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM gate""".stripMargin,

@@ -478,6 +478,31 @@ object TextAnalysis {
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
+  /** Exact discrete percentile by rank — the ceil(p·n)-th smallest value
+    * of `valueCol`, as a one-row frame named `outName`. This is the
+    * engine-replayable twin of `percentile_approx` for DATA-DERIVED gate
+    * thresholds (real corpora drift, so production gates calibrate their
+    * cutoffs from the corpus instead of freezing constants): the selected
+    * value is an actual observed datum, so duplicate-value tie order
+    * cannot change the result, and identical double arithmetic for
+    * ceil(p·n) makes Spark and a SQL oracle pick the same rank.
+    *
+    * Shape: one global row_number window over the (tiny, per-doc) signal
+    * frame — fine up to millions of docs; at 100 TB calibrate on a
+    * sampled slice or switch to `percentile_approx` (the KLL/GK sketch —
+    * no global sort), which the unit spec pins against this exact path
+    * within the sketch's accuracy bound. */
+  def rankQuantile(df: DataFrame, valueCol: Column, p: Double,
+                   outName: String): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    df.select(valueCol.as("__v"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__v"))))
+      .filter(col("__rn") === ceil(col("__n") * lit(p)).cast("long"))
+      .select(col("__v").as(outName))
+  }
+
   /** C4-style chunk dedup APPLY — the rewrite step after
     * [[graft.Dedup]]-style chunk detection: every duplicated 8-token
     * chunk keeps exactly ONE occurrence corpus-wide (first by (doc, chunk

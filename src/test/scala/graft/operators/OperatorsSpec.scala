@@ -446,6 +446,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
   }
 
+  test("rankQuantile: discrete rank percentile, hand-computed; sketch path agrees") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    def rq(d: org.apache.spark.sql.DataFrame, p: Double) =
+      TextAnalysis.rankQuantile(d, col("v"), p, "t").head().getDouble(0)
+    assert(rq(df, 0.5) == 5.0)    // ceil(5.0) = 5th smallest
+    assert(rq(df, 1.0) == 10.0)   // max
+    assert(rq(df, 0.05) == 1.0)   // ceil(0.5) = 1st
+    // duplicate values cannot perturb the selected VALUE (observed datum)
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("v")
+    assert(rq(dup, 0.6) == 2.0)
+    // the percentile_approx production path (sketch, no global sort)
+    // agrees with the exact rank within its accuracy bound
+    val big = (1 to 1000).map(_.toDouble).toDF("v")
+    val exact = rq(big, 0.95)
+    val approx = big.agg(percentile_approx(col("v"), lit(0.95), lit(10000)))
+      .head().getDouble(0)
+    assert(math.abs(exact - approx) <= 1.0, s"exact $exact vs approx $approx")
+  }
+
+  test("q_quality_gate_auto reproduces the constant-threshold twin up to boundary flips") {
+    val dir = "/root/testdata/sf0.001"
+    val auto = graft.SparkEntry.queries("q_quality_gate_auto")(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val const = graft.SparkEntry.queries("q_quality_gate_v2")(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto.size == const.size && auto.nonEmpty)
+    val agree = auto.count { case (d, k) => const(d) == k }
+    // measured 490/500 at sf0.001 and 498/500 at sf0.01 — the flips are
+    // docs inside the constant→derived threshold gap, nothing else
+    assert(agree >= (auto.size * 0.95).floor.toInt,
+      s"derived-threshold gate agrees on only $agree/${auto.size}")
+    assert(auto.values.sum < auto.size, "gate must drop something")
+  }
+
   test("bigramSurprise separates word salad from patterned text at equal unigrams") {
     // both docs are 4×a + 4×b — identical unigram distribution, so the
     // unigram proxy CANNOT separate them; the bigram mixture must.
