@@ -355,6 +355,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.bpePairCounts(docs(1L -> "a b c"), "text", 10).count() == 0)
   }
 
+  test("bpeTrain: Sennrich et al.'s corpus reproduces the canonical first five merges") {
+    // vocab low:5 lower:2 newest:6 widest:3 — the worked example from the
+    // paper (§3.2). Hand-computed: (e,s)=9 ties (s,t)/(t,</w>) and wins
+    // lexicographically; then (es,t)=9, (est,</w>)=9, (l,o)=7 ties (o,w)
+    // and wins, (lo,w)=7.
+    val corpus = docs(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val out = TextAnalysis.bpeTrain(corpus, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"got ${out.toSeq}")
+    // merge exhaustion: a single repeated word runs out of pairs — the
+    // loop stops early instead of emitting degenerate merges
+    val tiny = TextAnalysis.bpeTrain(docs(1L -> "ab ab"), "text", nMerges = 10)
+      .collect()
+    assert(tiny.length == 2) // (a,b) then (ab,</w>), nothing after
+  }
+
+  test("mergeSyms: left-to-right non-overlapping application") {
+    assert(TextAnalysis.mergeSyms(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+    assert(TextAnalysis.mergeSyms(Array("a", "b", "a", "b"), "a", "b").toSeq ==
+      Seq("ab", "ab"))
+    assert(TextAnalysis.mergeSyms(Array("x"), "a", "b").toSeq == Seq("x"))
+    assert(TextAnalysis.mergeSyms(Array.empty[String], "a", "b").isEmpty)
+  }
+
   test("chunkTokens: coverage, overlap, and short-doc/short-tail invariants") {
     val text120 = (1 to 120).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunkTokens(
