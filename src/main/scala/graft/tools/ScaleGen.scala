@@ -61,10 +61,21 @@ object ScaleGen {
           // suffix every token: replicas share zero word n-grams
           keyed.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$r"))
         case "embeddings" if r > 0 =>
-          // rotate the vector by r (mod its length): new direction, same norm
-          keyed.withColumn("embedding",
-            concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-              slice(col("embedding"), lit(1), lit(r))))
+          // rotate the vector by r mod its length (the fixture dim is 64,
+          // so multipliers above 64 wrap); when the rotation wraps past a
+          // full turn, negate the whole vector too — otherwise replica
+          // r = dim would be an exact clone of replica 0 and plant ~N
+          // cosine-1 duplicates that are a cloning artifact, not data.
+          // Negation keeps the norm and sends cos(v, w) to -cos(v, w),
+          // so wrapped replicas stay far from their un-wrapped twins
+          // under the similarity the ANN/semantic-dedup queries use.
+          val rot = expr(s"""
+            transform(
+              concat(slice(embedding, $r % size(embedding) + 1,
+                           size(embedding) - $r % size(embedding)),
+                     slice(embedding, 1, $r % size(embedding))),
+              x -> x * cast(1 - 2 * ((int($r / size(embedding))) % 2) as float))""")
+          keyed.withColumn("embedding", rot)
         case _ => keyed
       }
     }
