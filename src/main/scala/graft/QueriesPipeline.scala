@@ -623,6 +623,16 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // MinHash estimator-error harness over the same candidates (memo
+    // shared): Broder's matching-components/k estimate vs exact Jaccard
+    // per pair — the measured accuracy the k=12 signature width buys,
+    // the dedup twin of the ANN recall harness family.
+    "q_minhash_est" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.minhashEstimatorError(corpus, "doc_id", col("text"),
+        lshCandidates(s, dir), ngramN = 3, k = 12, hashFn = Dedup.md5Hex)
+    }),
+
     // ASYMMETRIC containment over an excerpt-planted corpus: every 20th
     // doc also appears as its first-⅔-tokens excerpt (doc_id + 900000) —
     // the quote/subset case where Jaccard ≈ ⅔ but containment(excerpt) =
@@ -1184,6 +1194,20 @@ object QueriesPipeline {
       }.toArray
       Similarity.pqRecallAtK(e, queries, "vec_id", "embedding",
         "query_id", "qv", k = 20, books)
+    }),
+
+    // SQ8 recall@20 — the fourth harness family: int8 max-abs scalar
+    // quantization, no codebook, 4x byte shrink, rows never pruned
+    // (n_cand = |corpus|, like PQ). Cosine over raw codes == cosine over
+    // dequantized vectors (scale-invariance), so the measured recall is
+    // pure int8 rounding error — the in-memory scan tier that composes
+    // with IVF/SRP row pruning at 100 TB.
+    "q_ann_recall_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.sq8RecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20)
     }),
 
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
@@ -1956,6 +1980,29 @@ object QueriesPipeline {
         s"""$sqlCandidatePairs
            |SELECT id_a, id_b FROM pairs""".stripMargin,
 
+      // Estimator replay: the sig CTE already carries the full 12
+      // md5-component signature; est = matching components / 12, exact =
+      // n-gram Jaccard, err from the two ROUNDED columns (identical
+      // doubles both engines).
+      "q_minhash_est" ->
+        s"""$sqlCandidatePairs,
+           |est AS (
+           |  SELECT p.id_a, p.id_b,
+           |    round(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 12, 6) AS est_jaccard
+           |  FROM pairs p
+           |  JOIN sig a ON a.doc_id = p.id_a
+           |  JOIN sig b ON b.doc_id = p.id_b),
+           |jacx AS (
+           |  SELECT p.id_a, p.id_b,
+           |    round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) AS exact_jaccard
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.id_a
+           |  JOIN grams gb ON gb.doc_id = p.id_b)
+           |SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
+           |  round(abs(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
+           |FROM est e JOIN jacx x ON x.id_a = e.id_a AND x.id_b = e.id_b""".stripMargin,
+
       // Cross-corpus banding with the side carried through the chain;
       // pairs form only across sides, cap on the combined population.
       "q_decontaminate" -> sqlContamPairs,
@@ -2635,6 +2682,47 @@ object QueriesPipeline {
            |ncand AS (SELECT query_id, count(*) AS n_cand FROM adcd GROUP BY query_id),
            |hits AS (SELECT e.query_id, count(*) AS h
            |  FROM exact e JOIN pqr l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id,
+           |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+           |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
+           |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
+
+      // SQ8 replay: per-vector max-abs scale (floored at 1e-30), codes
+      // floor(x / s * 127 + 0.5) — the same left-associated IEEE-double
+      // op order as sq8Encode, so codes agree bit-for-bit; approximate
+      // side ranks by 6-rounded cosine over the codes, exact side over
+      // the float vectors, id tiebreak both.
+      "q_ann_recall_sq8" -> {
+        val cos = (a: String, b: String) =>
+          s"round(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}), 6)"
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |enc AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+           |    greatest(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> abs(x)), 'max'), 1e-30) AS s
+           |  FROM embeddings),
+           |codes AS (
+           |  SELECT vec_id, list_transform(ev, x -> floor(x / s * 127 + 0.5)) AS cv
+           |  FROM enc),
+           |sqc AS (SELECT q.query_id, c.vec_id, ${cos("cv", "qv")} AS cs
+           |  FROM codes c CROSS JOIN q),
+           |sq AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM sqc) WHERE rk <= 20),
+           |exc AS (SELECT q.query_id, e.vec_id,
+           |    ${cos("CAST(e.embedding AS DOUBLE[])", "qv")} AS cs
+           |  FROM embeddings e CROSS JOIN q),
+           |exact AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+           |  FROM exc) WHERE rk <= 20),
+           |ncand AS (SELECT query_id, count(*) AS n_cand FROM sqc GROUP BY query_id),
+           |hits AS (SELECT e.query_id, count(*) AS h
+           |  FROM exact e JOIN sq l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
            |  GROUP BY e.query_id)
            |SELECT q.query_id,
            |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,

@@ -563,6 +563,45 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** MinHash ESTIMATOR-ERROR harness — the dedup family's accuracy twin
+    * of the ANN recall harness (`Similarity.annRecallAtK` and siblings):
+    * for each banded candidate pair, the k-component signature estimate
+    * of Jaccard (matching components / k — Broder's estimator, unbiased
+    * with sd √(J(1−J)/k)) side by side with exact n-gram Jaccard and the
+    * absolute error. This is the number that justifies every
+    * signature-width/band choice in the LSH family: k = 12 predicts
+    * sd ≈ 0.14 at J = 0.5, and the harness measures what the corpus
+    * actually gets.
+    *
+    * Cost shape: one signature pass + the exact-Jaccard pass, both only
+    * joined against CANDIDATE pairs (∝ candidates, like [[ngramJaccard]]
+    * — never all pairs). The signature re-derivation here is deliberate:
+    * the banded frame keeps only (band, bh) digests, and widening it to
+    * carry raw components would tax the hot dedup path to subsidize a
+    * diagnostic. */
+  def minhashEstimatorError(df: DataFrame, idCol: String, text: Column,
+                            candidates: DataFrame, ngramN: Int = 3, k: Int = 12,
+                            hashFn: Column => Column = xxhash): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+      .select(col("id"), ngramsOfTokens(col("__t"), ngramN).as("g"))
+    val sigs = grams.select(col("id"), minhashSignature(col("g"), k, hashFn).as("sig"))
+    val est = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          aggregate(
+            zip_with(col("sa"), col("sb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k,
+          6).as("est_jaccard"))
+    val exact = ngramJaccard(df, idCol, text, ngramN, candidates)
+      .withColumnRenamed("jaccard", "exact_jaccard")
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+  }
+
   // ---- corpus-level overlap -------------------------------------------
 
   /** Exact corpus-overlap report between two corpora: distinct word

@@ -104,6 +104,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashEstimatorError: est/exact/err wiring against directly-computed signatures") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = docs(
+      1L -> base,
+      2L -> base,                        // identical: est = exact = 1, err = 0
+      3L -> (base + " extra tail"),      // near-dup: est ≈ exact, both < 1
+      4L -> "completely different words with nothing shared at all here now today")
+    val cands = Dedup.minhashCandidates(corpus, "doc_id", col("text"),
+      ngramN = 3, bands = 4, rowsPerBand = 3, hashFn = Dedup.md5Hex)
+    val out = Dedup.minhashEstimatorError(corpus, "doc_id", col("text"), cands,
+      ngramN = 3, k = 12, hashFn = Dedup.md5Hex)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (e12, x12, err12) = out((1L, 2L))
+    assert(e12 == 1.0 && x12 == 1.0 && err12 == 0.0)
+    // every pair's est must equal the matching-component fraction of the
+    // independently-computed signatures (wiring, not statistics)
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.wordNgrams(col("text"), 3), 12, Dedup.md5Hex).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { case ((a, b), (est, _, _)) =>
+      val matches = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(est == math.floor(matches.toDouble / 12 * 1e6 + 0.5) / 1e6 ||
+        est == BigDecimal(matches.toDouble / 12).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("hot-bucket cap drops oversized LSH buckets (no quadratic blowup)") {
     // 50 identical docs share every band bucket → bucket size 50
     val many = docs((1L to 50L).map(i => i -> "same words repeated here often enough"): _*)
@@ -1146,6 +1175,46 @@ class OperatorsSpec extends AnyFunSuite {
         .map { case (a, b) => (a - b) * (a - b) }.sum * 1e6), id)
     }.take(3).map(_._1)
     assert(top.map(_.getLong(0)).toSeq == exact.toSeq)
+  }
+
+  // ---- SQ8 scalar quantization ---------------------------------------
+
+  // Hand-computed codes: floor(x / maxabs * 127 + 0.5).
+  //   [3, -1.5, 0]  scale 3    → floor(127.5)=127, floor(-63.0)=-63, floor(0.5)=0
+  //   [-2, 1]       scale 2    → floor(-126.5)=-127, floor(64.0)=64
+  //   [0, 0]        scale 1e-30 → [0, 0] (all-zero vector stays zero)
+  test("sq8Encode: hand-computed codes, max-abs always ±127, zero-vector safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, -1.5f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(df, "embedding").orderBy("vec_id")
+      .select("vec_id", "sq8_scale", "sq8_code").collect()
+    assert(enc(0).getDouble(1) == 3.0 && enc(0).getSeq[Int](2) == Seq(127, -63, 0))
+    assert(enc(1).getDouble(1) == 2.0 && enc(1).getSeq[Int](2) == Seq(-127, 64, 0))
+    assert(enc(2).getSeq[Int](2) == Seq(0, 0, 0))
+  }
+
+  test("sq8 recall harness: int8 rounding keeps recall ≈ 1 on separable data") {
+    val s = spark
+    import s.implicits._
+    // vectors pointing in distinct directions: int8 rounding (≤0.4% of
+    // max-abs per component) cannot reorder a top-2 ranking with gaps
+    // this wide, so recall@2 must be exactly 1 for every query
+    val vecs = (0 until 12).map { i =>
+      val v = Array.fill(8)(0.05f); v(i % 8) = 1.0f
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = Similarity.sq8RecallAtK(df, qs, "vec_id", "embedding",
+      "query_id", "qv", k = 2).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getDouble(2) == 1.0))
+    assert(out.forall(_.getLong(1) == 12L)) // n_cand = whole corpus: SQ8 shrinks bytes, not rows
   }
 
   test("PQ on real embeddings: the query's own row attains the ADC minimum") {
