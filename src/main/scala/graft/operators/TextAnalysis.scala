@@ -341,6 +341,48 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** BPE ENCODE — apply a trained merge list (in rank order) to the
+    * corpus, completing the tokenizer loop [[bpeTrain]] starts: per
+    * word, symbols start as characters + `</w>` and each merge rewrites
+    * every adjacent (l, r) to l+r greedy-left (Sennrich et al. '16 —
+    * applying merges in learned rank order is the canonical encoder;
+    * GPT-2's lowest-rank-first runtime computes the same segmentation).
+    * Returns `(id, bpe_tokens, n_bpe_tokens)` — the real token count a
+    * packing/budgeting stage wants, vs the whitespace proxy.
+    *
+    * The greedy-left pass is a pure `aggregate()` fold building the
+    * output symbol array: merge the incoming symbol into the tail iff
+    * tail == l ∧ sym == r. Equivalent to the trainer's `mergeSyms`
+    * two-pointer scan because a just-merged tail (l+r) can never equal
+    * l again (r is non-empty), so nothing double-merges — pinned
+    * against mergeSyms exhaustively in the spec. Everything stays a
+    * narrow codegen'd map: no shuffle, no UDF, cost ∝ corpus tokens ×
+    * merges. The fold chain nests one lambda per merge, so this Column
+    * form targets bounded merge lists (the gate/test regime); a
+    * production 32k-merge vocabulary wants the same loop as a single
+    * native Expression holding the ranked merge map — the trainer side
+    * ([[bpeTrain]]) is the corpus-scale piece either way. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "BPE merge symbols must be non-empty")
+    def applyMerge(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+    def encodeWord(w: Column): Column =
+      merges.foldLeft(concat(split(w, ""), array(lit("</w>")))) {
+        case (c, (l, r)) => applyMerge(c, l, r)
+      }
+    df.withColumn("__words",
+        filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0))
+      .select(col(idCol),
+        flatten(transform(col("__words"), encodeWord(_))).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** Overlapping token-window chunking — the standard document→chunk
     * step before embedding/indexing (RAG ingestion, context packing):
     * whitespace tokens in windows of `window` tokens every `stride`

@@ -405,6 +405,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.length == 2) // (a,b) then (ab,</w>), nothing after
   }
 
+  test("bpeEncode: Sennrich merges segment the training words as the paper does") {
+    // the five trained merges applied back to the corpus words:
+    //   low    → l o w </w>   after (l,o),(lo,w)      → [low </w>]? no:
+    //     chars l o w </w>; (e,s)/(es,t)/(est,</w>) no-op; (l,o) → lo;
+    //     (lo,w) → low  ⇒  [low, </w>]
+    //   lowest → l o w e s t </w> → (e,s) → es, (es,t) → est,
+    //     (est,</w>) → est</w>, (l,o) → lo, (lo,w) → low ⇒ [low, est</w>]
+    //   newest → n e w est</w> ⇒ [n, e, w, est</w>]
+    val merges = Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w")
+    val out = TextAnalysis.bpeEncode(
+      docs(1L -> "low", 2L -> "lowest", 3L -> "newest", 4L -> "low lowest"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(out(0)._2 == Seq("low", "</w>"))
+    assert(out(1)._2 == Seq("low", "est</w>"))
+    assert(out(2)._2 == Seq("n", "e", "w", "est</w>"))
+    assert(out(3)._2 == Seq("low", "</w>", "low", "est</w>") && out(3)._3 == 4L)
+  }
+
+  test("bpeEncode fold is equivalent to the trainer's mergeSyms scan (exhaustive)") {
+    val s = spark
+    import s.implicits._
+    // every symbol sequence over {a,b} up to length 5, against every
+    // merge pair over {a,b} — covers the identical-symbol run and
+    // chained-pair cases where a naive scan and the fold could diverge
+    val seqs = (1 to 5).flatMap(n =>
+      Seq.fill(n)(Seq("a", "b")).foldLeft(Seq(Seq.empty[String]))(
+        (acc, cs) => acc.flatMap(p => cs.map(p :+ _))))
+    for (l <- Seq("a", "b"); r <- Seq("a", "b")) {
+      val words = seqs.map(_.mkString("")) // chars == symbols here
+      val enc = TextAnalysis.bpeEncode(
+        words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"),
+        "doc_id", "text", Seq(l -> r))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      words.zipWithIndex.foreach { case (w, i) =>
+        val expect = TextAnalysis.mergeSyms(
+          w.map(_.toString).toArray :+ "</w>", l, r).toSeq
+        assert(enc(i) == expect, s"word=$w merge=($l,$r): ${enc(i)} vs $expect")
+      }
+    }
+  }
+
   test("mergeSyms: left-to-right non-overlapping application") {
     assert(TextAnalysis.mergeSyms(Array("a", "a", "a"), "a", "a").toSeq ==
       Seq("aa", "a"))
