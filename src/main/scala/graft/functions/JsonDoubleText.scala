@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgramHashExpr(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLenExpr(children.head)))
     injectIntArg(ext, "graft_md5_minhash",
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",

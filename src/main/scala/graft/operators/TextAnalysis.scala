@@ -341,6 +341,23 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Compression-ratio quality signal (CCNet/RedPajama lineage): per
+    * doc, raw UTF-8 bytes over zlib-compressed bytes via the native
+    * codegen'd `graft_deflate_len` ([[graft.functions.DeflateLen]]).
+    * High ratio → boilerplate/templates/stuffing (deflate's LZ77 window
+    * catches long-range verbatim repeats fixed-n gram statistics miss);
+    * ratio ≈ 1 → already-compressed or random bytes. Narrow map, no
+    * shuffle; cost ∝ corpus bytes — the cheapest long-range-repetition
+    * detector available. Unit-pinned against CPython-zlib constants
+    * (cross-engine); SQL engines expose no deflate, so no oracle gate. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        call_function("graft_deflate_len", col(textCol)).as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        round(col("n_bytes").cast("double") /
+          greatest(col("deflate_bytes"), lit(1L)), 6))
+
   /** BPE ENCODE — apply a trained merge list (in rank order) to the
     * corpus, completing the tokenizer loop [[bpeTrain]] starts: per
     * word, symbols start as characters + `</w>` and each merge rewrites

@@ -449,6 +449,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatio: deflate lengths match independent CPython-zlib constants") {
+    // expected compressed lengths computed by CPython zlib.compress(_, 6)
+    // — an independent zlib implementation, the cross-engine pin the
+    // DuckDB oracles provide elsewhere (SQL engines expose no deflate)
+    val cases = Seq(
+      ("a" * 24, 24L, 11L),
+      ("The quick brown fox jumps over the lazy dog", 43L, 50L),
+      ("abcabcabcabcabcabcabcabcabcabc", 30L, 13L),
+      ("key agg row scan slow fast table value part hash", 48L, 52L))
+    val out = TextAnalysis.compressionRatio(
+      docs(cases.zipWithIndex.map { case ((t, _, _), i) => i.toLong -> t }: _*),
+      "doc_id", "text").orderBy("doc_id").collect()
+    cases.zipWithIndex.foreach { case ((_, raw, comp), i) =>
+      assert(out(i).getLong(1) == raw && out(i).getLong(2) == comp,
+        s"case $i: got (${out(i).getLong(1)}, ${out(i).getLong(2)}), want ($raw, $comp)")
+      assert(out(i).getDouble(3) ==
+        math.floor(raw.toDouble / comp * 1e6 + 0.5) / 1e6)
+    }
+    // the signal discriminates: repetitive text compresses far better
+    assert(out(0).getDouble(3) > 2.0 && out(1).getDouble(3) < 1.0)
+  }
+
   test("mergeSyms: left-to-right non-overlapping application") {
     assert(TextAnalysis.mergeSyms(Array("a", "a", "a"), "a", "a").toSeq ==
       Seq("aa", "a"))
