@@ -25,6 +25,30 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** KEY-SKEW diagnosis — the planning tool for every salting/AQE
+    * decision in this library: the top-k heaviest keys of `keyCol` with
+    * each key's row count, share of all rows, and ratio to the mean
+    * key load (`avg_ratio` ≈ 1 everywhere → uniform, safe to hash-join;
+    * one key at avg_ratio ≫ partitions → that join/agg needs salting or
+    * AQE skew handling, and this output names the literal keys to salt).
+    *
+    * Shape: one map-side-combinable count aggregation (shuffle carries
+    * (key, count), never rows), a TakeOrdered top-k (no global sort),
+    * and the two totals broadcast back over the k survivors — cost ∝
+    * distinct keys, driver sees k rows. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("key_count"))
+    val tot = counts.agg(
+      sum(col("key_count")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__nkeys"))
+    counts.orderBy(col("key_count").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col(keyCol), col("key_count"),
+        round(col("key_count").cast("double") / col("__tot"), 6).as("share"),
+        round(col("key_count").cast("double") * col("__nkeys") / col("__tot"), 6)
+          .as("avg_ratio"))
+  }
+
   /** Exact (token, n) for every token with n · denom > N among the
     * non-empty tokens of `text` (N = total non-empty tokens). `docs` is
     * scanned twice; both scans project only the text column. */

@@ -222,6 +222,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(__w"))
   }
 
+  test("q_key_skew: map-side-combined count agg, top-k merge, broadcast totals") {
+    val p = plan("q_key_skew")
+    assert(p.contains("partial_count"), "per-key counting must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a merge, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row totals must broadcast back over the k survivors")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     val s = spark
     val saved = Seq(

@@ -100,6 +100,23 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("keySkew: hand-computed counts, shares, mean-load ratios; top-k cut is deterministic") {
+    val s = spark
+    import s.implicits._
+    // a:3 b:2 c:1 → tot 6, nkeys 3; shares .5/.333333/.166667;
+    // avg_ratio = count·3/6 → 1.5 / 1.0 / 0.5
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val out = HeavyHitters.keySkew(df, "k", k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 0.5, 1.5), ("b", 2L, 0.333333, 1.0), ("c", 1L, 0.166667, 0.5)))
+    // the k-cut breaks count ties by key ascending: with k=2 of {x:1,y:1,z:2}
+    // the survivors must be z then x, never y
+    val tied = Seq("x", "y", "z", "z").toDF("k")
+    val cut = HeavyHitters.keySkew(tied, "k", k = 2).collect().map(_.getString(0))
+    assert(cut.toSeq == Seq("z", "x"))
+  }
+
   test("denom at or past the guarantee boundary is rejected") {
     val s = spark
     import s.implicits._
