@@ -623,6 +623,22 @@ object QueriesPipeline {
       Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, lshCandidates(s, dir))
     }),
 
+    // Detection accuracy of the LSH chain against the PLANTED near-dup
+    // pairs (doc_id, doc_id+100000): planted recall at the candidate
+    // stage (the realized banding detection probability) and after
+    // Jaccard ≥ 0.6 verification, plus how many non-planted pairs each
+    // stage flags. The end-to-end twin of the per-pair estimator below.
+    "q_dedup_recall" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val planted = corpus.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      val cands = lshCandidates(s, dir)
+      val verified = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
+        .filter(col("jaccard") >= 0.6).select("id_a", "id_b")
+      Dedup.detectionReport(planted,
+        Seq("candidates" -> cands.select("id_a", "id_b"), "verified" -> verified))
+    }),
+
     // MinHash estimator-error harness over the same candidates (memo
     // shared): Broder's matching-components/k estimate vs exact Jaccard
     // per pair — the measured accuracy the k=12 signature width buys,
@@ -1541,6 +1557,22 @@ object QueriesPipeline {
     "q_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", col("text"))),
 
+    // Unicode NFC normalization (native graft_nfc_normalize) over a
+    // deterministically-decomposed variant of the corpus (every 'e'
+    // gains a combining acute U+0301): composed and decomposed encodings
+    // of the same visible text must hash identically before any
+    // byte-keyed dedup. DuckDB replays via its own nfc_normalize — two
+    // independent Unicode implementations agreeing per doc.
+    "q_nfc_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("__dec"))
+        .select(col("doc_id"),
+          length(col("__dec")).cast("long").as("n_decomposed"),
+          call_function("graft_nfc_normalize", col("__dec")).as("nfc_text"))
+        .select(col("doc_id"), col("n_decomposed"),
+          length(col("nfc_text")).cast("long").as("n_nfc"), col("nfc_text"))),
+
     // C4-style chunk-dedup APPLY: every duplicated 8-token chunk keeps
     // its first (doc, idx) occurrence corpus-wide; docs are rebuilt
     // without the dropped chunks. The rewrite q_chunk_dedup only detects.
@@ -1646,6 +1678,12 @@ object QueriesPipeline {
     "q_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.heavyTerms(t(s, dir, "documents"), col("text"),
         denom = 200L, k = 256)),
+
+    // Key-skew diagnosis over the events stream's user key: the top-20
+    // heaviest keys with count, share, and ratio-to-mean-load — the
+    // output that names the literal keys a salted join would salt.
+    "q_key_skew" -> ((s, dir) =>
+      HeavyHitters.keySkew(t(s, dir, "events"), "user_id", k = 20)),
 
     // Decontamination APPLIED: the cleaned corpus — every doc whose id
     // was never flagged against the benchmark side. The anti-join
@@ -1979,6 +2017,35 @@ object QueriesPipeline {
       "q_minhash_pairs" ->
         s"""$sqlCandidatePairs
            |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+      // Detection-report replay: planted pairs from corpus3's original
+      // side; candidate stage = pairs, verified stage = Jaccard ≥ 0.6
+      // (the clustering oracle's jac predicate verbatim).
+      "q_dedup_recall" ->
+        s"""$sqlCandidatePairs,
+           |jac AS (
+           |  SELECT p.id_a, p.id_b
+           |  FROM pairs p
+           |  JOIN grams ga ON ga.doc_id = p.id_a
+           |  JOIN grams gb ON gb.doc_id = p.id_b
+           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
+           |planted AS (
+           |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+           |  FROM corpus3 WHERE doc_id < 100000),
+           |np AS (SELECT count(*) AS n FROM planted),
+           |rep AS (
+           |  SELECT 'candidates' AS stage,
+           |    (SELECT count(*) FROM pairs) AS n_flagged,
+           |    (SELECT count(*) FROM pairs JOIN planted USING (id_a, id_b)) AS n_hit
+           |  UNION ALL
+           |  SELECT 'verified' AS stage,
+           |    (SELECT count(*) FROM jac) AS n_flagged,
+           |    (SELECT count(*) FROM jac JOIN planted USING (id_a, id_b)) AS n_hit)
+           |SELECT stage, np.n AS n_planted, n_flagged, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / greatest(np.n, 1), 6) AS planted_recall,
+           |  n_flagged - n_hit AS n_other
+           |FROM rep, np""".stripMargin,
 
       // Estimator replay: the sig CTE already carries the full 12
       // md5-component signature; est = matching components / 12, exact =
@@ -2983,6 +3050,17 @@ object QueriesPipeline {
            |FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin
       },
 
+      // NFC replay with DuckDB's independent Unicode tables: same
+      // decomposition injection (chr(769) = U+0301), same counts.
+      "q_nfc_normalize" ->
+        """WITH dec AS (
+          |  SELECT doc_id, regexp_replace(text, 'e', 'e' || chr(769), 'g') AS d
+          |  FROM documents)
+          |SELECT doc_id, length(d) AS n_decomposed,
+          |  length(nfc_normalize(d)) AS n_nfc,
+          |  nfc_normalize(d) AS nfc_text
+          |FROM dec""".stripMargin,
+
       // character entropy in integer micro-nats (the replayable-ln
       // regime of q_unigram_surprise, per (doc, char) instead of token)
       "q_char_entropy" ->
@@ -3058,6 +3136,19 @@ object QueriesPipeline {
            |SELECT token, count(*) AS n
            |FROM nz GROUP BY token
            |HAVING count(*) * 200 > (SELECT count(*) FROM nz)""".stripMargin,
+
+      // Key-skew: per-key counts, totals folded back over the top-20
+      // (count desc, key asc — deterministic at the cut).
+      "q_key_skew" ->
+        """WITH counts AS (
+          |  SELECT user_id, count(*) AS key_count FROM events GROUP BY user_id),
+          |tot AS (SELECT CAST(sum(key_count) AS DOUBLE) AS t,
+          |               CAST(count(*) AS DOUBLE) AS nk FROM counts)
+          |SELECT user_id, key_count,
+          |  round(CAST(key_count AS DOUBLE) / t, 6) AS share,
+          |  round(CAST(key_count AS DOUBLE) * nk / t, 6) AS avg_ratio
+          |FROM counts, tot
+          |ORDER BY key_count DESC, user_id ASC LIMIT 20""".stripMargin,
 
       // All six stages in one recursive statement: the filter/ratio CTEs
       // mirror q_filter_chain, the LSH/Jaccard/closure CTEs are the

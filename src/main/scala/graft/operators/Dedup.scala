@@ -602,6 +602,37 @@ object Dedup {
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
   }
 
+  /** Detection-accuracy report against PLANTED ground truth — the
+    * end-to-end honesty check for the whole LSH chain (the estimator
+    * harness above scores the signature; this scores the pipeline):
+    * for each named stage's flagged pair set, how many of the known
+    * planted near-dup pairs it recovered (`planted_recall` — for
+    * candidates this is exactly the banding's detection probability
+    * 1−(1−J^r)^b realized on this corpus) and how many OTHER pairs it
+    * flagged. Deliberately NOT named "precision": corpora contain
+    * natural near-dups beyond the planted ones, so non-planted flags
+    * are "other", not "false" — calling them errors would overstate
+    * the planted-pair frame.
+    *
+    * Cost: each stage is two count aggregates (total + planted-join
+    * hit count) over pair frames the chain already materialized;
+    * `planted` rides broadcast — nothing here rescans the corpus. */
+  def detectionReport(planted: DataFrame,
+                      stages: Seq[(String, DataFrame)]): DataFrame = {
+    val nPlanted = planted.count()
+    stages.map { case (name, flagged) =>
+      val pairs = flagged.select(col("id_a"), col("id_b"))
+      val hits = pairs.join(broadcast(planted), Seq("id_a", "id_b"))
+      pairs.agg(count(lit(1)).as("n_flagged"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("stage"), lit(nPlanted).as("n_planted"),
+          col("n_flagged"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            greatest(lit(nPlanted), lit(1L)), 6).as("planted_recall"),
+          (col("n_flagged") - col("n_hit")).as("n_other"))
+    }.reduce(_.unionByName(_))
+  }
+
   // ---- corpus-level overlap -------------------------------------------
 
   /** Exact corpus-overlap report between two corpora: distinct word

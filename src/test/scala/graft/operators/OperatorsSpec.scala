@@ -133,6 +133,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("detectionReport: hand-computed recall and other-flag counts per stage") {
+    val s = spark
+    import s.implicits._
+    val planted = Seq((1L, 101L), (2L, 102L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 101L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val ver = Seq((1L, 101L), (2L, 102L)).toDF("id_a", "id_b")
+    val out = Dedup.detectionReport(planted, Seq("candidates" -> cand, "verified" -> ver))
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("candidates", 2L, 3L, 1L, 0.5, 2L),
+      ("verified", 2L, 2L, 2L, 1.0, 0L)))
+  }
+
   test("hot-bucket cap drops oversized LSH buckets (no quadratic blowup)") {
     // 50 identical docs share every band bucket → bucket size 50
     val many = docs((1L to 50L).map(i => i -> "same words repeated here often enough"): _*)
@@ -447,6 +462,25 @@ class OperatorsSpec extends AnyFunSuite {
         assert(enc(i) == expect, s"word=$w merge=($l,$r): ${enc(i)} vs $expect")
       }
     }
+  }
+
+  test("graft_nfc_normalize: composes decomposed sequences, identity on NFC text") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301"),   // cafe + combining acute → café (U+00E9)
+      (2L, "caf\u00e9"),              // already composed — unchanged
+      (3L, "plain ascii"),
+      (4L, "A\u030a")       // A + combining ring → Å (U+00C5)
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        call_function("graft_nfc_normalize", col("text")).as("n"),
+        length(call_function("graft_nfc_normalize", col("text"))).as("len"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "caf\u00e9" && out(0).getInt(2) == 4)
+    assert(out(1).getString(1) == "caf\u00e9")
+    assert(out(2).getString(1) == "plain ascii")
+    assert(out(3).getString(1) == "\u00c5" && out(3).getInt(2) == 1)
   }
 
   test("compressionRatio: deflate lengths match independent CPython-zlib constants") {
