@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgramHashExpr(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLenExpr(children.head)))
