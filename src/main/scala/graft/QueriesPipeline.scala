@@ -1226,6 +1226,19 @@ object QueriesPipeline {
         "query_id", "qv", k = 20)
     }),
 
+    // IVF cell-balance diagnostic over the anchor-centroid regime
+    // (vec_id < 8, the q_ann_recall_ivf quantizer): per cell, count,
+    // corpus share, and mean squared distance to the centroid — the
+    // hot-probe detector (share >> 1/cells = that probe overpays) and
+    // the stale-centroid detector (outlier mean_dist2 = retrain/split).
+    "q_ivf_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.ivfCellStats(e, "embedding", cents)
+    }),
+
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
     // rows-only gate): the codebook is the 16 ANCHOR vectors' (vec_id
     // < 16) sub-vectors instead of k-means centroids, which makes the
@@ -2702,6 +2715,34 @@ object QueriesPipeline {
            |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
            |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
            |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
+
+      // Cell-balance replay: same anchor quantizer assignment as the
+      // IVF recall oracle; per-row distances 6-rounded and summed as
+      // DECIMAL so the mean is order-independent in both engines.
+      "q_ivf_balance" -> {
+        def d2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
+        s"""WITH anchors AS (
+           |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+           |  FROM embeddings WHERE vec_id < 8),
+           |ed AS (
+           |  SELECT e.vec_id, a.a_id,
+           |    ${d2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
+           |  FROM embeddings e CROSS JOIN anchors a),
+           |cell AS (SELECT vec_id, a_id AS cell, d FROM (
+           |  SELECT vec_id, a_id, d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, a_id ASC) AS r
+           |  FROM ed) WHERE r = 1),
+           |per AS (SELECT CAST(cell AS INTEGER) AS ivf_cell, count(*) AS n_vecs,
+           |  sum(CAST(round(d, 6) AS DECIMAL(28,6))) AS sd
+           |  FROM cell GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS t FROM per)
+           |SELECT ivf_cell, n_vecs,
+           |  round(CAST(n_vecs AS DOUBLE) / t, 6) AS share,
+           |  round(CAST(sd AS DOUBLE) / n_vecs, 6) AS mean_dist2
+           |FROM per, tot""".stripMargin
       },
 
       // PQ recall replay: q_pq_ann's anchor-codebook encode + ADC,

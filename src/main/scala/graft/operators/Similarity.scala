@@ -512,6 +512,35 @@ object Similarity {
       .drop(centroids.indices.map(i => s"__d$i"): _*)
   }
 
+  /** IVF cell-BALANCE diagnostic — the hot-probe detector for the
+    * coarse quantizer: per cell, vector count, share of the corpus, and
+    * mean squared distance to the assigned centroid. A cell with share
+    * ≫ 1/cells means every query probing it scans that multiple of the
+    * fair per-probe cost (the IVF analog of [[HeavyHitters.keySkew]]'s
+    * join-skew report); a cell with outlier mean_dist2 is a centroid
+    * that stopped representing its members — retrain or split. Narrow
+    * literal-centroid assignment + one map-side-combinable aggregation;
+    * per-row distances are 6-rounded and summed as DECIMAL so the
+    * per-cell mean is order-independent (float sums would drift between
+    * engines and between runs' partitionings). */
+  def ivfCellStats(df: DataFrame, vecCol: String,
+                   centroids: Array[Array[Double]]): DataFrame = {
+    val celled =
+      if (df.columns.contains("ivf_cell")) df
+      else withIvfCell(df, vecCol, centroids)
+    val minD = centroids.toIndexedSeq.map(c => dist2ToLiteral(col(vecCol), c))
+      .reduce(least(_, _))
+    val perCell = celled
+      .select(col("ivf_cell"), round(minD, 6).cast("decimal(28,6)").as("__d"))
+      .groupBy(col("ivf_cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__d")).as("__sd"))
+    val tot = perCell.agg(sum(col("n_vecs")).cast("double").as("__tot"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("ivf_cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__tot"), 6).as("share"),
+        round(col("__sd").cast("double") / col("n_vecs"), 6).as("mean_dist2"))
+  }
+
   /** IVF ANN top-k: probe only the `nProbe` cells nearest the query
     * (computed driver-side), exact cosine inside the probed cells.
     * nProbe = centroids.length degenerates to exact search. */

@@ -1317,6 +1317,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 12L)) // n_cand = whole corpus: SQ8 shrinks bytes, not rows
   }
 
+  test("ivfCellStats: hand-computed counts, shares, and mean distances") {
+    val s = spark
+    import s.implicits._
+    // centroids (0,0) and (10,10); vectors at (0,0) d=0, (1,0) d=1,
+    // (10,10) d=0 → cell0 {2 vecs, mean 0.5}, cell1 {1 vec, mean 0}
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val out = Similarity.ivfCellStats(df, "embedding", cents)
+      .orderBy("ivf_cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 2L, 0.666667, 0.5), (1, 1L, 0.333333, 0.0)))
+  }
+
   test("PQ on real embeddings: the query's own row attains the ADC minimum") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
