@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 
-/** Recall/cost curve sweep for the three ANN index families — the
+/** Recall/cost curve sweep for the four ANN index/quantization families — the
   * measurement behind the gated high-recall operating point (round-7
   * verdict "What's missing #1/#2"): for each configuration, mean
   * recall@20 over the ten query vectors and the mean candidate count
@@ -14,7 +14,9 @@ import graft.operators.Similarity
   *     `lshBucketedTopK`);
   *   - IVF: nProbe 1..cells at anchor-seeded and kmeans centroids;
   *   - PQ: anchor codebooks at m = 8 (the gated regime) and
-  *     kmeans-trained m = 8 / k = 16.
+  *     kmeans-trained m = 8 / k = 16;
+  *   - SQ8: per-vector int8 max-abs quantization (no knobs — one point:
+  *     the 4x-compression recall floor).
   *
   * Output: one line per config —
   *   `family h/r|nProbe|m  mean_recall  mean_cand  (corpus n)`
@@ -74,6 +76,10 @@ object RecallCurve {
     report(s"pq kmeans16 m=$m",
       Similarity.pqRecallAtK(e, queries, "vec_id", "embedding",
         "query_id", "qv", k = 20, trained), "n_cand")
+
+    report("sq8 int8",
+      Similarity.sq8RecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20), "n_cand")
 
     spark.stop()
   }
