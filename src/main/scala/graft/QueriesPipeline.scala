@@ -1803,10 +1803,19 @@ object QueriesPipeline {
         .select(col("doc_id"), col("entropy"))
       val big = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), nTokens)
         .select(col("doc_id"), col("mean_surprise"))
+      // PERSISTED: every downstream stage (exact dedup, near-dup
+      // clustering, decontamination, packing) consumes `kept`, and each
+      // consumer would otherwise re-derive the full three-signal lineage
+      // — coverage and bigram surprise are the two most expensive scans
+      // in the composition. Measured at the 100x rung: 772.7 s without
+      // this persist vs the ~150 s sum of parts; the persisted frame is
+      // doc_id-only (a sliver). Same lifecycle as `base` above — the
+      // bench's per-query isolation reclaims it.
       val gopherKeep = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
         .filter(col("cov3") <= 0.08 && col("entropy") >= 2.70 &&
           col("mean_surprise") <= 3.46)
         .select("doc_id")
+        .persist()
       // 1. quality filter: v1 heuristics AND the Gopher-complete gate
       val kept = base.filter(
         col("n_chars") >= 50 && col("n_chars") <= 10000 &&
