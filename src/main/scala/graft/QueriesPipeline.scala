@@ -1239,6 +1239,19 @@ object QueriesPipeline {
       Similarity.ivfCellStats(e, "embedding", cents)
     }),
 
+    // IVF × SQ8 composition: row pruning (probe the 4/8 anchor cells
+    // nearest the query) times byte shrinking (in-cell ranking by
+    // cosine over int8 codes) — the serving layout the quantization
+    // tiering documents, gated as one query with a full oracle.
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", queryVec(s, dir),
+        k = 25, cents, nProbe = 4)
+    }),
+
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
     // rows-only gate): the codebook is the 16 ANCHOR vectors' (vec_id
     // < 16) sub-vectors instead of k-means centroids, which makes the
@@ -2724,6 +2737,45 @@ object QueriesPipeline {
            |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
            |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
            |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
+
+      // IVF × SQ8 replay: anchor-cell assignment (as q_ivf_balance) +
+      // probe = 4 cells nearest the query + SQ8 codes (as
+      // q_ann_recall_sq8) ranked by cosine against the raw query vector.
+      "q_ann_ivf_sq8" -> {
+        def d2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
+        s"""WITH anchors AS (
+           |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+           |  FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |ed AS (
+           |  SELECT e.vec_id, a.a_id,
+           |    ${d2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
+           |  FROM embeddings e CROSS JOIN anchors a),
+           |cell AS (SELECT vec_id, a_id AS cell FROM (
+           |  SELECT vec_id, a_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, a_id ASC) AS r
+           |  FROM ed) WHERE r = 1),
+           |probe AS (SELECT a_id AS cell FROM (
+           |  SELECT a.a_id,
+           |    row_number() OVER (ORDER BY ${d2("qv", "av")} ASC, a.a_id ASC) AS r
+           |  FROM anchors a CROSS JOIN q) WHERE r <= 4),
+           |enc AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+           |    greatest(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> abs(x)), 'max'), 1e-30) AS s
+           |  FROM embeddings),
+           |codes AS (
+           |  SELECT vec_id, list_transform(ev, x -> floor(x / s * 127 + 0.5)) AS cv
+           |  FROM enc)
+           |SELECT c.vec_id,
+           |  round(${sqlDot("cv", "qv")} / (${sqlNorm("cv")} * ${sqlNorm("qv")}), 6) AS cos_sim_sq8
+           |FROM codes c JOIN cell USING (vec_id) CROSS JOIN q
+           |WHERE cell.cell IN (SELECT cell FROM probe)
+           |ORDER BY cos_sim_sq8 DESC, c.vec_id ASC LIMIT 25""".stripMargin
       },
 
       // Cell-balance replay: same anchor quantizer assignment as the

@@ -564,6 +564,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF × SQ8 composed top-k — the capstone of the quantization
+    * tiering SCALE.md documents: IVF prunes ROWS (only the `nProbe`
+    * cells nearest the query are scanned), SQ8 shrinks BYTES of what
+    * remains (the in-cell scan ranks by cosine over int8 codes — 4×
+    * less memory traffic, ≈0.99 recall, and by scale-invariance
+    * identical to ranking dequantized vectors). At 100 TB this is the
+    * standard serving layout: cell-partitioned SQ8 codes resident in
+    * executor memory, raw vectors only fetched for the k survivors'
+    * final re-rank. Both components stay individually gated
+    * (q_ann_ivf, q_ann_recall_sq8); this operator is their composition
+    * under one scan. */
+  def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Array[Float], k: Int,
+                 centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val q = queryVec.map(_.toDouble)
+    def dist2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c, q) }
+      .take(math.max(1, nProbe)).map(_._2)
+    val celled =
+      if (df.columns.contains("ivf_cell")) df
+      else withIvfCell(df, vecCol, centroids)
+    val enc =
+      if (celled.columns.contains("sq8_code")) celled
+      else sq8Encode(celled, vecCol)
+    val qCol = array(queryVec.toIndexedSeq.map(lit(_)): _*)
+    enc
+      .filter(col("ivf_cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col(idCol), round(cosine(col("sq8_code"), qCol), 6).as("cos_sim_sq8"))
+      .orderBy(col("cos_sim_sq8").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, restricted to
     * same-SRP-bucket candidates (id_a < id_b). The bucket equi-join is
     * the only shuffle; norms are precomputed per side. `maxBucket` is the

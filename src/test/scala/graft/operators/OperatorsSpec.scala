@@ -1341,6 +1341,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plantedPairs(fixed.collect()).size == 600)
   }
 
+  test("ivfSq8TopK: probes prune rows, int8 ranking keeps the in-cell order") {
+    val s = spark
+    import s.implicits._
+    // two well-separated clusters around (1,0..) and (0..,1)
+    val c0 = (0 until 6).map(i => (i.toLong, Array(1.0f, 0.02f * i, 0f, 0f)))
+    val c1 = (10 until 16).map(i => (i.toLong, Array(0f, 0.02f * i, 1.0f, 0f)))
+    val df = (c0 ++ c1).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.05, 0.0, 0.0), Array(0.0, 0.25, 1.0, 0.0))
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val top = Similarity.ivfSq8TopK(df, "vec_id", "embedding", q, k = 10,
+      cents, nProbe = 1).collect()
+    // nProbe=1 probes only cluster-0's cell: no cluster-1 id may appear
+    assert(top.nonEmpty && top.forall(_.getLong(0) < 10))
+    // int8 ranking preserves the exact in-cell order on separable data
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // nProbe=all degenerates to the full SQ8 scan (every id eligible)
+    val all = Similarity.ivfSq8TopK(df, "vec_id", "embedding", q, k = 12,
+      cents, nProbe = 2).collect()
+    assert(all.length == 12)
+  }
+
   test("ivfCellStats: hand-computed counts, shares, and mean distances") {
     val s = spark
     import s.implicits._
