@@ -230,6 +230,14 @@ class PlanSpec extends AnyFunSuite {
       "the one-row totals must broadcast back over the k survivors")
   }
 
+  test("q_ann_ivf_sq8: probe filter + int8 scoring stay a shuffle-free top-k scan") {
+    val p = plan("q_ann_ivf_sq8")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a merge, not a global sort")
+    // the whole path — cell assignment, probe filter, sq8 encode, cosine —
+    // is narrow: no exchange other than the top-k merge's singlePartition
+    assert(!p.contains("hashpartitioning"), "composed ANN scan must not shuffle")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     val s = spark
     val saved = Seq(
