@@ -139,8 +139,21 @@ object QueriesPipeline {
 
   /** Drop q_curation_pipeline's cached base for `dir` (bench/test
     * hygiene; harmless if nothing is cached). */
+  /** The most recent persisted gopherKeep frame per (session, dir) —
+    * q_curation_pipeline_v2 registers each fresh persist here (evicting
+    * and unpersisting any predecessor), so [[releaseCurationCache]] can
+    * reclaim it. Rebuilding the plan for CacheManager matching (the
+    * curationBase trick) would cost a corpus-count job, because the
+    * gate's bigram model bakes the token count in as a literal. */
+  private val gopherKeepLive =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
-    curationBase(s, dir).unpersist(); ()
+    curationBase(s, dir).unpersist()
+    gopherKeepLive.synchronized {
+      gopherKeepLive.remove((s, dir)).foreach(_.unpersist())
+    }
+    ()
   }
 
   /** The three Gopher-complete gate signals per doc — (cov3, entropy,
@@ -176,6 +189,15 @@ object QueriesPipeline {
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
+
+  /** The first `n` embedding vectors (vec_id order) as double arrays —
+    * the deterministic ANCHOR regime every SQL-replayable quantizer
+    * gate shares (IVF cells at n = 8, PQ codebooks at n = 16): the
+    * oracle re-derives the same constants from the same rows. */
+  private def anchorCentroids(s: SparkSession, dir: String, n: Int): Array[Array[Double]] =
+    t(s, dir, "embeddings").filter(col("vec_id") < n).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
   // ---- oracle SQL fragments (DuckDB side) ----------------------------
 
@@ -392,6 +414,14 @@ object QueriesPipeline {
     sqlFoldSum(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
 
   private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  /** Squared L2 distance between two list expressions — the shared
+    * fragment of every anchor-quantizer oracle (IVF cells, PQ
+    * subspaces, cell balance, IVF×SQ8 probes). Sequential fold, same
+    * op order as Similarity.dist2ToLiteral. */
+  private def sqlD2(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
 
   /** Engine-portable SRP plane component for (plane, 0-based dim expr):
     * first 5 hex digits of md5("plane:dim") as base-16, → [-0.5, 0.5).
@@ -630,7 +660,14 @@ object QueriesPipeline {
     // stage flags. The end-to-end twin of the per-pair estimator below.
     "q_dedup_recall" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
-      val planted = corpus.filter(col("doc_id") < 100000)
+      // The original side is defined STRUCTURALLY (ids present in the
+      // raw documents table), not by an id-range predicate: ScaleGen
+      // dirs stride replica doc_ids by 10^7, so a `< 100000` cut would
+      // keep only replica-0's planted twins and count every other
+      // replica's in n_other — wrong exactly at the scale rungs this
+      // diagnostic exists to inform.
+      val planted = corpus
+        .join(t(s, dir, "documents").select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
       val cands = lshCandidates(s, dir)
       val verified = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3, cands)
@@ -1184,11 +1221,8 @@ object QueriesPipeline {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       Similarity.ivfRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, cents, nProbe = 4)
+        "query_id", "qv", k = 20, anchorCentroids(s, dir, 8), nProbe = 4)
     }),
 
     // PQ recall@20 — the third harness family, over q_pq_ann's
@@ -1201,9 +1235,7 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val m = 8
-      val anchors = e.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val anchors = anchorCentroids(s, dir, 16)
       val sub = anchors.head.length / m
       val books: Array[Array[Array[Double]]] = (0 until m).map { sIdx =>
         anchors.map(a => java.util.Arrays.copyOfRange(a, sIdx * sub, (sIdx + 1) * sub))
@@ -1232,11 +1264,8 @@ object QueriesPipeline {
     // hot-probe detector (share >> 1/cells = that probe overpays) and
     // the stale-centroid detector (outlier mean_dist2 = retrain/split).
     "q_ivf_balance" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      Similarity.ivfCellStats(e, "embedding", cents)
+      Similarity.ivfCellStats(t(s, dir, "embeddings"), "embedding",
+        anchorCentroids(s, dir, 8))
     }),
 
     // IVF × SQ8 composition: row pruning (probe the 4/8 anchor cells
@@ -1244,12 +1273,8 @@ object QueriesPipeline {
     // cosine over int8 codes) — the serving layout the quantization
     // tiering documents, gated as one query with a full oracle.
     "q_ann_ivf_sq8" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      Similarity.ivfSq8TopK(e, "vec_id", "embedding", queryVec(s, dir),
-        k = 25, cents, nProbe = 4)
+      Similarity.ivfSq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 25, anchorCentroids(s, dir, 8), nProbe = 4)
     }),
 
     // PQ-ANN with a FULL oracle (round-5 verdict #3 — this was the
@@ -1265,9 +1290,7 @@ object QueriesPipeline {
     "q_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val m = 8
-      val anchors = emb.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val anchors = anchorCentroids(s, dir, 16)
       val sub = anchors.head.length / m
       val books: Array[Array[Array[Double]]] = (0 until m).map { sIdx =>
         anchors.map(a => java.util.Arrays.copyOfRange(a, sIdx * sub, (sIdx + 1) * sub))
@@ -1829,6 +1852,11 @@ object QueriesPipeline {
           col("mean_surprise") <= 3.46)
         .select("doc_id")
         .persist()
+      // registered for releaseCurationCache; a superseded predecessor
+      // (repeated calls in one session) is unpersisted on the spot
+      gopherKeepLive.synchronized {
+        gopherKeepLive.put((s, dir), gopherKeep).foreach(_.unpersist()); ()
+      }
       // 1. quality filter: v1 heuristics AND the Gopher-complete gate
       val kept = base.filter(
         col("n_chars") >= 50 && col("n_chars") <= 10000 &&
@@ -2067,7 +2095,7 @@ object QueriesPipeline {
            |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
            |planted AS (
            |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
-           |  FROM corpus3 WHERE doc_id < 100000),
+           |  FROM corpus3 WHERE doc_id IN (SELECT doc_id FROM documents)),
            |np AS (SELECT count(*) AS n FROM planted),
            |rep AS (
            |  SELECT 'candidates' AS stage,
@@ -2691,9 +2719,6 @@ object QueriesPipeline {
       "q_ann_recall_ivf" -> {
         val cos = (e: String) =>
           s"round(${sqlDot(s"$e.embedding", "q.qv")} / (${sqlNorm(s"$e.embedding")} * ${sqlNorm("q.qv")}), 6)"
-        def d2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
         s"""WITH anchors AS (
            |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
            |  FROM embeddings WHERE vec_id < 8),
@@ -2701,7 +2726,7 @@ object QueriesPipeline {
            |  FROM embeddings WHERE vec_id < 10),
            |ed AS (
            |  SELECT e.vec_id, a.a_id,
-           |    ${d2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
+           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
            |  FROM embeddings e CROSS JOIN anchors a),
            |cell AS (SELECT vec_id, a_id AS cell FROM (
            |  SELECT vec_id, a_id,
@@ -2709,7 +2734,7 @@ object QueriesPipeline {
            |  FROM ed) WHERE r = 1),
            |qd AS (
            |  SELECT q.query_id, a.a_id,
-           |    ${d2("CAST(q.qv AS DOUBLE[])", "av")} AS d
+           |    ${sqlD2("CAST(q.qv AS DOUBLE[])", "av")} AS d
            |  FROM q CROSS JOIN anchors a),
            |probe AS (SELECT query_id, a_id AS cell FROM (
            |  SELECT query_id, a_id,
@@ -2743,9 +2768,6 @@ object QueriesPipeline {
       // probe = 4 cells nearest the query + SQ8 codes (as
       // q_ann_recall_sq8) ranked by cosine against the raw query vector.
       "q_ann_ivf_sq8" -> {
-        def d2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
         s"""WITH anchors AS (
            |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
            |  FROM embeddings WHERE vec_id < 8),
@@ -2753,7 +2775,7 @@ object QueriesPipeline {
            |  FROM embeddings WHERE vec_id = 0),
            |ed AS (
            |  SELECT e.vec_id, a.a_id,
-           |    ${d2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
+           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
            |  FROM embeddings e CROSS JOIN anchors a),
            |cell AS (SELECT vec_id, a_id AS cell FROM (
            |  SELECT vec_id, a_id,
@@ -2761,7 +2783,7 @@ object QueriesPipeline {
            |  FROM ed) WHERE r = 1),
            |probe AS (SELECT a_id AS cell FROM (
            |  SELECT a.a_id,
-           |    row_number() OVER (ORDER BY ${d2("qv", "av")} ASC, a.a_id ASC) AS r
+           |    row_number() OVER (ORDER BY ${sqlD2("qv", "av")} ASC, a.a_id ASC) AS r
            |  FROM anchors a CROSS JOIN q) WHERE r <= 4),
            |enc AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
@@ -2782,15 +2804,12 @@ object QueriesPipeline {
       // IVF recall oracle; per-row distances 6-rounded and summed as
       // DECIMAL so the mean is order-independent in both engines.
       "q_ivf_balance" -> {
-        def d2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
         s"""WITH anchors AS (
            |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
            |  FROM embeddings WHERE vec_id < 8),
            |ed AS (
            |  SELECT e.vec_id, a.a_id,
-           |    ${d2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
+           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])", "av")} AS d
            |  FROM embeddings e CROSS JOIN anchors a),
            |cell AS (SELECT vec_id, a_id AS cell, d FROM (
            |  SELECT vec_id, a_id, d,
@@ -2811,9 +2830,6 @@ object QueriesPipeline {
       // L2 (ADC's own metric). n_cand is the full corpus count — PQ
       // prunes bytes, not rows.
       "q_ann_recall_pq" -> {
-        def d2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
         s"""WITH anchors AS (
            |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
            |  FROM embeddings WHERE vec_id < 16),
@@ -2821,7 +2837,7 @@ object QueriesPipeline {
            |  FROM embeddings WHERE vec_id < 10),
            |sub AS (
            |  SELECT e.vec_id, s.s AS sidx, a.a_id,
-           |    ${d2("CAST(e.embedding AS DOUBLE[])[s.s*8+1 : s.s*8+8]", "av[s.s*8+1 : s.s*8+8]")} AS d
+           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])[s.s*8+1 : s.s*8+8]", "av[s.s*8+1 : s.s*8+8]")} AS d
            |  FROM embeddings e, range(0, 8) s(s), anchors a),
            |chosen AS (
            |  SELECT vec_id, sidx, a_id FROM (
@@ -2831,7 +2847,7 @@ object QueriesPipeline {
            |    FROM sub) WHERE r = 1),
            |dq AS (
            |  SELECT q.query_id, c.vec_id, c.sidx,
-           |    ${d2("qv[c.sidx*8+1 : c.sidx*8+8]", "av[c.sidx*8+1 : c.sidx*8+8]")} AS d
+           |    ${sqlD2("qv[c.sidx*8+1 : c.sidx*8+8]", "av[c.sidx*8+1 : c.sidx*8+8]")} AS d
            |  FROM chosen c JOIN anchors a ON a.a_id = c.a_id CROSS JOIN q),
            |adcd AS (
            |  SELECT query_id, vec_id,
@@ -2842,7 +2858,7 @@ object QueriesPipeline {
            |    row_number() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rk
            |  FROM adcd) WHERE rk <= 20),
            |exd AS (SELECT q.query_id, e.vec_id,
-           |    round(${d2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
+           |    round(${sqlD2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
            |  FROM embeddings e CROSS JOIN q),
            |exact AS (SELECT query_id, vec_id FROM (
            |  SELECT query_id, vec_id,

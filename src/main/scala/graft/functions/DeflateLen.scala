@@ -32,20 +32,28 @@ object DeflateLen {
 
   val DefaultLevel = 6
 
-  private val deflaters = new ThreadLocal[Deflater] {
-    override def initialValue(): Deflater = new Deflater(DefaultLevel)
+  private final class State {
+    val deflater = new Deflater(DefaultLevel)
+    val buf = new Array[Byte](8192) // reused drain buffer — contents discarded
+  }
+
+  private val states = new ThreadLocal[State] {
+    override def initialValue(): State = new State
   }
 
   /** Compressed length of `s` at [[DefaultLevel]]. Static so generated
-    * code calls it directly inside the codegen span. */
+    * code calls it directly inside the codegen span. Both the Deflater
+    * and the drain buffer are per-thread-reused — this runs once per
+    * row of a corpus-bytes-proportional scan, and a fresh 8 KB buffer
+    * per row would be pure allocation pressure. */
   def deflateLen(s: UTF8String): Long = {
-    val d = deflaters.get()
+    val st = states.get()
+    val d = st.deflater
     d.reset()
     d.setInput(s.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
+    while (!d.finished()) total += d.deflate(st.buf)
     total
   }
 }

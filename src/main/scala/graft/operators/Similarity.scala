@@ -397,10 +397,23 @@ object Similarity {
     val scale = aggregate(
       transform(col(vecCol), x => abs(x.cast("double"))),
       lit(0.0), (acc, v) => greatest(acc, v))
+    // The code expression computes its scale INSIDE the aggregate's
+    // finish lambda (bound once per row as a lambda variable), NOT by
+    // referencing the sq8_scale attribute: consumers that select only
+    // sq8_code let ColumnPruning drop the scale column, after which
+    // CollapseProject substitutes the whole max-abs fold into the
+    // per-element transform lambda — statically one reference,
+    // dynamically dim evaluations → O(dim²) per row (confirmed in the
+    // optimized plan; the same lambda-inlining trap Dedup.tokens
+    // documents). A lambda variable cannot be inlined away, so this
+    // form stays O(2·dim) under any pruning.
+    val codes = aggregate(
+      col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))),
+      s => transform(col(vecCol), x =>
+        floor(x.cast("double") / greatest(s, lit(1e-30)) * 127 + 0.5).cast("int")))
     df.withColumn("sq8_scale", greatest(scale, lit(1e-30)))
-      .withColumn("sq8_code",
-        transform(col(vecCol), x =>
-          floor(x.cast("double") / col("sq8_scale") * 127 + 0.5).cast("int")))
+      .withColumn("sq8_code", codes)
   }
 
   /** Recall@k harness for SQ8 — the fourth [[annRecallAtK]] sibling.
@@ -494,9 +507,14 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid — the IVF cell column
     * (`ivf_cell`). Centroids ride as literals: a narrow codegen'd map,
-    * no shuffle; persist/partition by this column for cell-pruned scans. */
+    * no shuffle; persist/partition by this column for cell-pruned scans.
+    * `keepDist = true` also retains the assigned squared distance as
+    * `ivf_dist2` — the per-row distances are already computed for the
+    * argmin, so diagnostics ([[ivfCellStats]]) get them for free
+    * instead of re-deriving the full |centroids|×dim distance map. */
   def withIvfCell(df: DataFrame, vecCol: String,
-                  centroids: Array[Array[Double]]): DataFrame = {
+                  centroids: Array[Array[Double]],
+                  keepDist: Boolean = false): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       dist2ToLiteral(col(vecCol), c).as(s"__d$i")
     }
@@ -508,7 +526,8 @@ object Similarity {
     // logs a spurious trivially-true-predicate warning per plan)
     val cell = (array_position(
       array(centroids.indices.map(i => col(s"__d$i")): _*), minD) - 1).cast("int")
-    withD.withColumn("ivf_cell", cell)
+    val assigned = withD.withColumn("ivf_cell", cell)
+    (if (keepDist) assigned.withColumn("ivf_dist2", minD) else assigned)
       .drop(centroids.indices.map(i => s"__d$i"): _*)
   }
 
@@ -525,13 +544,16 @@ object Similarity {
     * engines and between runs' partitionings). */
   def ivfCellStats(df: DataFrame, vecCol: String,
                    centroids: Array[Array[Double]]): DataFrame = {
-    val celled =
-      if (df.columns.contains("ivf_cell")) df
-      else withIvfCell(df, vecCol, centroids)
-    val minD = centroids.toIndexedSeq.map(c => dist2ToLiteral(col(vecCol), c))
-      .reduce(least(_, _))
+    // Always assign from THESE centroids (an inherited ivf_cell column
+    // could come from a different quantizer, and pairing it with
+    // min-distance-to-these-centroids would report wrong means without
+    // any error); keepDist reuses the argmin pass's distances, so
+    // assignment + distance is ONE |centroids|×dim map, not two.
+    val celled = withIvfCell(df.drop("ivf_cell", "ivf_dist2"), vecCol,
+      centroids, keepDist = true)
     val perCell = celled
-      .select(col("ivf_cell"), round(minD, 6).cast("decimal(28,6)").as("__d"))
+      .select(col("ivf_cell"),
+        round(col("ivf_dist2"), 6).cast("decimal(28,6)").as("__d"))
       .groupBy(col("ivf_cell"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("__d")).as("__sd"))
     val tot = perCell.agg(sum(col("n_vecs")).cast("double").as("__tot"))
