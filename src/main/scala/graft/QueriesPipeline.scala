@@ -445,6 +445,24 @@ object QueriesPipeline {
     s"(${bits.mkString(" + ")})"
   }
 
+  /** Corpus-sized SRP plane count — the SQL replay of
+    * Similarity.pairwiseCosineCandidatesAuto's integer derivation:
+    * smallest h in [minPlanes, 20] with targetBucket·2^h ≥ n. Pure
+    * integer CASE ladder, so DuckDB and the JVM agree bit-for-bit (no
+    * float log2 at power-of-two boundaries). */
+  private def sqlAutoPlanes(nExpr: String, targetBucket: Int, minPlanes: Int): String = {
+    val ladder = (0 to 20)
+      .map(k => s"WHEN $nExpr <= ${targetBucket.toLong << k} THEN $k")
+      .mkString(" ")
+    s"LEAST(20, GREATEST($minPlanes, CASE $ladder ELSE 20 END))"
+  }
+
+  /** SRP bucket at the corpus-derived plane count: plane p is
+    * independent of h, so the bucket at h planes is the 20-plane bucket
+    * mod 2^h — `hExpr` may be a scalar subquery. */
+  private def sqlAutoBucket(vecExpr: String, hExpr: String): String =
+    s"(${sqlSrpBucket(vecExpr, 20)}) % (CAST(1 AS BIGINT) << ($hExpr))"
+
   private val sqlQueryVec = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
   /** The SRP recall@20 replay (q_ann_recall family): both rankings —
@@ -1314,10 +1332,15 @@ object QueriesPipeline {
     }),
 
     // Embedding near-dup pairs (cosine ≥ 0.99) over planted ×2-scaled
-    // copies, restricted to same-SRP-bucket candidates with hot-bucket cap.
+    // copies, restricted to same-SRP-bucket candidates with hot-bucket
+    // cap. The gate runs the PRODUCTION corpus-sized plane count
+    // (pairwiseCosineCandidatesAuto — h = smallest value in [4,20] with
+    // 256·2^h ≥ n), the path the 100× rung measured 9.4× faster than the
+    // fixed h=8 it replaced here; the oracle re-derives the same h from
+    // its own count(*) and masks a 20-plane bucket to h bits.
     "q_cosine_pairs" -> ((s, dir) =>
-      Similarity.pairwiseCosineCandidates(scaledDupEmbeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.99, hPlanes = 8,
+      Similarity.pairwiseCosineCandidatesAuto(scaledDupEmbeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.99, targetBucket = 256,
         portable = true, maxBucket = 10000)),
 
     // SemDeDup-style RESOLUTION (Abbas et al. '23): embedding-space
@@ -1330,8 +1353,8 @@ object QueriesPipeline {
     // share the SRP bucket) must all drop.
     "q_semantic_dedup" -> ((s, dir) => {
       val corpus = scaledDupEmbeddings(s, dir)
-      val pairs = Similarity.pairwiseCosineCandidates(corpus, "vec_id",
-        "embedding", threshold = 0.99, hPlanes = 8,
+      val pairs = Similarity.pairwiseCosineCandidatesAuto(corpus, "vec_id",
+        "embedding", threshold = 0.99, targetBucket = 256,
         portable = true, maxBucket = 10000)
       corpus.join(pairs.select(col("id_b").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
@@ -3518,8 +3541,10 @@ object QueriesPipeline {
 
       "q_cosine_pairs" ->
         s"""WITH $sqlEmbCorpus,
+           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 4)} AS h
+           |         FROM (SELECT count(*) AS n FROM ecorpus)),
            |withb AS (SELECT vec_id, embedding,
-           |  ${sqlSrpBucket("embedding", 8)} AS bucket,
+           |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,
            |  ${sqlNorm("embedding")} AS nrm
            |FROM ecorpus),
            |keep AS (SELECT bucket FROM withb GROUP BY bucket
@@ -3535,8 +3560,10 @@ object QueriesPipeline {
       // minus every id_b of a qualifying (id_a < id_b) pair.
       "q_semantic_dedup" ->
         s"""WITH $sqlEmbCorpus,
+           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 4)} AS h
+           |         FROM (SELECT count(*) AS n FROM ecorpus)),
            |withb AS (SELECT vec_id, embedding,
-           |  ${sqlSrpBucket("embedding", 8)} AS bucket,
+           |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,
            |  ${sqlNorm("embedding")} AS nrm
            |FROM ecorpus),
            |keep AS (SELECT bucket FROM withb GROUP BY bucket

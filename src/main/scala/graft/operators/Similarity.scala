@@ -666,15 +666,23 @@ object Similarity {
     *
     * The one extra cost is a count() of the input — a metadata job next
     * to the pair scan it right-sizes. At 100 TB the count comes from
-    * table stats for free. */
+    * table stats for free.
+    *
+    * h is derived with EXACT INTEGER arithmetic (smallest h in
+    * [minPlanes, 20] with targetBucket·2^h ≥ n) rather than
+    * ceil(log2(n/targetBucket)) in floating point — same value, but
+    * immune to float-log wobble at power-of-two boundaries, so a SQL
+    * oracle replaying the derivation from its own count(*) lands on the
+    * identical h (plane p is independent of h, so bucket_h =
+    * bucket_20 mod 2^h on either engine). */
   def pairwiseCosineCandidatesAuto(df: DataFrame, idCol: String, vecCol: String,
                                    threshold: Double, targetBucket: Int = 256,
                                    minPlanes: Int = 4, portable: Boolean = false,
                                    maxBucket: Int = 10000): DataFrame = {
     require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
     val n = df.count()
-    val h = math.min(20, math.max(minPlanes,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+    var h = math.min(20, math.max(0, minPlanes))
+    while (h < 20 && (targetBucket.toLong << h) < n) h += 1
     pairwiseCosineCandidates(df, idCol, vecCol, threshold, h, portable, maxBucket)
   }
 
