@@ -1876,8 +1876,12 @@ object QueriesPipeline {
         .select("doc_id")
         .persist()
       // registered for releaseCurationCache; a superseded predecessor
-      // (repeated calls in one session) is unpersisted on the spot
+      // (repeated calls in one session) is unpersisted on the spot, and
+      // entries of stopped sessions are dropped (same hygiene as
+      // lshMemo) so a bench/REPL loop cycling sessions can't pin dead
+      // plan graphs in driver memory
       gopherKeepLive.synchronized {
+        gopherKeepLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
         gopherKeepLive.put((s, dir), gopherKeep).foreach(_.unpersist()); ()
       }
       // 1. quality filter: v1 heuristics AND the Gopher-complete gate

@@ -565,7 +565,18 @@ object Similarity {
 
   /** IVF ANN top-k: probe only the `nProbe` cells nearest the query
     * (computed driver-side), exact cosine inside the probed cells.
-    * nProbe = centroids.length degenerates to exact search. */
+    * nProbe = centroids.length degenerates to exact search.
+    *
+    * CALLER CONTRACT on a pre-existing `ivf_cell` column: it is reused
+    * as-is (the 100 TB layout stores the cell assignment once, at write
+    * time, and every query prunes on it instead of re-mapping the
+    * corpus), so it MUST have been assigned from this SAME `centroids`
+    * array (i.e. by [[withIvfCell]] with these centroids) — probe cells
+    * are always computed from the passed array, and a mismatched
+    * assignment silently probes the wrong rows. Pass the frame through
+    * `.drop("ivf_cell")` when provenance is unknown;
+    * [[ivfCellStats]] does exactly that because a diagnostic must
+    * reflect the passed centroids unconditionally. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryVec: Array[Float], k: Int,
               centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
@@ -596,7 +607,16 @@ object Similarity {
     * executor memory, raw vectors only fetched for the k survivors'
     * final re-rank. Both components stay individually gated
     * (q_ann_ivf, q_ann_recall_sq8); this operator is their composition
-    * under one scan. */
+    * under one scan.
+    *
+    * CALLER CONTRACT (same as [[ivfTopK]]): pre-existing `ivf_cell` /
+    * `sq8_code` columns are reused as-is — that reuse IS the serving
+    * layout — so they MUST have been produced from this same
+    * `centroids` array ([[withIvfCell]]) and this same `vecCol`
+    * ([[sq8Encode]]); probe cells are always computed from the passed
+    * array, and mismatched provenance silently returns wrong top-k.
+    * `.drop("ivf_cell", "sq8_code")` first when provenance is
+    * unknown. */
   def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
                  queryVec: Array[Float], k: Int,
                  centroids: Array[Array[Double]], nProbe: Int): DataFrame = {

@@ -63,18 +63,24 @@ object ScaleGen {
         case "embeddings" if r > 0 =>
           // rotate the vector by r mod its length (the fixture dim is 64,
           // so multipliers above 64 wrap); when the rotation wraps past a
-          // full turn, negate the whole vector too — otherwise replica
-          // r = dim would be an exact clone of replica 0 and plant ~N
-          // cosine-1 duplicates that are a cloning artifact, not data.
-          // Negation keeps the norm and sends cos(v, w) to -cos(v, w),
-          // so wrapped replicas stay far from their un-wrapped twins
-          // under the similarity the ANN/semantic-dedup queries use.
+          // full turn, apply a per-wrap-count deterministic ±1 sign mask
+          // (xxhash64 of "dim:wraps" → flips ~half the dims) — a plain
+          // whole-vector negation has period 2, so replica r+128 would be
+          // an exact clone of replica r and replant the cosine-1 cloning
+          // artifact at multipliers ≥ 129. Distinct hash masks per wrap
+          // count keep every replica's DIRECTION distinct (expected
+          // cosine ≈ 0 between wrap generations) for unbounded m, while
+          // preserving the norm the ANN/semantic-dedup queries use.
           val rot = expr(s"""
             transform(
               concat(slice(embedding, $r % size(embedding) + 1,
                            size(embedding) - $r % size(embedding)),
                      slice(embedding, 1, $r % size(embedding))),
-              x -> x * cast(1 - 2 * ((int($r / size(embedding))) % 2) as float))""")
+              (x, i) -> x * (CASE WHEN int($r / size(embedding)) = 0
+                THEN cast(1.0 as float)
+                ELSE cast(1 - 2 * pmod(xxhash64(concat(cast(i as string), ':',
+                       cast(int($r / size(embedding)) as string))), 2) as float)
+                END))""")
           keyed.withColumn("embedding", rot)
         case _ => keyed
       }
