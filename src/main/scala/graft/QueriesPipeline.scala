@@ -172,6 +172,97 @@ object QueriesPipeline {
        .select(col("doc_id"), col("mean_surprise")))
   }
 
+  /** The Gopher-complete curation pipeline shared by
+    * q_curation_pipeline_v2 (constant thresholds) and v3 (corpus-derived
+    * rank-quantile thresholds — the shippable gate: the 100× rung
+    * measured the constants dropping 100 % of documents under ScaleGen's
+    * vocabulary drift, while p98/p04/p98 track the corpus). One scan of
+    * documents: every stage reads the persisted `base`; the gate result
+    * persists as a doc-id sliver (measured at the 100× rung: 772.7 s
+    * without that persist vs ~85 s with — each downstream consumer
+    * would otherwise re-derive the full three-signal lineage, coverage
+    * and bigram surprise being the two most expensive scans in the
+    * composition). */
+  private def curationPipelineGated(s: SparkSession, dir: String,
+                                    autoThresholds: Boolean): DataFrame = {
+    val base = curationBase(s, dir).persist()
+    val d = base.select("doc_id", "text")
+    val nTokens = d.select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    val cov = TextAnalysis.repeatedNgramCoverage(d, "doc_id", col("text"), Seq(3))
+      .select(col("doc_id"), col("cov3"))
+    val ent = TextAnalysis.charEntropy(d, "doc_id", col("text"))
+      .select(col("doc_id"), col("entropy"))
+    val big = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), nTokens)
+      .select(col("doc_id"), col("mean_surprise"))
+    val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+    // the gate: keep docs inside all three signal tails — cutoffs either
+    // frozen (v2) or derived from the corpus at the percentiles the
+    // constants sit at (v3; thresholds are one broadcast row)
+    val gated =
+      if (autoThresholds) {
+        val th = TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
+          .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
+          .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
+        sig.crossJoin(broadcast(th))
+          .filter(col("cov3") <= col("cov3_t") && col("entropy") >= col("entropy_t") &&
+            col("mean_surprise") <= col("surprise_t"))
+      } else
+        sig.filter(col("cov3") <= 0.08 && col("entropy") >= 2.70 &&
+          col("mean_surprise") <= 3.46)
+    val gopherKeep = gated.select("doc_id").persist()
+    // registered for releaseCurationCache; a superseded predecessor
+    // (repeated calls in one session) is unpersisted on the spot, and
+    // entries of stopped sessions are dropped (same hygiene as lshMemo)
+    // so a bench/REPL loop cycling sessions can't pin dead plan graphs
+    // in driver memory
+    gopherKeepLive.synchronized {
+      gopherKeepLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      gopherKeepLive.put((s, dir), gopherKeep).foreach(_.unpersist()); ()
+    }
+    // 1. quality filter: v1 heuristics AND the Gopher-complete gate
+    val kept = base.filter(
+      col("n_chars") >= 50 && col("n_chars") <= 10000 &&
+        col("punct_ratio") <= 0.2 && col("stopword_ratio") =!= 0 &&
+        col("mean_word_len") <= 12)
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+    // 2. exact dedup: min doc_id per content hash
+    val exactKeep = kept.select(col("doc_id"), md5(col("text")).as("__h"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = kept.join(exactKeep, Seq("doc_id"), "left_semi")
+    // 3. near-dup clusters over the exact survivors + keeper
+    val corpus2 = exact.select("doc_id", "text")
+    val edges = Dedup.ngramJaccard(corpus2, "doc_id", col("text"), 3,
+        Dedup.minhashCandidates(corpus2, "doc_id", col("text"),
+          ngramN = 3, bands = 4, rowsPerBand = 3,
+          hashFn = Dedup.md5Hex, maxBucket = 200))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val ranked = Dedup.clusterRepresentatives(corpus2, "doc_id", edges)
+      .join(exact.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+    val kept3 = exact.join(
+      ranked.filter(col("__rk") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+    // 4. decontamination vs the bench set (derived from the cached base)
+    val bench = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text"))
+    val contaminated = Dedup.ngramContamination(kept3, "doc_id", col("text"),
+      bench, col("text"), 8).select(col("id").as("doc_id"))
+    val surv = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. sequence packing per (source, lang), 2048-token budget
+    val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    surv.select(col("doc_id"), col("source"), col("lang"),
+        col("n_tokens").as("n_tok"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+        floor((col("__cum") - col("n_tok")) / lit(2048.0))
+          .cast("long").as("pack_id"))
+  }
+
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
     * (id+10000) — scaling by a power of two is exact in IEEE754, and a
     * positive scale preserves every SRP sign bit, so each planted copy
@@ -351,21 +442,111 @@ object QueriesPipeline {
     * (discrete rank percentile — the value at row_number ceil(p·n), the
     * exact mirror of [[graft.operators.TextAnalysis.rankQuantile]]):
     * cov3 at p98, entropy at p04, surprise at p98 — the percentiles the
-    * round-7 constants sit at on this corpus family. */
+    * round-7 constants sit at on this corpus family. qsig is
+    * MATERIALIZED: the three threshold CTEs each reference it, and
+    * DuckDB's per-reference CTE inlining would otherwise re-expand the
+    * whole three-signal subtree (and its repeated documents scans) per
+    * reference — in the v3 pipeline composition that blowup exhausts
+    * file descriptors before it exhausts patience. */
   private lazy val sqlGateAutoBase =
     s"""$sqlGopherSignals,
-       |sig AS (SELECT qcov.doc_id, qcov.cov3, qent.entropy, qbsurp.mean_surprise
+       |qsig AS MATERIALIZED (SELECT qcov.doc_id, qcov.cov3, qent.entropy, qbsurp.mean_surprise
        |  FROM qcov JOIN qent USING (doc_id) JOIN qbsurp USING (doc_id)),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
-       |tc AS (SELECT cov3 AS t FROM (
-       |    SELECT cov3, row_number() OVER (ORDER BY cov3) AS rn FROM sig)
-       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM nn)),
-       |te AS (SELECT entropy AS t FROM (
-       |    SELECT entropy, row_number() OVER (ORDER BY entropy) AS rn FROM sig)
-       |  WHERE rn = (SELECT CAST(ceil(0.04 * n) AS BIGINT) FROM nn)),
-       |ts AS (SELECT mean_surprise AS t FROM (
-       |    SELECT mean_surprise, row_number() OVER (ORDER BY mean_surprise) AS rn FROM sig)
-       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM nn))""".stripMargin
+       |qnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qsig),
+       |qtc AS (SELECT cov3 AS t FROM (
+       |    SELECT cov3, row_number() OVER (ORDER BY cov3) AS rn FROM qsig)
+       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM qnn)),
+       |qte AS (SELECT entropy AS t FROM (
+       |    SELECT entropy, row_number() OVER (ORDER BY entropy) AS rn FROM qsig)
+       |  WHERE rn = (SELECT CAST(ceil(0.04 * n) AS BIGINT) FROM qnn)),
+       |qts AS (SELECT mean_surprise AS t FROM (
+       |    SELECT mean_surprise, row_number() OVER (ORDER BY mean_surprise) AS rn FROM qsig)
+       |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM qnn))""".stripMargin
+
+  /** [[sqlGateAutoBase]] extended with `gkeep` — the doc_ids the
+    * DATA-DERIVED Gopher gate keeps (v3's threshold regime). */
+  private lazy val sqlGopherKeepAuto =
+    s"""$sqlGateAutoBase,
+       |gkeep AS (SELECT doc_id FROM qsig
+       |  WHERE cov3 <= (SELECT t FROM qtc) AND entropy >= (SELECT t FROM qte)
+       |    AND mean_surprise <= (SELECT t FROM qts))""".stripMargin
+
+  /** The six-stage curation-pipeline replay (quality filter + gate,
+    * exact dedup, near-dup clusters via recursive CC, decontamination,
+    * packing), parameterized by the gkeep CTE chain: [[sqlGopherKeep]]
+    * for v2 (constant thresholds), [[sqlGopherKeepAuto]] for v3
+    * (rank-quantile derived). */
+  private def sqlCurationGatedOracle(gkeep: String): String = {
+      val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+        .map(sqlWordCount).mkString("(", " + ", ")")
+      s"""WITH RECURSIVE c0 AS (SELECT doc_id, source, lang, text,
+         |  length(text) AS nc,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+         |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+         |  $stop AS ns
+         |FROM documents),
+         |c1 AS (SELECT doc_id, source, lang, text, nc, nt,
+         |  round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS pr,
+         |  round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS sr,
+         |  round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS mwl
+         |FROM c0),
+         |$gkeep,
+         |f AS (SELECT * FROM c1
+         |      WHERE nc >= 50 AND nc <= 10000 AND pr <= 0.2
+         |        AND sr <> 0 AND mwl <= 12
+         |        AND doc_id IN (SELECT doc_id FROM gkeep)),
+         |x AS (SELECT f.* FROM f
+         |      JOIN (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) mk
+         |      USING (doc_id)),
+         |corpus3 AS (SELECT doc_id, text FROM x),
+         |$sqlGrams,
+         |$sqlBandedCapped,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p
+         |  JOIN grams ga ON ga.doc_id = p.id_a
+         |  JOIN grams gb ON gb.doc_id = p.id_b
+         |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jac
+         |  UNION SELECT id_b AS src, id_a AS dst FROM jac),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |         FROM walk GROUP BY src),
+         |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
+         |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
+         |ranked AS (
+         |  SELECT r.doc_id, row_number() OVER (PARTITION BY r.cluster_rep
+         |           ORDER BY x.nc DESC, r.doc_id ASC) AS rk
+         |  FROM rep r JOIN x USING (doc_id)),
+         |k3 AS (SELECT x.* FROM x JOIN ranked USING (doc_id) WHERE ranked.rk = 1),
+         |bench AS (
+         |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ctoks AS (SELECT doc_id, $sqlWords AS w FROM k3),
+         |btoks AS (SELECT doc_id, $sqlWords AS w FROM bench),
+         |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM ctoks),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM btoks),
+         |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+         |surv AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |packed AS (SELECT doc_id, source, lang, CAST(nt AS INTEGER) AS n_tok,
+         |  sum(CAST(nt AS INTEGER)) OVER (PARTITION BY source, lang
+         |                                 ORDER BY doc_id) AS cum
+         |FROM surv)
+         |SELECT doc_id, source, lang, n_tok,
+         | CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+         |FROM packed""".stripMargin
+  }
 
   private val sqlCandidatePairs =
     s"""WITH $sqlCorpus,
@@ -1584,10 +1765,10 @@ object QueriesPipeline {
     // the percentile_approx production path is unit-pinned against it.
     "q_gate_thresholds" -> ((s, dir) => {
       val (cov, ent, big) = gopherSignals(s, dir)
-      val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
-      TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
-        .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
-        .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
+      val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      TextAnalysis.rankQuantile(qsig, col("cov3"), 0.98, "cov3_t")
+        .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
+        .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
     }),
 
     // The self-calibrating quality gate: q_quality_gate_v2's shape with
@@ -1597,11 +1778,11 @@ object QueriesPipeline {
     // 0.08→0.0811 / 2.70→2.6927 / 3.46→3.4588); spec-pinned.
     "q_quality_gate_auto" -> ((s, dir) => {
       val (cov, ent, big) = gopherSignals(s, dir)
-      val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
-      val th = TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
-        .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
-        .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
-      sig.crossJoin(broadcast(th))
+      val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      val th = TextAnalysis.rankQuantile(qsig, col("cov3"), 0.98, "cov3_t")
+        .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
+        .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
+      qsig.crossJoin(broadcast(th))
         .select(col("doc_id"),
           when(col("cov3") > col("cov3_t"), "repetitive_spans")
             .when(col("entropy") < col("entropy_t"), "low_entropy")
@@ -1851,81 +2032,21 @@ object QueriesPipeline {
     // later stage) read the SAME persisted base: one scan of documents,
     // plan-pinned like v1. The bigram LM trains on the full corpus (as
     // the standalone gate does) — filters must not bias the LM.
-    "q_curation_pipeline_v2" -> ((s, dir) => {
-      val base = curationBase(s, dir).persist()
-      val d = base.select("doc_id", "text")
-      val nTokens = d.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
-      val cov = TextAnalysis.repeatedNgramCoverage(d, "doc_id", col("text"), Seq(3))
-        .select(col("doc_id"), col("cov3"))
-      val ent = TextAnalysis.charEntropy(d, "doc_id", col("text"))
-        .select(col("doc_id"), col("entropy"))
-      val big = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), nTokens)
-        .select(col("doc_id"), col("mean_surprise"))
-      // PERSISTED: every downstream stage (exact dedup, near-dup
-      // clustering, decontamination, packing) consumes `kept`, and each
-      // consumer would otherwise re-derive the full three-signal lineage
-      // — coverage and bigram surprise are the two most expensive scans
-      // in the composition. Measured at the 100x rung: 772.7 s without
-      // this persist vs the ~150 s sum of parts; the persisted frame is
-      // doc_id-only (a sliver). Same lifecycle as `base` above — the
-      // bench's per-query isolation reclaims it.
-      val gopherKeep = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
-        .filter(col("cov3") <= 0.08 && col("entropy") >= 2.70 &&
-          col("mean_surprise") <= 3.46)
-        .select("doc_id")
-        .persist()
-      // registered for releaseCurationCache; a superseded predecessor
-      // (repeated calls in one session) is unpersisted on the spot, and
-      // entries of stopped sessions are dropped (same hygiene as
-      // lshMemo) so a bench/REPL loop cycling sessions can't pin dead
-      // plan graphs in driver memory
-      gopherKeepLive.synchronized {
-        gopherKeepLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-        gopherKeepLive.put((s, dir), gopherKeep).foreach(_.unpersist()); ()
-      }
-      // 1. quality filter: v1 heuristics AND the Gopher-complete gate
-      val kept = base.filter(
-        col("n_chars") >= 50 && col("n_chars") <= 10000 &&
-          col("punct_ratio") <= 0.2 && col("stopword_ratio") =!= 0 &&
-          col("mean_word_len") <= 12)
-        .join(gopherKeep, Seq("doc_id"), "left_semi")
-      // 2. exact dedup: min doc_id per content hash
-      val exactKeep = kept.select(col("doc_id"), md5(col("text")).as("__h"))
-        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val exact = kept.join(exactKeep, Seq("doc_id"), "left_semi")
-      // 3. near-dup clusters over the exact survivors + keeper
-      val corpus2 = exact.select("doc_id", "text")
-      val edges = Dedup.ngramJaccard(corpus2, "doc_id", col("text"), 3,
-          Dedup.minhashCandidates(corpus2, "doc_id", col("text"),
-            ngramN = 3, bands = 4, rowsPerBand = 3,
-            hashFn = Dedup.md5Hex, maxBucket = 200))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("id_a"), col("id_b"))
-      val ranked = Dedup.clusterRepresentatives(corpus2, "doc_id", edges)
-        .join(exact.select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("cluster_rep"))
-            .orderBy(col("n_chars").desc, col("doc_id").asc)))
-      val kept3 = exact.join(
-        ranked.filter(col("__rk") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
-      // 4. decontamination vs the bench set (derived from the cached base)
-      val bench = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
-          concat(col("text"), lit(" zz zz")).as("text"))
-      val contaminated = Dedup.ngramContamination(kept3, "doc_id", col("text"),
-        bench, col("text"), 8).select(col("id").as("doc_id"))
-      val surv = kept3.join(contaminated, Seq("doc_id"), "left_anti")
-      // 5. sequence packing per (source, lang), 2048-token budget
-      val w = Window.partitionBy("source", "lang").orderBy("doc_id")
-      surv.select(col("doc_id"), col("source"), col("lang"),
-          col("n_tokens").as("n_tok"))
-        .withColumn("__cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
-          floor((col("__cum") - col("n_tok")) / lit(2048.0))
-            .cast("long").as("pack_id"))
-    }),
+    "q_curation_pipeline_v2" -> ((s, dir) =>
+      curationPipelineGated(s, dir, autoThresholds = false)),
+
+    // Curation pipeline v3 — the composition you'd SHIP: identical
+    // stages to v2, but the Gopher gate calibrates its three cutoffs
+    // from the corpus (q_gate_thresholds' rank-quantile derivation —
+    // cov3 p98 / entropy p04 / surprise p98) instead of freezing
+    // constants. The 100× rung measured WHY: under ScaleGen's
+    // vocabulary inflation the constant thresholds drop 100 % of
+    // documents (every token's surprise gains ln(100) ≈ 4.6 nats),
+    // while the derived thresholds track the corpus and keep the
+    // intended tail fractions. Same one-scan plan shape (PlanSpec pins
+    // both), same persisted doc-id gate sliver.
+    "q_curation_pipeline_v3" -> ((s, dir) =>
+      curationPipelineGated(s, dir, autoThresholds = true)),
 
     "q_filter_chain" -> ((s, dir) => {
       val comps = TextAnalysis.qualityComponents(col("text"))
@@ -2194,11 +2315,11 @@ object QueriesPipeline {
       // to the Spark path (the store is just persistence — the candidate
       // semantics are the batch×store cross sweep).
       "q_incremental_dedup" -> {
-        val sig = (0 until 12)
+        val qsig = (0 until 12)
           .map(seed => s"list_aggregate(list_transform(g, x -> md5('$seed:' || x)), 'min')")
           .mkString("[", ", ", "]")
         val bandRows = (0 until 4)
-          .map(b => s"SELECT doc_id, side, $b AS band, md5(sig[${b * 3 + 1}] || ',' || sig[${b * 3 + 2}] || ',' || sig[${b * 3 + 3}]) AS bh FROM sig")
+          .map(b => s"SELECT doc_id, side, $b AS band, md5(qsig[${b * 3 + 1}] || ',' || qsig[${b * 3 + 2}] || ',' || qsig[${b * 3 + 3}]) AS bh FROM qsig")
           .mkString("\n  UNION ALL\n  ")
         s"""WITH base AS (SELECT doc_id, text FROM documents WHERE len($sqlWords) >= 3),
            |corpus AS (
@@ -2213,7 +2334,7 @@ object QueriesPipeline {
            |grams AS (SELECT doc_id, side,
            |  list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
            |FROM toks),
-           |sig AS (SELECT doc_id, side, $sig AS sig FROM grams),
+           |qsig AS (SELECT doc_id, side, $qsig AS qsig FROM grams),
            |banded AS (
            |  $bandRows
            |),
@@ -2563,20 +2684,20 @@ object QueriesPipeline {
       // row_number ceil(p*n) — an observed datum, so tie order is moot)
       "q_gate_thresholds" ->
         s"""WITH $sqlGateAutoBase
-           |SELECT (SELECT t FROM tc) AS cov3_t,
-           |  (SELECT t FROM te) AS entropy_t,
-           |  (SELECT t FROM ts) AS surprise_t""".stripMargin,
+           |SELECT (SELECT t FROM qtc) AS cov3_t,
+           |  (SELECT t FROM qte) AS entropy_t,
+           |  (SELECT t FROM qts) AS surprise_t""".stripMargin,
 
       // the self-calibrating gate: gate-v2's CASE with the derived
       // thresholds substituted for the constants
       "q_quality_gate_auto" ->
         s"""WITH $sqlGateAutoBase,
            |gate AS (SELECT doc_id,
-           |  CASE WHEN cov3 > (SELECT t FROM tc) THEN 'repetitive_spans'
-           |       WHEN entropy < (SELECT t FROM te) THEN 'low_entropy'
-           |       WHEN mean_surprise > (SELECT t FROM ts) THEN 'incoherent'
+           |  CASE WHEN cov3 > (SELECT t FROM qtc) THEN 'repetitive_spans'
+           |       WHEN entropy < (SELECT t FROM qte) THEN 'low_entropy'
+           |       WHEN mean_surprise > (SELECT t FROM qts) THEN 'incoherent'
            |       ELSE 'keep' END AS reason
-           |FROM sig)
+           |FROM qsig)
            |SELECT doc_id, reason,
            |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM gate""".stripMargin,
@@ -3373,77 +3494,13 @@ object QueriesPipeline {
       // v2: the same six-stage replay with the Gopher-complete gate
       // (sqlGopherKeep, verbatim from q_quality_gate_v2's green oracle)
       // conjoined into the stage-1 filter
-      "q_curation_pipeline_v2" -> {
-        val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
-          .map(sqlWordCount).mkString("(", " + ", ")")
-        s"""WITH RECURSIVE c0 AS (SELECT doc_id, source, lang, text,
-           |  length(text) AS nc,
-           |  len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
-           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
-           |  $stop AS ns
-           |FROM documents),
-           |c1 AS (SELECT doc_id, source, lang, text, nc, nt,
-           |  round(CAST(np AS DOUBLE) / greatest(nc, 1), 6) AS pr,
-           |  round(CAST(ns AS DOUBLE) / greatest(nt, 1), 6) AS sr,
-           |  round(CAST(nc AS DOUBLE) / greatest(nt, 1), 6) AS mwl
-           |FROM c0),
-           |$sqlGopherKeep,
-           |f AS (SELECT * FROM c1
-           |      WHERE nc >= 50 AND nc <= 10000 AND pr <= 0.2
-           |        AND sr <> 0 AND mwl <= 12
-           |        AND doc_id IN (SELECT doc_id FROM gkeep)),
-           |x AS (SELECT f.* FROM f
-           |      JOIN (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)) mk
-           |      USING (doc_id)),
-           |corpus3 AS (SELECT doc_id, text FROM x),
-           |$sqlGrams,
-           |$sqlBandedCapped,
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM capped a JOIN capped b
-           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |jac AS (
-           |  SELECT p.id_a, p.id_b
-           |  FROM pairs p
-           |  JOIN grams ga ON ga.doc_id = p.id_a
-           |  JOIN grams gb ON gb.doc_id = p.id_b
-           |  WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-           |      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.6),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM jac
-           |  UNION SELECT id_b AS src, id_a AS dst FROM jac),
-           |walk(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
-           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-           |         FROM walk GROUP BY src),
-           |rep AS (SELECT c3.doc_id, coalesce(comp.cluster_rep, c3.doc_id) AS cluster_rep
-           |        FROM corpus3 c3 LEFT JOIN comp USING (doc_id)),
-           |ranked AS (
-           |  SELECT r.doc_id, row_number() OVER (PARTITION BY r.cluster_rep
-           |           ORDER BY x.nc DESC, r.doc_id ASC) AS rk
-           |  FROM rep r JOIN x USING (doc_id)),
-           |k3 AS (SELECT x.* FROM x JOIN ranked USING (doc_id) WHERE ranked.rk = 1),
-           |bench AS (
-           |  SELECT doc_id + 500000 AS doc_id, text || ' zz zz' AS text
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |ctoks AS (SELECT doc_id, $sqlWords AS w FROM k3),
-           |btoks AS (SELECT doc_id, $sqlWords AS w FROM bench),
-           |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM ctoks),
-           |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
-           |  range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')))) AS g FROM btoks),
-           |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
-           |surv AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-           |packed AS (SELECT doc_id, source, lang, CAST(nt AS INTEGER) AS n_tok,
-           |  sum(CAST(nt AS INTEGER)) OVER (PARTITION BY source, lang
-           |                                 ORDER BY doc_id) AS cum
-           |FROM surv)
-           |SELECT doc_id, source, lang, n_tok,
-           | CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
-           |FROM packed""".stripMargin
-      },
+      "q_curation_pipeline_v2" -> sqlCurationGatedOracle(sqlGopherKeep),
+
+      // v3: identical replay with the rank-quantile-derived gate
+      // (sqlGopherKeepAuto, verbatim from q_quality_gate_auto's green
+      // oracle) in place of the constants
+      "q_curation_pipeline_v3" -> sqlCurationGatedOracle(sqlGopherKeepAuto),
+
 
       "q_filter_chain" -> {
         val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")

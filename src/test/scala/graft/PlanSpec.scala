@@ -51,6 +51,21 @@ class PlanSpec extends AnyFunSuite {
     graft.QueriesPipeline.releaseCurationCache(spark, dir)
   }
 
+  test("q_curation_pipeline_v3 derives its thresholds while still reading ONE scan") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val q = SparkEntry.queries("q_curation_pipeline_v3")(spark, dir)
+    val lp = q.queryExecution.optimizedPlan
+    val rawDocScans = lp.collect {
+      case r: LogicalRelation if r.relation.toString.contains("documents") => r
+    }
+    assert(rawDocScans.isEmpty,
+      s"${rawDocScans.length} stage(s) re-scan documents.parquet past the cache")
+    assert(lp.collectLeaves().exists(_.isInstanceOf[InMemoryRelation]),
+      "pipeline stages do not read the cached base at all")
+    graft.QueriesPipeline.releaseCurationCache(spark, dir)
+  }
+
   test("q_predicate pushes filters into the parquet scan") {
     val p = plan("q_predicate")
     assert(p.contains("PushedFilters: ["))
