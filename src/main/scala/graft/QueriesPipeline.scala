@@ -1443,6 +1443,28 @@ object QueriesPipeline {
         "query_id", "qv", k = 20, books)
     }),
 
+    // IVF-residual PQ + exact refine — the family's USABLE operating
+    // point (round-8 verdict next-round #3): the scan composes IVF row
+    // pruning (nProbe 4 of 8 anchor cells — half the corpus) with
+    // 8-subspace residual-PQ codes (9 bytes/row vs 256 — a 28× scan
+    // shrink), then the ADC ranking only SHORTLISTS 200 rows/query
+    // whose raw vectors are fetched for an exact re-rank. Measured
+    // mean recall@20 = 0.900 (tools/IvfPqProbe) — against plain PQ's
+    // 0.36–0.44, the pipeline shape (probe → ADC shortlist → refine)
+    // is what buys recall, not codebook capacity alone. The whole path
+    // (anchor centroids, anchor residual codebooks, in-plan probe set,
+    // ADC, shortlist, re-rank) replays in the oracle.
+    "q_ann_recall_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = anchorCentroids(s, dir, 8)
+      val books = Similarity.ivfPqAnchorBooks(e, "vec_id", "embedding",
+        cents, m = 8, nBooks = 16)
+      Similarity.ivfPqRecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20, cents, books, nProbe = 4, refine = 200)
+    }),
+
     // SQ8 recall@20 — the fourth harness family: int8 max-abs scalar
     // quantization, no codebook, 4x byte shrink, rows never pruned
     // (n_cand = |corpus|, like PQ). Cosine over raw codes == cosine over
@@ -3015,6 +3037,99 @@ object QueriesPipeline {
            |ncand AS (SELECT query_id, count(*) AS n_cand FROM adcd GROUP BY query_id),
            |hits AS (SELECT e.query_id, count(*) AS h
            |  FROM exact e JOIN pqr l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id,
+           |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+           |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
+           |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      },
+
+      // IVFPQ + refine replay: anchor-8 centroids → per-row cell +
+      // residual → anchor-16 residual codebooks (8 subspaces) → per-row
+      // codes → per-query 4-cell probe set → residual-ADC over the
+      // probed rows (per-subspace distances summed in sidx order, as
+      // the Spark fold) → 200-row shortlist → exact-L2 re-rank → top-20
+      // against the exact cross-scan top-20. The heavy intermediates
+      // (cell, residual, codes, candidates) are MATERIALIZED — DuckDB's
+      // per-reference CTE inlining would re-expand the whole lineage.
+      "q_ann_recall_ivfpq" -> {
+        s"""WITH cents AS (
+           |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |ed AS (
+           |  SELECT e.vec_id, c.c_id,
+           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])", "cv")} AS d
+           |  FROM embeddings e CROSS JOIN cents c),
+           |cell AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
+           |  SELECT vec_id, c_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+           |  FROM ed) WHERE r = 1),
+           |res AS MATERIALIZED (
+           |  SELECT e.vec_id, cl.cell,
+           |    list_transform(range(1, 65),
+           |      i -> CAST(e.embedding AS DOUBLE[])[i] - c.cv[i]) AS rv
+           |  FROM embeddings e
+           |  JOIN cell cl ON cl.vec_id = e.vec_id
+           |  JOIN cents c ON c.c_id = cl.cell),
+           |books AS (SELECT vec_id AS b_id, rv AS bv FROM res WHERE vec_id < 16),
+           |sub AS (
+           |  SELECT r.vec_id, s.s AS sidx, b.b_id,
+           |    ${sqlD2("rv[s.s*8+1 : s.s*8+8]", "bv[s.s*8+1 : s.s*8+8]")} AS d
+           |  FROM res r, range(0, 8) s(s), books b),
+           |chosen AS MATERIALIZED (SELECT vec_id, sidx, b_id FROM (
+           |  SELECT vec_id, sidx, b_id,
+           |    row_number() OVER (PARTITION BY vec_id, sidx
+           |                       ORDER BY d ASC, b_id ASC) AS r
+           |  FROM sub) WHERE r = 1),
+           |qd AS (
+           |  SELECT q.query_id, c.c_id, ${sqlD2("qv", "cv")} AS d
+           |  FROM q CROSS JOIN cents c),
+           |probe AS (SELECT query_id, c_id AS cell FROM (
+           |  SELECT query_id, c_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, c_id ASC) AS r
+           |  FROM qd) WHERE r <= 4),
+           |cand AS MATERIALIZED (
+           |  SELECT p.query_id, c.vec_id, c.cell FROM cell c JOIN probe p USING (cell)),
+           |dq AS (
+           |  SELECT cand.query_id, ch.vec_id, ch.sidx,
+           |    ${sqlD2(
+               "list_transform(range(ch.sidx*8+1, ch.sidx*8+9), i -> q.qv[i] - c.cv[i])",
+               "b.bv[ch.sidx*8+1 : ch.sidx*8+8]")} AS d
+           |  FROM cand
+           |  JOIN chosen ch ON ch.vec_id = cand.vec_id
+           |  JOIN q ON q.query_id = cand.query_id
+           |  JOIN cents c ON c.c_id = cand.cell
+           |  JOIN books b ON b.b_id = ch.b_id),
+           |adcd AS (
+           |  SELECT query_id, vec_id,
+           |    round(list_reduce(list(d ORDER BY sidx), (x, y) -> x + y), 6) AS ad
+           |  FROM dq GROUP BY query_id, vec_id),
+           |short AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rk
+           |  FROM adcd) WHERE rk <= 200),
+           |refd AS (
+           |  SELECT s.query_id, s.vec_id,
+           |    round(${sqlD2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
+           |  FROM short s
+           |  JOIN embeddings e ON e.vec_id = s.vec_id
+           |  JOIN q ON q.query_id = s.query_id),
+           |approx AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
+           |  FROM refd) WHERE rk <= 20),
+           |exd AS (SELECT q.query_id, e.vec_id,
+           |    round(${sqlD2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
+           |  FROM embeddings e CROSS JOIN q),
+           |exact AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
+           |  FROM exd) WHERE rk <= 20),
+           |ncand AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
+           |hits AS (SELECT e.query_id, count(*) AS h
+           |  FROM exact e JOIN approx l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
            |  GROUP BY e.query_id)
            |SELECT q.query_id,
            |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,

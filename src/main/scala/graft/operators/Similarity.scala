@@ -795,4 +795,185 @@ object Similarity {
       .orderBy(col("adc_dist2").asc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- IVF-residual PQ (IVFADC — Jégou et al. 2011 §IV; the layout
+  // FAISS calls IVFPQ): PQ codes the RESIDUAL x − centroid(cell(x))
+  // instead of x itself. When the coarse quantizer captures real
+  // cluster structure the residuals are small and the same codebook
+  // budget spends itself on a tighter ball — the standard route from
+  // PQ's raw-vector distortion to a usable recall/compression point.
+  // (On an isotropic corpus with no cluster structure residual norms ≈
+  // vector norms and the gain honestly collapses — the recall harness
+  // measures it rather than asserting it.) --------------------------
+
+  /** `__pq_res` = x − centroids(ivf_cell): the residual column every
+    * IVFPQ stage shares. Assigns `ivf_cell` first when absent (same
+    * caller contract as [[ivfTopK]] when present). Narrow codegen map —
+    * the centroid matrix rides as one literal, indexed by the row's
+    * cell. */
+  def withIvfResidual(df: DataFrame, vecCol: String,
+                      centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val celled =
+      if (df.columns.contains("ivf_cell")) df
+      else withIvfCell(df, vecCol, centroids)
+    celled.withColumn("__pq_res",
+      zip_with(col(vecCol), element_at(centLit, col("ivf_cell") + 1),
+        (x, c) => x.cast("double") - c))
+  }
+
+  /** IVFPQ codebooks: [[pqTrain]] run on the residual column — m
+    * independent per-subspace k-means over x − centroid(cell(x)). */
+  def ivfPqTrain(df: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]], m: Int, k: Int,
+                 iters: Int = 5, sampleCap: Int = 10000): Array[Array[Array[Double]]] =
+    pqTrain(withIvfResidual(df, vecCol, centroids), "__pq_res", m, k,
+      iters, sampleCap)
+
+  /** Attach `ivf_cell` + `pq_code` where the code quantizes the
+    * residual. The stored row is (cell id, m sub-codes) — at m=8/k=256
+    * that is 9 bytes against 256 for a raw 64-dim float32 vector; the
+    * raw vector never needs to leave the writer. */
+  def ivfPqEncode(df: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pqEncode(withIvfResidual(df, vecCol, centroids), "__pq_res", codebooks)
+      .drop("__pq_res")
+
+  /** ANCHOR residual codebooks — the SQL-replayable IVFPQ regime (the
+    * [[ivfPqTrain]] twin of q_pq_ann's anchor-16 books): codewords are
+    * the residuals of the first `nBooks` vectors in `idCol` order,
+    * assigned to `centroids` with [[withIvfCell]]'s exact tie rule
+    * (first match of the minimum), sliced into m contiguous subspaces.
+    * An oracle re-derives the identical books from the same rows. */
+  def ivfPqAnchorBooks(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Double]], m: Int,
+                       nBooks: Int): Array[Array[Array[Double]]] = {
+    val anchors = df.filter(col(idCol) < nBooks).orderBy(idCol)
+      .select(vecCol).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    require(anchors.length == nBooks, s"need $nBooks anchor vectors, got ${anchors.length}")
+    val sub = anchors.head.length / m
+    val residuals = anchors.map { v =>
+      var best = 0; var bd = Double.MaxValue
+      centroids.indices.foreach { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c } // strict <: first-match tie rule
+      }
+      v.indices.map(i => v(i) - centroids(best)(i)).toArray
+    }
+    (0 until m).map { s =>
+      residuals.map(r => java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub))
+    }.toArray
+  }
+
+  /** ADC distance for IVFPQ: ‖(q − centroid(cell)) − codeword‖²
+    * accumulated per subspace. Each subspace touches only its dim/m
+    * slice of q and of the row's cell centroid (a zip3 of q-slice,
+    * centroid-slice, codeword), so per-row work stays ∝ dim — the
+    * residual is never materialized as a separately-projected column a
+    * CollapseProject pass could inline m times. */
+  private[operators] def ivfPqAdcTo(codeCol: Column, cellCol: Column, qVec: Column,
+                                    centroids: Array[Array[Double]],
+                                    codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cbLit = array(codebooks.toIndexedSeq.map(cb =>
+      array(cb.toIndexedSeq.map(cw =>
+        array(cw.toIndexedSeq.map(lit(_)): _*)): _*)): _*)
+    aggregate(
+      transform(sequence(lit(0), lit(m - 1)), s => {
+        val codeword = element_at(element_at(cbLit, s + 1),
+          element_at(codeCol, s + 1) + 1)
+        val qsub = slice(qVec, s * lit(sub) + lit(1), lit(sub))
+        val csub = slice(element_at(centLit, cellCol + 1),
+          s * lit(sub) + lit(1), lit(sub))
+        aggregate(
+          zip_with(zip_with(qsub, csub, (a, b) => a.cast("double") - b),
+            codeword, (d, w) => (d - w) * (d - w)),
+          lit(0.0), (acc, v) => acc + v)
+      }),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Recall@k harness for IVF-residual PQ — the fifth [[annRecallAtK]]
+    * sibling, composing IVF's ROW pruning with PQ's BYTE shrink: per
+    * query the `nProbe` nearest cells are found IN-PLAN (as
+    * [[ivfRecallAtK]]), candidates come from one broadcast
+    * `array_contains` join, and ranking is residual-ADC over the codes
+    * — the scan touches (cell, code) pairs only, never raw vectors.
+    * Exact side ranks by true squared L2 (ADC's metric, as
+    * [[pqRecallAtK]]); `n_cand` counts probed rows, so the cost column
+    * composes both savings: rows probed × bytes per row. */
+  def ivfPqRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, qidCol: String, qVecCol: String,
+                     k: Int, centroids: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     nProbe: Int, refine: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2ToLiteral(col(qVecCol), c).as("d"), lit(i).as("i"))
+    }
+    val qb = queries.select(col(qidCol), col(qVecCol),
+      transform(slice(array_sort(array(dStructs.toIndexedSeq: _*)), 1,
+          math.max(1, nProbe)), s => s.getField("i")).as("__probe"))
+    val encoded =
+      if (corpus.columns.contains("pq_code") && corpus.columns.contains("ivf_cell")) corpus
+      else ivfPqEncode(corpus, vecCol, centroids, codebooks)
+    val d2 = aggregate(
+      zip_with(col(vecCol), col(qVecCol),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val win = Window.partitionBy(col(qidCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    val exact = corpus.crossJoin(broadcast(qb.select(col(qidCol), col(qVecCol))))
+      .select(col(qidCol), col(idCol), round(d2, 6).as("__d"))
+      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+      .select(col(qidCol), col(idCol))
+    val cand = encoded.join(broadcast(qb),
+      array_contains(col("__probe"), col("ivf_cell")))
+    val adcRanked = cand
+      .select(col(qidCol), col(idCol),
+        round(ivfPqAdcTo(col("pq_code"), col("ivf_cell"), col(qVecCol),
+          centroids, codebooks), 6).as("__d"))
+      .withColumn("__r", row_number().over(win))
+    // refine > 0: the serving pipeline's second stage — the ADC ranking
+    // only SHORTLISTS `refine` rows per query; the raw vectors of the
+    // shortlist (and only those — `refine` point lookups per query at
+    // 100 TB, against a store keyed by id) are fetched for an exact
+    // re-rank. Compression applies to the SCAN; exactness to the final
+    // ordering — the standard way PQ reaches high recall without giving
+    // back its byte savings on the scan side.
+    val approx =
+      if (refine <= 0)
+        adcRanked.filter(col("__r") <= k).select(col(qidCol), col(idCol))
+      else {
+        val short = adcRanked.filter(col("__r") <= refine)
+          .select(col(qidCol), col(idCol))
+        short
+          .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+          .join(broadcast(qb.select(col(qidCol), col(qVecCol))), Seq(qidCol))
+          .select(col(qidCol), col(idCol), round(d2, 6).as("__d"))
+          .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+          .select(col(qidCol), col(idCol))
+      }
+    val nCand = cand.groupBy(col(qidCol)).agg(count(lit(1)).as("n_cand"))
+    val hits = exact.join(approx, Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("__hits"))
+    qb.select(col(qidCol))
+      .join(nCand, Seq(qidCol), "left")
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
 }

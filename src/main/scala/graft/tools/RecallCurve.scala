@@ -81,6 +81,19 @@ object RecallCurve {
       Similarity.sq8RecallAtK(e, queries, "vec_id", "embedding",
         "query_id", "qv", k = 20), "n_cand")
 
+    // IVF-residual PQ + exact refine — the gated q_ann_recall_ivfpq
+    // operating point plus its knob neighborhood (tools/IvfPqProbe has
+    // the full grid)
+    val acents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val abooks = Similarity.ivfPqAnchorBooks(e, "vec_id", "embedding",
+      acents, m = 8, nBooks = 16)
+    for (refine <- Seq(0, 100, 200))
+      report(s"ivfpq anchor8/16 m=8 nProbe=4 refine=$refine",
+        Similarity.ivfPqRecallAtK(e, queries, "vec_id", "embedding",
+          "query_id", "qv", k = 20, acents, abooks, nProbe = 4, refine), "n_cand")
+
     spark.stop()
   }
 }

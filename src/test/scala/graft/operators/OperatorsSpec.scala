@@ -1317,6 +1317,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 12L)) // n_cand = whole corpus: SQ8 shrinks bytes, not rows
   }
 
+  test("ivfPq: anchor books are exact residuals; encode round-trips them to code 0-distance") {
+    val s = spark
+    import s.implicits._
+    // two clean clusters; centroids at their centers
+    val c0 = (0 until 4).map(i => (i.toLong, Array(1.0f, 0.1f * i, 0f, 0f)))
+    val c1 = (4 until 8).map(i => (i.toLong, Array(0f, 0f, 1.0f, 0.1f * (i - 4))))
+    val df = (c0 ++ c1).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.15, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.15))
+    val books = Similarity.ivfPqAnchorBooks(df, "vec_id", "embedding", cents,
+      m = 2, nBooks = 4)
+    // book codewords ARE the first 4 residuals: anchor j's residual in
+    // subspace s equals v_j - centroid(cell(v_j)) sliced
+    assert(books.length == 2 && books(0).length == 4)
+    assert(books(0)(0).toSeq == Seq(0.0, 0.1 * 0 - 0.15))
+    assert(books(1)(2).toSeq == Seq(0.0, 0.0))
+    // encoding an anchor must find its own residual at distance 0 —
+    // code == its own book index (ties impossible: residuals distinct)
+    val enc = Similarity.ivfPqEncode(df, "embedding", cents, books)
+      .orderBy("vec_id").select("vec_id", "ivf_cell", "pq_code").collect()
+    assert(enc(0).getInt(1) == 0 && enc(5).getInt(1) == 1)
+    (0 until 4).foreach { j =>
+      assert(enc(j).getSeq[Int](2).head == j, s"anchor $j did not encode to itself")
+    }
+  }
+
+  test("ivfPqRecallAtK: refine re-rank recovers exact order on clustered data") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(8)(0.02f * (i % 5)); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cents = Similarity.kmeansCentroids(df, "embedding", k = 4)
+    val books = Similarity.ivfPqTrain(df, "embedding", cents, m = 2, k = 4)
+    // probe ALL cells and refine the full corpus: the exact re-rank then
+    // reproduces the exact top-k regardless of code distortion → recall 1
+    val out = Similarity.ivfPqRecallAtK(df, qs, "vec_id", "embedding",
+      "query_id", "qv", k = 3, cents, books, nProbe = 4, refine = 24).collect()
+    assert(out.length == 3 && out.forall(_.getDouble(2) == 1.0))
+    // and the unrefined ADC ranking at the same probe budget may err but
+    // never exceeds the probed candidate count
+    assert(out.forall(_.getLong(1) == 24L))
+  }
+
   test("pairwiseCosineCandidatesAuto sizes planes from the corpus; exact dups never split") {
     val s = spark
     import s.implicits._
