@@ -463,6 +463,17 @@ object QueriesPipeline {
        |    SELECT mean_surprise, row_number() OVER (ORDER BY mean_surprise) AS rn FROM qsig)
        |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM qnn))""".stripMargin
 
+  /** The q_bpe_encode gate's merge table — a FIXED literal shared by
+    * the Spark query and its oracle (an oracle string cannot read the
+    * corpus, so a trained table can't gate; [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * loop is pinned separately on Sennrich's worked example). Common
+    * English merges in learned-rank style: each row rewrites adjacent
+    * (left, right) to left+right, greedy-left, in list order. */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("i", "n"), ("a", "n"), ("an", "d"), ("and", "</w>"),
+    ("o", "f"), ("of", "</w>"), ("in", "</w>"))
+
   /** [[sqlGateAutoBase]] extended with `gkeep` — the doc_ids the
     * DATA-DERIVED Gopher gate keeps (v3's threshold regime). */
   private lazy val sqlGopherKeepAuto =
@@ -2098,6 +2109,39 @@ object QueriesPipeline {
       HeavyHitters.heavyTermsByGroup(t(s, dir, "documents"), "lang", col("text"),
         denom = 100L, k = 256)),
 
+    // Compression-ratio signal (CCNet lineage) gated end-to-end — the
+    // suite's first ROWS-ONLY entry (the q_lsh_prod-precedent trade,
+    // round-8 verdict #5: no SQL engine exposes deflate, so the driver
+    // records the weaker rows+schema check while the byte-level values
+    // stay pinned by DeflateLen's cross-implementation unit oracle):
+    // per doc raw/deflate bytes + ratio, plus the keep flag at the
+    // corpus-derived p98 rank-quantile cutoff — the same data-derived
+    // threshold discipline as q_quality_gate_auto (long-range verbatim
+    // repetition that n-gram statistics miss is exactly what inflates
+    // the ratio's right tail).
+    "q_compression_ratio" -> ((s, dir) => {
+      val ratios = TextAnalysis.compressionRatio(
+        t(s, dir, "documents"), "doc_id", "text")
+      val th = TextAnalysis.rankQuantile(ratios, col("compress_ratio"), 0.98, "ratio_t")
+      ratios.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+          col("compress_ratio"),
+          (col("compress_ratio") <= col("ratio_t")).cast("int").as("keep"))
+    }),
+
+    // BPE ENCODE gated end-to-end (round-8 verdict #6): the merge table
+    // is a small shared literal (bpeGateMerges), so DuckDB replays the
+    // greedy-left merge fold exactly — the oracle wraps every symbol in
+    //  markers and applies each merge as a left-to-right
+    // non-overlapping replace (provably the same greedy-left semantics
+    // as the aggregate() fold; the marker wrapping prevents cross-symbol
+    // suffix matches). Output is the real per-doc BPE token stream +
+    // count — the token budget q_token_pack's whitespace proxy
+    // approximates.
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+        bpeGateMerges)),
+
     // Sequence packing — assign each doc to a token-budgeted training
     // pack (2048-token bins, contiguous in doc_id order within each
     // (source, lang) slice): pack_id = floor(prefix_tokens / budget).
@@ -2584,6 +2628,34 @@ object QueriesPipeline {
            |  JOIN grams ga ON ga.doc_id = p.id_a
            |  JOIN grams gb ON gb.doc_id = p.id_b)
            |WHERE jaccard >= 0.6""".stripMargin,
+
+      // BPE-encode replay: every symbol rides wrapped in  markers
+      // ("<US>sym<US>"), each merge (l, r) → l+r is one left-to-right
+      // non-overlapping replace of "<US>l<US><US>r<US>" — identical to
+      // the greedy-left aggregate() fold (a just-merged tail can never
+      // re-match as l, and the double marker between symbols prevents
+      // cross-symbol suffix matches and boundary sharing). Tokenization
+      // mirrors bpeEncode exactly: whitespace split of trim(text), no
+      // lowercasing, empties dropped.
+      "q_bpe_encode" -> {
+        val sep = "\u001f" // US (unit separator) — absent from document text
+        val chars = s"list_transform(range(1, length(w) + 1), i -> '$sep' || w[i] || '$sep')"
+        val syms0 = s"(array_to_string($chars, '') || '$sep</w>$sep')"
+        val merged = bpeGateMerges.foldLeft(syms0) { case (acc, (l, r)) =>
+          s"replace($acc, '$sep$l$sep$sep$r$sep', '$sep${l + r}$sep')"
+        }
+        s"""WITH wt AS (SELECT doc_id,
+           |  list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           |              w -> len(w) > 0) AS ws
+           |FROM documents),
+           |enc AS (SELECT doc_id,
+           |  flatten(list_transform(ws,
+           |    w -> string_split(trim($merged, '$sep'), '$sep$sep'))) AS bpe_tokens
+           |FROM wt)
+           |SELECT doc_id, bpe_tokens,
+           |  CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
+           |FROM enc""".stripMargin
+      },
 
       // Per distinct token the -ln p cost is rounded to integer
       // micro-nats (transcendental isolated to one rounded value per
