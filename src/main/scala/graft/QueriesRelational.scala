@@ -147,6 +147,28 @@ object QueriesRelational {
           sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
     }),
 
+    // The skew CLOSED LOOP (round-8 verdict #7): the salted plan is
+    // chosen FROM the diagnosis, not hand-configured — keySkew reports
+    // the join key's heaviest keys, saltFactorFromSkew sizes S so the
+    // hottest key's share spreads to ≤ one fair partition load at the
+    // session's shuffle parallelism (S = 1 ⇒ salting off), and the
+    // join runs salted at that S. The oracle sees only the plain join
+    // semantics — the equivalence holds for EVERY S by the salt-
+    // invariance property, so the data-dependent S never leaks into
+    // correctness.
+    "q_skew_join_auto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+      val report = graft.operators.HeavyHitters.keySkew(li, "l_partkey", k = 20)
+      val saltF = graft.operators.Skew.saltFactorFromSkew(report,
+        partitions = s.sessionState.conf.numShufflePartitions)
+      val part = t(s, dir, "part").select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Skew.saltedJoin(li, part, Seq("l_partkey"), saltF)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+    }),
+
     // CO-LOCATED join through the gate: both sides written once as
     // bucketed + in-bucket-sorted catalog tables on the join key, then
     // joined — the SMJ plans with no Exchange on either side (the plan
@@ -362,6 +384,14 @@ object QueriesRelational {
         |GROUP BY n_name""".stripMargin,
 
     "q_skew_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    // identical plain-join semantics: the diagnosis-derived salt factor
+    // must be invisible to the result
+    "q_skew_join_auto" ->
       """SELECT p_brand, count(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -31,6 +31,34 @@ object Skew {
   def rowSalt(df: DataFrame, saltFactor: Int): Column =
     pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int")
 
+  /** Salt factor chosen FROM a [[HeavyHitters.keySkew]] report — the
+    * closed loop between diagnosis and mitigation: the hottest key's
+    * `share` says what fraction of all rows one reducer would receive
+    * un-salted; spreading it across S sub-keys divides that by S, so the
+    * smallest S with share·partitions/S ≤ targetLoad (fair partition
+    * loads ≈ targetLoad × 1/partitions) is
+    * ceil(share · partitions / targetLoad). Returns 1 — salting off,
+    * `saltedJoin(…, 1)` degenerates to the plain join — when the
+    * heaviest key already fits a fair share; capped at `maxSalt`
+    * because S also multiplies the replicated small side.
+    *
+    * The report is top-k rows by construction, so the collect here is
+    * bounded metadata, not data. Correctness never depends on the
+    * returned value (the salted join's result is salt-invariant — the
+    * property test pins it); only the load distribution does. */
+  def saltFactorFromSkew(skewReport: DataFrame, partitions: Int,
+                         targetLoad: Double = 1.0, maxSalt: Int = 64): Int = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    require(targetLoad > 0, s"targetLoad must be > 0, got $targetLoad")
+    require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
+    val maxShare = skewReport.agg(max(col("share"))).head() match {
+      case r if r.isNullAt(0) => 0.0 // empty report: nothing to spread
+      case r                  => r.getDouble(0)
+    }
+    val s = math.ceil(maxShare * partitions / targetLoad).toInt
+    math.min(maxSalt, math.max(1, s))
+  }
+
   /** Salted inner equi-join of a skewed big side with a small side. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {

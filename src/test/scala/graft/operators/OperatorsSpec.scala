@@ -222,6 +222,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saltSpread > 1)
   }
 
+  test("saltFactorFromSkew sizes S from the diagnosis and closes the loop") {
+    val s = spark
+    import s.implicits._
+    // hot key = 80% of 1000 rows: at 32 partitions the fair share is
+    // 1/32, so S = ceil(0.8 * 32) = 26
+    val big = ((1 to 800).map(_ => (1L, "hot")) ++
+      (1 to 200).map(i => ((i % 50) + 2L, "cold"))).toDF("k", "v")
+    val report = HeavyHitters.keySkew(big, "k", k = 20)
+    assert(Skew.saltFactorFromSkew(report, partitions = 32) == 26)
+    assert(Skew.saltFactorFromSkew(report, partitions = 32, maxSalt = 8) == 8)
+    // uniform keys: heaviest share ≈ 1/50 under 32 partitions → S = 1 (off)
+    val uniform = (1 to 1000).map(i => (i % 50L, "u")).toDF("k", "v")
+    assert(Skew.saltFactorFromSkew(
+      HeavyHitters.keySkew(uniform, "k", k = 20), partitions = 32) == 1)
+    // empty input → empty report → S = 1
+    assert(Skew.saltFactorFromSkew(
+      HeavyHitters.keySkew(big.filter(col("k") < 0), "k"), partitions = 32) == 1)
+    // the closed loop: join salted at the DERIVED factor equals the plain join
+    val small = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val derived = Skew.saltFactorFromSkew(report, partitions = 32)
+    val salted = Skew.saltedJoin(big, small, Seq("k"), derived).select("k", "v", "name")
+    assert(Checksum.tablesMatch(salted, big.join(small, Seq("k")).select("k", "v", "name")))
+  }
+
   test("salted-join result is salt-independent: invariant under any repartitioning") {
     // the pinned guarantee (Skew.rowSalt scaladoc): repartitioning shifts
     // monotonically_increasing_id — and therefore every salt value — but
