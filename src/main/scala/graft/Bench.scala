@@ -95,7 +95,13 @@ object Bench {
     * (one banded signature cache per corpus — see
     * [[QueriesPipeline]] lshCandidates). */
   private val LshFamily =
-    Seq("q_minhash_pairs", "q_jaccard", "q_dedup_cluster", "q_cluster_keep")
+    Seq("q_minhash_pairs", "q_jaccard", "q_dedup_cluster", "q_cluster_keep",
+      // round-9 additions: all three consume the same memoized md5
+      // banded-candidate frame (lshCandidates) — at the 100× rung their
+      // recorded numbers were fill-inclusive (q_minhash_est 191 s of
+      // which ~100 s was the shared fill) while the four above got the
+      // fixture treatment; same accounting for the same dependency
+      "q_dedup_recall", "q_minhash_est", "q_lsh_prod")
 
   private def gcMillis: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

@@ -148,10 +148,52 @@ object QueriesPipeline {
   private val gopherKeepLive =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** v3's persisted signal sliver, same lifecycle as [[gopherKeepLive]]. */
+  private val sigLive =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** The joined (cov3, entropy, mean_surprise) per-doc frame, PERSISTED
+    * and registered for [[releaseCurationCache]] — the rank-quantile
+    * derivations are three-to-four consumers of this sliver, and each
+    * would otherwise re-derive the full three-signal lineage (coverage
+    * and bigram surprise are whole-corpus scans; measured as the
+    * q_gate_thresholds entry in the 100× rung's slowest-10 before this
+    * persist). MEMOIZED per (session, dir): q_curation_pipeline_v3,
+    * q_gate_thresholds and q_quality_gate_auto all consume the same
+    * sliver, and bench/verify never release it between queries — one
+    * fill serves all three (v3's in-pipeline registration seeds the
+    * same slot, so whichever runs first pays). The signal derivation
+    * (which runs a corpus-count job) stays OUTSIDE the lock. */
+  private def persistedGateSig(s: SparkSession, dir: String): DataFrame = {
+    sigLive.synchronized { sigLive.get((s, dir)) } match {
+      case Some(qsig) if !s.sparkContext.isStopped =>
+        // an external clearCache (bench hygiene between queries) may have
+        // dropped the persist out from under the memoized handle — in
+        // that state the handle would silently recompute the full
+        // three-signal lineage PER CONSUMER, the exact defect this memo
+        // exists to prevent. Re-persisting the same handle re-arms the
+        // cache without re-running the corpus-count job a rebuild costs.
+        if (qsig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          qsig.persist()
+        qsig
+      case _ =>
+        val (cov, ent, big) = gopherSignals(s, dir)
+        val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id")).persist()
+        sigLive.synchronized {
+          sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+          sigLive.put((s, dir), qsig).foreach(_.unpersist()); ()
+        }
+        qsig
+    }
+  }
+
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
     curationBase(s, dir).unpersist()
     gopherKeepLive.synchronized {
       gopherKeepLive.remove((s, dir)).foreach(_.unpersist())
+    }
+    sigLive.synchronized {
+      sigLive.remove((s, dir)).foreach(_.unpersist())
     }
     ()
   }
@@ -195,7 +237,14 @@ object QueriesPipeline {
       .select(col("doc_id"), col("entropy"))
     val big = TextAnalysis.bigramSurprise(d, "doc_id", col("text"), nTokens)
       .select(col("doc_id"), col("mean_surprise"))
-    val sig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+    val sigRaw = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+    // v3 PERSISTS the joined signal frame (a 4-column sliver): the three
+    // rank-quantile derivations and the gate filter are FOUR consumers,
+    // and each would otherwise re-derive the full three-signal lineage —
+    // the same trap the gate-set persist fixed for v2's downstream
+    // stages (772.7 → 84.9 s at the 100× rung). v2 has one consumer, so
+    // it skips the persist.
+    val sig = if (autoThresholds) sigRaw.persist() else sigRaw
     // the gate: keep docs inside all three signal tails — cutoffs either
     // frozen (v2) or derived from the corpus at the percentiles the
     // constants sit at (v3; thresholds are one broadcast row)
@@ -211,6 +260,12 @@ object QueriesPipeline {
         sig.filter(col("cov3") <= 0.08 && col("entropy") >= 2.70 &&
           col("mean_surprise") <= 3.46)
     val gopherKeep = gated.select("doc_id").persist()
+    // the signal sliver has served its four consumers once gopherKeep
+    // materializes; register it for the same release hook
+    if (autoThresholds) sigLive.synchronized {
+      sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      sigLive.put((s, dir), sig).foreach(_.unpersist()); ()
+    }
     // registered for releaseCurationCache; a superseded predecessor
     // (repeated calls in one session) is unpersisted on the spot, and
     // entries of stopped sessions are dropped (same hygiene as lshMemo)
@@ -1797,8 +1852,7 @@ object QueriesPipeline {
     // Exact discrete rank (rankQuantile) so the oracle replays the value;
     // the percentile_approx production path is unit-pinned against it.
     "q_gate_thresholds" -> ((s, dir) => {
-      val (cov, ent, big) = gopherSignals(s, dir)
-      val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      val qsig = persistedGateSig(s, dir)
       TextAnalysis.rankQuantile(qsig, col("cov3"), 0.98, "cov3_t")
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
@@ -1810,8 +1864,7 @@ object QueriesPipeline {
     // twin on 498/500 docs (the 2 flips sit inside the threshold gap
     // 0.08→0.0811 / 2.70→2.6927 / 3.46→3.4588); spec-pinned.
     "q_quality_gate_auto" -> ((s, dir) => {
-      val (cov, ent, big) = gopherSignals(s, dir)
-      val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id"))
+      val qsig = persistedGateSig(s, dir)
       val th = TextAnalysis.rankQuantile(qsig, col("cov3"), 0.98, "cov3_t")
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
