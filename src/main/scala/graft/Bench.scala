@@ -284,6 +284,10 @@ object Bench {
         if (iow0 < 0 || sec <= 0) -1.0
         else math.max(0.0, sysIowaitSec - iow0) / (sec * NCores)
       val (thrN1, thrS1) = cgThrottle
+      // one progress line per timed execution — before this, diagnosing
+      // a slow run meant guessing which query a warning flood belonged
+      // to from timestamps (it cost two sessions at the 100× rung)
+      System.err.println(f"[bench] $name done in $sec%.1f s")
       QStat(if (ok) sec.toString else "\"failed\"",
         if (ok) Some(sec) else None, gcMillis - gc0, storageBytes(spark),
         math.max(load0, loadAvg), cpu, ext, cpuStall, ioStall, iowaitSh,

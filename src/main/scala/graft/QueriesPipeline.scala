@@ -152,6 +152,22 @@ object QueriesPipeline {
   private val sigLive =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersist a superseded predecessor ONLY when its canonicalized plan
+    * differs from the replacement's. CacheManager keys entries by
+    * canonical plan, not by DataFrame handle: when a rerun registers a
+    * fresh frame with the IDENTICAL plan, unpersisting the predecessor
+    * removes the very cache entry the fresh frame just created —
+    * silently resurrecting the per-consumer recompute the persist
+    * exists to prevent. Measured before this guard: the 100× rerun
+    * probe re-ran q_curation_pipeline_v3 at 19× its recorded time
+    * (2813 s vs 145 s), flooding ~150 k single-partition window
+    * executions, because every rerun uncached its own gate set and
+    * signal sliver at registration. A same-plan predecessor SHARES the
+    * entry, so there is nothing to release. */
+  private[graft] def evictSuperseded(old: DataFrame, nu: DataFrame): Unit =
+    if (!old.queryExecution.analyzed.sameResult(nu.queryExecution.analyzed))
+      old.unpersist()
+
   /** The joined (cov3, entropy, mean_surprise) per-doc frame, PERSISTED
     * and registered for [[releaseCurationCache]] — the rank-quantile
     * derivations are three-to-four consumers of this sliver, and each
@@ -181,7 +197,7 @@ object QueriesPipeline {
         val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id")).persist()
         sigLive.synchronized {
           sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-          sigLive.put((s, dir), qsig).foreach(_.unpersist()); ()
+          sigLive.put((s, dir), qsig).foreach(evictSuperseded(_, qsig)); ()
         }
         qsig
     }
@@ -264,7 +280,7 @@ object QueriesPipeline {
     // materializes; register it for the same release hook
     if (autoThresholds) sigLive.synchronized {
       sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      sigLive.put((s, dir), sig).foreach(_.unpersist()); ()
+      sigLive.put((s, dir), sig).foreach(evictSuperseded(_, sig)); ()
     }
     // registered for releaseCurationCache; a superseded predecessor
     // (repeated calls in one session) is unpersisted on the spot, and
@@ -273,7 +289,8 @@ object QueriesPipeline {
     // in driver memory
     gopherKeepLive.synchronized {
       gopherKeepLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      gopherKeepLive.put((s, dir), gopherKeep).foreach(_.unpersist()); ()
+      gopherKeepLive.put((s, dir), gopherKeep)
+        .foreach(evictSuperseded(_, gopherKeep)); ()
     }
     // 1. quality filter: v1 heuristics AND the Gopher-complete gate
     val kept = base.filter(
@@ -1917,6 +1934,43 @@ object QueriesPipeline {
     // without the dropped chunks. The rewrite q_chunk_dedup only detects.
     "q_chunk_dedup_apply" -> ((s, dir) =>
       TextAnalysis.chunkDedupApply(t(s, dir, "documents"), "doc_id", "text")),
+
+    // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
+    // of chunk-dedup: an 8-token chunk present in ≥ 20 distinct docs is
+    // dropped from EVERY doc (dedup keeps one copy; a cookie banner
+    // should survive in zero). The corpus plants the structure the
+    // word-soup fixture lacks: ⅔ of each source's docs get the source's
+    // 8-token banner PREPENDED (window-aligned, so every planted doc's
+    // chunk 0 is the banner — the prefix alignment is why it's prepended
+    // not appended), ~16 docs/source at sf0.01 (25/source × ⅔) ≥ the
+    // 12-doc cut; organic word-soup chunks never approach it.
+    "q_boilerplate" -> ((s, dir) => {
+      val banner = concat_ws(" ", lit("standard"), lit("header"),
+        lit("notice"), lit("from"), col("source"), lit("all"),
+        lit("rights"), lit("reserved"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 2, concat(banner, lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.boilerplateStrip(planted, "doc_id", "text",
+        window = 8, minDocs = 12)
+    }),
+
+    // CCNet head/middle/tail partition: per-LANGUAGE terciles of the
+    // unigram-surprise fluency signal (absolute perplexities don't
+    // compare across languages — the reason CCNet buckets within
+    // language). Exact grouped rank quantiles here (oracle parity,
+    // partitioned windows — never global); percentile_approx twin
+    // unit-pinned (ccnetBucketsApprox).
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val docs = d.select("doc_id", "text")
+      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      val sig = TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("mean_surprise"))
+      TextAnalysis.ccnetBuckets(sig, "doc_id", "lang", col("mean_surprise"))
+    }),
 
     // Per-language corpus length statistics (exact median over ints —
     // identical midpoint interpolation in both engines).
@@ -3602,6 +3656,76 @@ object QueriesPipeline {
            |  COALESCE(string_agg(k.ct, ' ' ORDER BY k.idx), '') AS clean_text
            |FROM toks t LEFT JOIN kept k USING (doc_id)
            |GROUP BY t.doc_id""".stripMargin,
+
+      // boilerplate strip: chunks in >= 12 distinct docs dropped from
+      // every doc; the planted per-source banner is prepended (window-
+      // aligned) to 2/3 of each source's docs
+      "q_boilerplate" ->
+        s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 <> 2
+           |      THEN 'standard header notice from ' || source ||
+           |           ' all rights reserved ' || text
+           |      ELSE text END AS text
+           |  FROM documents),
+           |toks AS (SELECT doc_id, $sqlWords AS w FROM planted),
+           |chunks AS MATERIALIZED (SELECT doc_id, i AS idx,
+           |  array_to_string(w[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ') AS ct,
+           |  md5(array_to_string(w[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ')) AS h
+           |FROM toks, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+           |boiler AS (SELECT h FROM (
+           |  SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+           |  WHERE nd >= 12),
+           |kept AS (SELECT doc_id, idx, ct FROM chunks
+           |  WHERE h NOT IN (SELECT h FROM boiler))
+           |SELECT t.doc_id,
+           |  CAST(ceil(max(len(t.w)) / 8.0) AS BIGINT) AS n_chunks,
+           |  CAST(count(k.idx) AS BIGINT) AS n_kept,
+           |  CAST(ceil(max(len(t.w)) / 8.0) AS BIGINT)
+           |    - CAST(count(k.idx) AS BIGINT) AS n_dropped,
+           |  COALESCE(string_agg(k.ct, ' ' ORDER BY k.idx), '') AS clean_text
+           |FROM toks t LEFT JOIN kept k USING (doc_id)
+           |GROUP BY t.doc_id""".stripMargin,
+
+      // CCNet head/middle/tail: per-language terciles of mean unigram
+      // surprise; value at exact rank ceil(n_lang * p) — deterministic
+      // under value ties (the value AT a fixed rank is order-free).
+      // sig is MATERIALIZED: it fans out to rk and the final select,
+      // and inlining would re-run the whole surprise subtree per
+      // reference (the CTE-expansion trap the v3 oracle hit).
+      "q_ccnet_buckets" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+           |t2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t2),
+           |cost AS (
+           |  SELECT tok,
+           |    CAST(round(1000000.0 * ln((SELECT total FROM n) / count(*))) AS BIGINT)
+           |      AS micro_nats
+           |  FROM t2 GROUP BY tok),
+           |sur AS (
+           |  SELECT t2.doc_id,
+           |    round(CAST(sum(cost.micro_nats) AS DOUBLE) / count(*) / 1000000.0, 6)
+           |      AS mean_surprise
+           |  FROM t2 JOIN cost USING (tok) GROUP BY t2.doc_id),
+           |sig AS MATERIALIZED (
+           |  SELECT s.doc_id, d.lang, s.mean_surprise
+           |  FROM sur s JOIN documents d USING (doc_id)),
+           |rk AS (SELECT lang, mean_surprise,
+           |    row_number() OVER (PARTITION BY lang ORDER BY mean_surprise) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM sig),
+           |th AS (SELECT lang,
+           |    max(CASE WHEN rn = CAST(ceil(n * 0.33) AS BIGINT)
+           |        THEN mean_surprise END) AS t_head,
+           |    max(CASE WHEN rn = CAST(ceil(n * 0.67) AS BIGINT)
+           |        THEN mean_surprise END) AS t_mid
+           |  FROM rk GROUP BY lang)
+           |SELECT sig.doc_id, sig.lang, sig.mean_surprise,
+           |  CASE WHEN sig.mean_surprise <= th.t_head THEN 'head'
+           |       WHEN sig.mean_surprise <= th.t_mid THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM sig JOIN th USING (lang)""".stripMargin,
 
       "q_length_stats" ->
         """SELECT lang, count(*) AS n_docs,

@@ -651,6 +651,124 @@ object TextAnalysis {
     * once (zero when the kept-index frame broadcasts), the same cost as
     * any per-doc enrichment join; cleaned text is rebuilt from the
     * document's own token array at the final projection. */
+  /** CCNet-style BOILERPLATE strip — the frequency twin of
+    * [[chunkDedupApply]] and the missing half of line-level dedup
+    * (Wenzek et al. '20 drop lines duplicated across documents; Penedo
+    * et al. '23 RefinedWeb §3.2 likewise): an 8-token chunk that appears
+    * in `minDocs` OR MORE DISTINCT documents is boilerplate (headers,
+    * footers, navigation, legal notices) and is dropped from EVERY
+    * document — including the first, which is what separates this from
+    * dedup's keep-one-copy rule (a cookie banner in 40 k docs should
+    * survive in zero of them, not one).
+    *
+    * Scale shape: chunk text never enters an exchange — the frequency
+    * count shuffles (md5, doc_id) pairs only, with a map-side distinct
+    * (within-doc repeats of a chunk count once). The flagged set is the
+    * frequent-chunk vocabulary — bounded by corpus_chunks / minDocs and
+    * in practice tiny (boilerplate is by definition few distinct strings
+    * repeated massively) — and broadcasts to an anti join, so the
+    * per-doc rebuild is one partition-local pass. The skewed key danger
+    * of a popular chunk hash never materializes: frequency counting is
+    * a map-side-combined count, not a pair join. */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 8, minDocs: Int = 20): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
+    // size>0 guard: sequence(0, -1) steps DOWNWARD on an empty token
+    // array (same hazard [[chunkDedupApply]] documents)
+    val chunks = toks.filter(size(col("__w")) > 0).select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0),
+          (ceil(size(col("__w")).cast("double") / window) - 1).cast("int")),
+        i => md5(array_join(slice(col("__w"), i * window + 1, lit(window)), " "))))
+        .as(Seq("__idx", "__h")))
+    val boiler = chunks.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__h")
+    val kept = chunks.join(broadcast(boiler), Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
+    toks.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        ceil(size(col("__w")).cast("double") / window).cast("long").as("n_chunks"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        (ceil(size(col("__w")).cast("double") / window).cast("long") -
+          coalesce(size(col("__keep")), lit(0)).cast("long")).as("n_dropped"),
+        coalesce(
+          array_join(flatten(transform(col("__keep"),
+            i => slice(col("__w"), i * window + 1, lit(window)))), " "),
+          lit("")).as("clean_text"))
+  }
+
+  /** Per-GROUP exact discrete rank quantile — [[rankQuantile]] with the
+    * window partitioned by a group key instead of global: within each
+    * group, the value at rank ceil(n_g · p). Returns one row per group
+    * `(group, outName)`. The partitioned window is the point: groups
+    * sort in parallel, and no single-partition global sort exists in the
+    * plan (the scale hazard the global variant documents). For
+    * million-row groups the production regime is
+    * `percentile_approx` grouped aggregation ([[ccnetBucketsApprox]]);
+    * this exact form is the oracle-replayable diagnostic that pins it. */
+  def rankQuantileBy(df: DataFrame, groupCol: String, valueCol: Column,
+                     p: Double, outName: String): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol), valueCol.as("__v"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+      .filter(col("__rn") === ceil(col("__n") * lit(p)).cast("long"))
+      .select(col(groupCol), col("__v").as(outName))
+  }
+
+  /** CCNet head/middle/tail partition (Wenzek et al. '20 §4.3): within
+    * each language, documents are bucketed by corpus-derived terciles of
+    * a fluency signal (there: KenLM perplexity; here: the portable
+    * [[unigramSurprise]] mean — same decision, exactly replayable).
+    * `head` = most fluent third (lowest surprise), the slice used for
+    * high-quality pretraining mixes; `tail` = the discard/low-weight
+    * candidate. Thresholds are PER LANGUAGE — absolute perplexities are
+    * not comparable across languages, which is the whole reason CCNet
+    * buckets within language rather than globally.
+    *
+    * Input: one row per doc with (id, group, value). Output adds
+    * `bucket`. Thresholds ride a broadcast join (one row per language).
+    * Cutoffs at p33/p67 of the rounded signal; boundary docs (value
+    * exactly at a threshold) go to the better bucket, matching `<=`. */
+  def ccnetBuckets(df: DataFrame, idCol: String, groupCol: String,
+                   valueCol: Column): DataFrame = {
+    val tHead = rankQuantileBy(df, groupCol, valueCol, 0.33, "__t_head")
+    val tMid = rankQuantileBy(df, groupCol, valueCol, 0.67, "__t_mid")
+    df.join(broadcast(tHead), Seq(groupCol))
+      .join(broadcast(tMid), Seq(groupCol))
+      .select(col(idCol), col(groupCol), valueCol,
+        when(valueCol <= col("__t_head"), "head")
+          .when(valueCol <= col("__t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Production regime of [[ccnetBuckets]]: per-group thresholds from a
+    * single `percentile_approx` grouped aggregation (codegen'd, map-side
+    * partial — no per-group sort, no window) instead of the exact
+    * partitioned-window rank. At 100 TB the exact form's per-language
+    * sort is the bottleneck; this one is a plain two-pass aggregate.
+    * Unit-pinned against the exact twin on the test corpus (the same
+    * constant-vs-derived precedent as q_quality_gate_auto). */
+  def ccnetBucketsApprox(df: DataFrame, idCol: String, groupCol: String,
+                         valueCol: Column, accuracy: Int = 10000): DataFrame = {
+    val th = df.groupBy(col(groupCol))
+      .agg(percentile_approx(valueCol, array(lit(0.33), lit(0.67)),
+        lit(accuracy)).as("__t"))
+      .select(col(groupCol), element_at(col("__t"), 1).as("__t_head"),
+        element_at(col("__t"), 2).as("__t_mid"))
+    df.join(broadcast(th), Seq(groupCol))
+      .select(col(idCol), col(groupCol), valueCol,
+        when(valueCol <= col("__t_head"), "head")
+          .when(valueCol <= col("__t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   def chunkDedupApply(df: DataFrame, idCol: String, textCol: String,
                       window: Int = 8): DataFrame = {
     require(window > 0, s"window must be positive, got $window")

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The LSH candidate memo's staleness contract is enforced by DATA
@@ -50,5 +51,32 @@ class PipelineCacheSpec extends AnyFunSuite {
     assert(secondIds.forall(id => (id % 100000) >= 10 && (id % 100000) <= 12),
       s"memo served stale candidates: ids $secondIds")
     graft.QueriesPipeline.invalidateLshCache(Some(dir))
+  }
+
+  test("evictSuperseded: a same-plan predecessor must NOT uncache the replacement") {
+    // CacheManager keys entries by canonicalized plan, not handle: a
+    // rerun that registers a fresh frame with the identical plan and
+    // then unpersists its predecessor removes the entry the fresh frame
+    // just created (measured at the 100× rung: the rerun probe re-ran
+    // q_curation_pipeline_v3 at 19× its recorded time because every
+    // rerun uncached its own gate set at registration).
+    val s = spark
+    import s.implicits._
+    val mk = () => Seq((1L, "a"), (2L, "b")).toDF("id", "t").filter(col("id") > 0)
+    val old = mk().persist()
+    old.count()
+    val nu = mk() // identical canonical plan — shares old's cache entry
+    assert(nu.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "same-plan frame should report the shared cache entry")
+    graft.QueriesPipeline.evictSuperseded(old, nu)
+    assert(nu.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "evicting a same-plan predecessor destroyed the replacement's cache entry")
+    // a genuinely different predecessor IS released
+    val other = Seq((9L, "z")).toDF("id", "t").persist()
+    other.count()
+    graft.QueriesPipeline.evictSuperseded(other, nu)
+    assert(other.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "different-plan predecessor should be unpersisted")
+    nu.unpersist()
   }
 }

@@ -629,6 +629,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
   }
 
+  test("boilerplateStrip drops >=minDocs chunks from EVERY doc; infrequent chunks kept") {
+    val banner = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    // banner in 3 docs (minDocs=3) → dropped from all three, INCLUDING
+    // the first occurrence (the rule that separates boilerplate from
+    // dedup); c shared by only 2 docs → kept in both
+    val out = TextAnalysis.boilerplateStrip(
+      docs(1L -> s"$banner $c", 2L -> s"$banner $c", 3L -> s"$banner x1 x2"),
+      "doc_id", "text", window = 8, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, c)))
+    assert(out(2L) == ((2L, 1L, 1L, c)))
+    assert(out(3L) == ((2L, 1L, 1L, "x1 x2")))
+  }
+
+  test("boilerplateStrip frequency counts distinct DOCS, not occurrences") {
+    val banner = (1 to 8).map(i => s"b$i").mkString(" ")
+    // 3 occurrences across 2 docs — below a 3-DOC cut, kept everywhere
+    // (an occurrence count would wrongly flag it)
+    val out = TextAnalysis.boilerplateStrip(
+      docs(1L -> s"$banner $banner", 2L -> s"$banner y1"),
+      "doc_id", "text", window = 8, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((0L, s"$banner $banner")))
+    assert(out(2L) == ((0L, s"$banner y1")))
+  }
+
+  test("ccnetBuckets: per-group terciles, hand-computed; approx twin agrees") {
+    val s = spark
+    import s.implicits._
+    // lang a (n=9): t_head = 3rd (ceil(2.97)) = 3, t_mid = 7th (ceil(6.03)) = 7
+    // lang b (n=3): t_head = 1st = 10, t_mid = 3rd = 12 — per-group
+    // independence: b's thresholds ignore a's values entirely
+    val df = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      (10 to 12).map(i => (i.toLong, "b", i.toDouble))).toDF("id", "lang", "v")
+    val out = TextAnalysis.ccnetBuckets(df, "id", "lang", col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == "head"))
+    assert(Seq(4L, 5L, 6L, 7L).forall(out(_) == "middle"))
+    assert(Seq(8L, 9L).forall(out(_) == "tail"))
+    assert(out(10L) == "head" && out(11L) == "middle" && out(12L) == "middle")
+    // production percentile_approx twin: agreement within the sketch's
+    // boundary tolerance on a 100-value group (>= 98/100 — the same
+    // derived-vs-exact pin style as q_quality_gate_auto's 498/500)
+    val big = (1 to 100).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "lang", "v")
+    val exact = TextAnalysis.ccnetBuckets(big, "id", "lang", col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val approx = TextAnalysis.ccnetBucketsApprox(big, "id", "lang", col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx.count { case (k, v) => exact(k) == v } >= 98,
+      s"approx/exact bucket agreement below 98/100")
+    // buckets are contiguous by value in both regimes
+    assert(exact.toSeq.sortBy(_._1).map(_._2).mkString
+      .matches("(head)+(middle)+(tail)+"))
+    assert(approx.toSeq.sortBy(_._1).map(_._2).mkString
+      .matches("(head)+(middle)+(tail)+"))
+  }
+
+  test("rankQuantileBy: per-group rank selection never sees other groups") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0)) ++
+      Seq((4L, "b", 100.0), (5L, "b", 200.0))).toDF("id", "g", "v")
+    val out = TextAnalysis.rankQuantileBy(df, "g", col("v"), 0.5, "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 5.0, "b" -> 100.0)) // ceil(3*.5)=2nd; ceil(2*.5)=1st
+  }
+
   test("rankQuantile: discrete rank percentile, hand-computed; sketch path agrees") {
     val s = spark
     import s.implicits._
