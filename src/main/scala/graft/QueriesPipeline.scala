@@ -1416,6 +1416,21 @@ object QueriesPipeline {
       Dedup.clusterRepresentatives(corpus, "doc_id", edges)
     }),
 
+    // Leakage-free split: split key = near-dup cluster REPRESENTATIVE,
+    // so no near-dup pair straddles train/val (per-doc hashing puts one
+    // copy of ~37 % of dup pairs in each side — manufactured benchmark
+    // contamination). Same cluster computation as q_dedup_cluster; the
+    // split itself is a narrow map over the rep column.
+    "q_leakfree_split" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val edges = Dedup.ngramJaccard(corpus, "doc_id", col("text"), 3,
+          lshCandidates(s, dir))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
+      Sampling.leakFreeSplit(
+        Dedup.clusterRepresentatives(corpus, "doc_id", edges), "doc_id")
+    }),
+
     // Corpus-mix report: the curation dashboard query — docs, bytes, and
     // average tokens per (source, lang) slice. Token sums are exact
     // integers, so the averages are deterministic single divisions.
@@ -3403,6 +3418,17 @@ object QueriesPipeline {
           | count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_len,
           | min(doc_id) AS first_doc
           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // leak-free split: same recursive cluster closure as
+      // q_dedup_cluster; the split hashes the REPRESENTATIVE (md5 of its
+      // decimal string — q_hash_split's proven encoding)
+      "q_leakfree_split" ->
+        s"""$sqlClusterClosure
+           |SELECT doc_id, cluster_rep,
+           | CASE WHEN instr('0123456789ab',
+           |        substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1)) > 0
+           |      THEN 'train' ELSE 'val' END AS split
+           |FROM rep""".stripMargin,
 
       // Mix rebalance replayed with the same integer quota arithmetic:
       // N = min(n_s*100 // w_s), quota_s = w_s*N // 100, keepers =

@@ -34,6 +34,27 @@ object Sampling {
       .otherwise(lit("val"))
   }
 
+  /** LEAKAGE-FREE train/holdout split: the split key is the document's
+    * near-dup CLUSTER REPRESENTATIVE, not the document itself, so every
+    * member of a duplicate cluster lands in the same split and no
+    * near-duplicate pair ever straddles train/eval. Per-document
+    * hashing ([[splitLabel]] on doc_id) leaks: a pair of near-dups
+    * hashes independently, and with a 12/16 train fraction ~37 % of
+    * dup pairs end up with one copy in train and one in eval —
+    * benchmark contamination manufactured by your own splitter. The
+    * standard guard in every serious pretraining pipeline (the
+    * document-level complement of the decontamination sweep).
+    *
+    * Input: any frame carrying (idCol, cluster_rep) — e.g.
+    * [[graft.operators.Dedup.clusterRepresentatives]]'s output, where
+    * singletons are their own rep, so unclustered docs split exactly
+    * like [[splitLabel]]. A narrow codegen'd map over the rep column —
+    * no shuffle beyond what the cluster computation already paid. */
+  def leakFreeSplit(reps: DataFrame, idCol: String,
+                    trainSixteenths: Int = 12): DataFrame =
+    reps.select(col(idCol), col("cluster_rep"),
+      splitLabel(col("cluster_rep"), trainSixteenths).as("split"))
+
   /** Stratified cap: keep at most `k` rows per stratum, chosen
     * DETERMINISTICALLY by md5-hash order of the key (not by arrival
     * order — stable under any partitioning). The window partitions by

@@ -629,6 +629,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
   }
 
+  test("leakFreeSplit co-locates every cluster; the per-doc control provably leaks") {
+    val s = spark
+    import s.implicits._
+    // 200 two-doc near-dup clusters: members (i, i+1000), rep = i
+    val reps = (0L until 200L).flatMap(i => Seq((i, i), (i + 1000L, i)))
+      .toDF("doc_id", "cluster_rep")
+    val out = Sampling.leakFreeSplit(reps, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 400)
+    // every cluster's members share ONE split — zero straddling pairs
+    assert(out.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // both splits are populated (the label actually varies by rep)
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("train", "val"))
+    // the CONTROL: hashing each doc independently (q_hash_split's rule)
+    // splits ~2·(12/16)·(4/16) ≈ 37 % of pairs across train/val — the
+    // manufactured eval contamination this operator exists to prevent
+    val perDoc = reps
+      .select(col("cluster_rep"), Sampling.splitLabel(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val straddled =
+      perDoc.groupBy(_._1).values.count(_.map(_._2).distinct.length > 1)
+    assert(straddled > 40, s"per-doc control straddled only $straddled of 200")
+  }
+
   test("boilerplateStrip drops >=minDocs chunks from EVERY doc; infrequent chunks kept") {
     val banner = (1 to 8).map(i => s"b$i").mkString(" ")
     val c = (1 to 8).map(i => s"c$i").mkString(" ")
