@@ -99,6 +99,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLenExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_bpe_encode(text, merges): merges must be a string literal")
+        val packed = children(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_encode(text, merges): merges must be a string literal, got $other")
+        }
+        BpeEncodeExpr(children.head, packed)
+      }))
     injectIntArg(ext, "graft_md5_minhash",
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",
