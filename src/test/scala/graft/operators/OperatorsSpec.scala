@@ -629,6 +629,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
   }
 
+  test("bpeEncode native path: empty/whitespace/null text edges") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val df = Seq((1L, "ab ab"), (2L, ""), (3L, "   "), (4L, "x"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((5L, Option.empty[String])).toDF("doc_id", "text"))
+    val out = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    assert(out(1L) == List("ab</w>", "ab</w>")) // both merges chain per word
+    assert(out(2L) == Nil && out(3L) == Nil)    // no words -> empty token array
+    assert(out(4L) == List("x", "</w>"))        // no merge applies
+    assert(out(5L) == null)                      // null propagates
+    // pack/unpack round-trip and its validation
+    assert(graft.functions.BpeEncode.unpack(
+      graft.functions.BpeEncode.pack(merges)).toSeq == Seq("a", "b", "ab", "</w>"))
+    intercept[IllegalArgumentException] {
+      graft.functions.BpeEncode.pack(Seq(("a b", "c")))
+    }
+  }
+
   test("leakFreeSplit co-locates every cluster; the per-doc control provably leaks") {
     val s = spark
     import s.implicits._
