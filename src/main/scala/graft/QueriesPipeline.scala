@@ -1416,6 +1416,19 @@ object QueriesPipeline {
       Dedup.clusterRepresentatives(corpus, "doc_id", edges)
     }),
 
+    // Quality-classifier scoring — the supervised stage of the curation
+    // stack: a linear model over the three gate signals, weights FROZEN
+    // as integer-valued literals (exact doubles — a trained table can't
+    // gate because the oracle string can't read the corpus; the TRAINER
+    // is pinned separately: logisticTrain recovers a planted separator
+    // at >=98% train accuracy in the spec). keep = logit > 0; the
+    // sigmoid is monotone so exp never enters the gate (micro-nat
+    // discipline). Signals ride the persisted gate sliver.
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.logisticScore(persistedGateSig(s, dir), "doc_id",
+        Seq("cov3" -> -20.0, "entropy" -> 10.0, "mean_surprise" -> -12.0),
+        bias = 13.0)),
+
     // Leakage-free split: split key = near-dup cluster REPRESENTATIVE,
     // so no near-dup pair straddles train/val (per-doc hashing puts one
     // copy of ~37 % of dup pairs in each side — manufactured benchmark
@@ -3418,6 +3431,22 @@ object QueriesPipeline {
           | count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_len,
           | min(doc_id) AS first_doc
           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // quality classifier: same signal frame as the threshold gates;
+      // the logit's term order is left-associative in BOTH engines and
+      // the weights are integer-valued (exact doubles), so the double
+      // arithmetic replays bit-for-bit
+      "q_quality_classifier" ->
+        s"""WITH $sqlGopherSignals,
+           |qsig AS MATERIALIZED (
+           |  SELECT qcov.doc_id, qcov.cov3, qent.entropy, qbsurp.mean_surprise
+           |  FROM qcov JOIN qent USING (doc_id) JOIN qbsurp USING (doc_id))
+           |SELECT doc_id, cov3, entropy, mean_surprise,
+           |  round(13.0 + cov3 * -20.0 + entropy * 10.0
+           |    + mean_surprise * -12.0, 6) AS logit,
+           |  (13.0 + cov3 * -20.0 + entropy * 10.0
+           |    + mean_surprise * -12.0) > 0 AS keep
+           |FROM qsig""".stripMargin,
 
       // leak-free split: same recursive cluster closure as
       // q_dedup_cluster; the split hashes the REPRESENTATIVE (md5 of its

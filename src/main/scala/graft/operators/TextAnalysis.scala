@@ -760,6 +760,75 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Distributed LOGISTIC-REGRESSION trainer for quality-classifier
+    * weights — the supervised stage of the CCNet/Dolma-style curation
+    * stack (their fastText/LM quality classifiers reduce to exactly
+    * this: a linear model over per-doc signals). Batch gradient
+    * descent where EACH ITERATION IS ONE AGGREGATION JOB: the gradient
+    * of the log-loss is Σ (σ(w·x) − y)·x — a (d+1)-vector computed by
+    * one map-side-combined `agg` over the corpus with the current
+    * weights riding as literals (the same driver-loop-over-aggregates
+    * shape as [[graft.operators.Similarity.kmeansCentroids]]). Driver
+    * state is the weight vector; I/O is `iters` corpus scans — cache
+    * the (features, label) sliver first, or subsample: GD on an
+    * i.i.d. sample converges to the same separator.
+    *
+    * Features are standardized internally (one extra agg for mean/std)
+    * so one learning rate fits signals on different scales; returned
+    * weights are UNSCALED back to the original feature space
+    * (bias +: per-feature), directly usable by [[logisticScore]]. */
+  def logisticTrain(df: DataFrame, features: Seq[String], labelCol: String,
+                    iters: Int = 60, lr: Double = 2.0): Array[Double] = {
+    require(features.nonEmpty && iters > 0)
+    val statRow = df.agg(count(lit(1)).as("n"),
+      features.flatMap(f => Seq(
+        avg(col(f)).as(s"__m_$f"), stddev_pop(col(f)).as(s"__s_$f"))): _*).head()
+    val n = statRow.getLong(0).toDouble
+    require(n > 0, "logisticTrain needs rows")
+    val mu = features.indices.map(i => statRow.getDouble(1 + 2 * i)).toArray
+    val sd = features.indices
+      .map(i => math.max(statRow.getDouble(2 + 2 * i), 1e-12)).toArray
+    var w = Array.fill(features.length + 1)(0.0) // standardized space
+    var it = 0
+    while (it < iters) {
+      val z = features.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (f, i)) =>
+        acc + (col(f).cast("double") - lit(mu(i))) / lit(sd(i)) * lit(w(i + 1))
+      }
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col(labelCol).cast("double")
+      val gRow = df.agg(sum(err).as("g0"),
+        features.zipWithIndex.map { case (f, i) =>
+          sum(err * (col(f).cast("double") - lit(mu(i))) / lit(sd(i)))
+            .as(s"g${i + 1}")
+        }: _*).head()
+      var j = 0
+      while (j <= features.length) {
+        w(j) -= lr * gRow.getDouble(j) / n; j += 1
+      }
+      it += 1
+    }
+    // unscale: z = w0 + Σ wi (x−μ)/σ  ⇒  origWi = wi/σ, origW0 = w0 − Σ wi μ/σ
+    val orig = new Array[Double](features.length + 1)
+    orig(0) = w(0) - features.indices.map(i => w(i + 1) * mu(i) / sd(i)).sum
+    features.indices.foreach(i => orig(i + 1) = w(i + 1) / sd(i))
+    orig
+  }
+
+  /** Score rows with a linear quality model: `logit = bias + Σ wi·xi`
+    * (LEFT-ASSOCIATIVE, term order = `features` order — the fixed
+    * evaluation order is what lets a SQL oracle replay the exact
+    * double) and `keep = logit > 0`. The sigmoid is monotone, so the
+    * keep decision never needs it — `exp` (the one transcendental)
+    * stays out of the gate entirely, the same determinism discipline
+    * as the micro-nat surprise costs. A narrow codegen'd map. */
+  def logisticScore(df: DataFrame, idCol: String,
+                    features: Seq[(String, Double)], bias: Double): DataFrame = {
+    val z = features.foldLeft(lit(bias)) { case (acc, (f, wi)) =>
+      acc + col(f).cast("double") * lit(wi)
+    }
+    df.select(col(idCol) +: features.map { case (f, _) => col(f) } :+
+      round(z, 6).as("logit") :+ (z > 0).as("keep"): _*)
+  }
+
   def chunkDedupApply(df: DataFrame, idCol: String, textCol: String,
                       window: Int = 8): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
