@@ -37,10 +37,22 @@ object BpeEncode {
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var syms = new Array[String](w.length + 1)
+        // Seed symbols by CODE POINT, not UTF-16 code unit: the Spark
+        // split(w, "") fold this replaces and the DuckDB oracle's w[i]
+        // both index code points, and charAt-stepping would tear
+        // surrogate pairs (emoji, CJK ext-B) into unpaired halves that
+        // UTF8String.fromString mangles to '?'.
+        val nCp = w.codePointCount(0, w.length)
+        var syms = new Array[String](nCp + 1)
         var ci = 0
-        while (ci < w.length) { syms(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
-        syms(w.length) = "</w>"
+        var si0 = 0
+        while (ci < w.length) {
+          val step = Character.charCount(w.codePointAt(ci))
+          syms(si0) = w.substring(ci, ci + step)
+          ci += step
+          si0 += 1
+        }
+        syms(nCp) = "</w>"
         var m = 0
         while (m < merges.length) {
           syms = graft.operators.TextAnalysis.mergeSyms(

@@ -651,6 +651,59 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("logisticTrain recovers a planted separator at >=98% train accuracy; " +
+      "logisticScore reproduces the keep decisions") {
+    val s = spark
+    import s.implicits._
+    // Planted separator in 2 features: label = [2*x1 - x2 + 0.5 > 0].
+    // Deterministic lattice points (no RNG — repeatable), margin-free
+    // points excluded so GD has a clean target.
+    val pts = for {
+      i <- 0 until 40; j <- 0 until 40
+      x1 = i / 10.0 - 2.0; x2 = j / 10.0 - 2.0
+      z = 2.0 * x1 - x2 + 0.5
+      if math.abs(z) > 0.05
+    } yield (x1, x2, if (z > 0) 1 else 0)
+    val df = pts.toDF("x1", "x2", "label").cache()
+    val w = TextAnalysis.logisticTrain(df, Seq("x1", "x2"), "label",
+      iters = 120, lr = 2.0)
+    assert(w.length == 3)
+    // train accuracy of the recovered separator
+    val scored = TextAnalysis.logisticScore(
+      df.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", Seq("x1" -> w(1), "x2" -> w(2)), bias = w(0))
+    val acc = scored.join(
+        df.withColumn("doc_id", monotonically_increasing_id()),
+        Seq("doc_id", "x1", "x2"))
+      .select(avg(when(col("keep") === (col("label") === 1), 1.0)
+        .otherwise(0.0)).as("acc")).head().getDouble(0)
+    assert(acc >= 0.98, s"train accuracy $acc below 0.98")
+    // logisticScore's keep must be exactly the sign of its own logit
+    val bad = scored.filter((col("logit") > 0) =!= col("keep")).count()
+    assert(bad == 0, "keep must equal logit > 0 row-for-row")
+    df.unpersist()
+  }
+
+  test("bpeEncode native path: non-BMP code points stay whole symbols") {
+    val s = spark
+    import s.implicits._
+    // 😀 (U+1F600) and 𠀀 (U+20000, CJK ext-B) are surrogate PAIRS in
+    // UTF-16 — a charAt-stepping seed loop tears them into unpaired
+    // halves that UTF8String mangles to '?'. The symbol seed must index
+    // by code point, matching both the split(w, "") fold this Expression
+    // replaced and the DuckDB oracle's code-point w[i].
+    val emoji = "😀"   // 😀
+    val cjkB = "𠀀"   // 𠀀
+    val merges = Seq((emoji, emoji), ("a", "b"))
+    val df = Seq((1L, s"$emoji$emoji$cjkB ab$emoji")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // word 1: [😀,😀,𠀀,</w>] -> merge(😀,😀) -> [😀😀,𠀀,</w>]
+    // word 2: [a,b,😀,</w>] -> merge(a,b) -> [ab,😀,</w>]
+    assert(out(1L) == List(emoji + emoji, cjkB, "</w>", "ab", emoji, "</w>"))
+    assert(!out(1L).exists(_.contains("?")), "no mangled surrogate halves")
+  }
+
   test("leakFreeSplit co-locates every cluster; the per-doc control provably leaks") {
     val s = spark
     import s.implicits._
