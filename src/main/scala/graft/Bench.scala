@@ -451,6 +451,17 @@ object Bench {
         s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
+    // The driver captures a bounded TAIL of stdout and its parser has
+    // landed mid-line inside the per-query maps two rounds running
+    // (BENCH_r08/r09 both record parsed: null). Emit a compact,
+    // self-contained summary as the LAST stdout line so the tail parse
+    // always sees one complete JSON object; the full line above (and
+    // outPath) still carries the per-query detail.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""sf":"$sfDir","failed":${failed.size},""" +
+        s""""self_certified":$selfCertified}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
