@@ -148,9 +148,37 @@ object QueriesPipeline {
   private val gopherKeepLive =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Compute-once holder for the gate-signal sliver: the BUILD
+    * (a corpus-count job + the three-signal lineage + persist) runs
+    * under the holder's OWN lock, so two concurrent consumers of the
+    * same (session, dir) serialize into one builder instead of each
+    * running the signal-derivation job and persisting duplicate slivers
+    * — while builders for different keys never block each other and the
+    * global registry lock is never held across a Spark job. */
+  private final class SigHolder(s: SparkSession, dir: String) {
+    private var built: Option[DataFrame] = None
+    def frame: DataFrame = synchronized {
+      built.getOrElse {
+        val (cov, ent, big) = gopherSignals(s, dir)
+        val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id")).persist()
+        built = Some(qsig)
+        qsig
+      }
+    }
+    /** The frame iff already built — release must not force a build. */
+    def builtFrame: Option[DataFrame] = synchronized(built)
+    /** Install an externally-built sliver (v3's in-pipeline persist) —
+      * a different-plan predecessor is released on the spot, a
+      * same-plan one shares the cache entry ([[evictSuperseded]]). */
+    def seed(qsig: DataFrame): Unit = synchronized {
+      built.foreach(evictSuperseded(_, qsig))
+      built = Some(qsig)
+    }
+  }
+
   /** v3's persisted signal sliver, same lifecycle as [[gopherKeepLive]]. */
   private val sigLive =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), SigHolder]
 
   /** Unpersist a superseded predecessor ONLY when its canonicalized plan
     * differs from the replacement's. CacheManager keys entries by
@@ -178,29 +206,26 @@ object QueriesPipeline {
     * q_gate_thresholds and q_quality_gate_auto all consume the same
     * sliver, and bench/verify never release it between queries — one
     * fill serves all three (v3's in-pipeline registration seeds the
-    * same slot, so whichever runs first pays). The signal derivation
-    * (which runs a corpus-count job) stays OUTSIDE the lock. */
+    * same slot, so whichever runs first pays). Compute-once: the map
+    * lock only installs a [[SigHolder]]; the signal derivation (which
+    * runs a corpus-count job) happens under the holder's lock, so
+    * exactly ONE builder runs per (session, dir) even under concurrent
+    * consumers, and no duplicate sliver is ever persisted-then-leaked. */
   private def persistedGateSig(s: SparkSession, dir: String): DataFrame = {
-    sigLive.synchronized { sigLive.get((s, dir)) } match {
-      case Some(qsig) if !s.sparkContext.isStopped =>
-        // an external clearCache (bench hygiene between queries) may have
-        // dropped the persist out from under the memoized handle — in
-        // that state the handle would silently recompute the full
-        // three-signal lineage PER CONSUMER, the exact defect this memo
-        // exists to prevent. Re-persisting the same handle re-arms the
-        // cache without re-running the corpus-count job a rebuild costs.
-        if (qsig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          qsig.persist()
-        qsig
-      case _ =>
-        val (cov, ent, big) = gopherSignals(s, dir)
-        val qsig = cov.join(ent, Seq("doc_id")).join(big, Seq("doc_id")).persist()
-        sigLive.synchronized {
-          sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-          sigLive.put((s, dir), qsig).foreach(evictSuperseded(_, qsig)); ()
-        }
-        qsig
+    val holder = sigLive.synchronized {
+      sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      sigLive.getOrElseUpdate((s, dir), new SigHolder(s, dir))
     }
+    val qsig = holder.frame
+    // an external clearCache (bench hygiene between queries) may have
+    // dropped the persist out from under the memoized handle — in that
+    // state the handle would silently recompute the full three-signal
+    // lineage PER CONSUMER, the exact defect this memo exists to
+    // prevent. Re-persisting the same handle re-arms the cache without
+    // re-running the corpus-count job a rebuild costs.
+    if (qsig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      qsig.persist()
+    qsig
   }
 
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
@@ -209,7 +234,7 @@ object QueriesPipeline {
       gopherKeepLive.remove((s, dir)).foreach(_.unpersist())
     }
     sigLive.synchronized {
-      sigLive.remove((s, dir)).foreach(_.unpersist())
+      sigLive.remove((s, dir)).foreach(_.builtFrame.foreach(_.unpersist()))
     }
     ()
   }
@@ -278,9 +303,12 @@ object QueriesPipeline {
     val gopherKeep = gated.select("doc_id").persist()
     // the signal sliver has served its four consumers once gopherKeep
     // materializes; register it for the same release hook
-    if (autoThresholds) sigLive.synchronized {
-      sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      sigLive.put((s, dir), sig).foreach(evictSuperseded(_, sig)); ()
+    if (autoThresholds) {
+      val holder = sigLive.synchronized {
+        sigLive.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+        sigLive.getOrElseUpdate((s, dir), new SigHolder(s, dir))
+      }
+      holder.seed(sig)
     }
     // registered for releaseCurationCache; a superseded predecessor
     // (repeated calls in one session) is unpersisted on the spot, and
@@ -1648,10 +1676,14 @@ object QueriesPipeline {
     // Embedding near-dup pairs (cosine ≥ 0.99) over planted ×2-scaled
     // copies, restricted to same-SRP-bucket candidates with hot-bucket
     // cap. The gate runs the PRODUCTION corpus-sized plane count
-    // (pairwiseCosineCandidatesAuto — h = smallest value in [4,20] with
+    // (pairwiseCosineCandidatesAuto — h = smallest value in [8,20] with
     // 256·2^h ≥ n), the path the 100× rung measured 9.4× faster than the
     // fixed h=8 it replaced here; the oracle re-derives the same h from
-    // its own count(*) and masks a 20-plane bucket to h bits.
+    // its own count(*) and masks a 20-plane bucket to h bits. The floor
+    // is the old fixed regime's h=8 (round-9 verdict #6: deriving h<8 at
+    // small n made buckets FATTER than the fixed path ever had — 3× the
+    // sf0.1 cost for zero benefit; extra planes below the floor cost only
+    // h dot products per vector, while fatter buckets cost pair work).
     "q_cosine_pairs" -> ((s, dir) =>
       Similarity.pairwiseCosineCandidatesAuto(scaledDupEmbeddings(s, dir),
         "vec_id", "embedding", threshold = 0.99, targetBucket = 256,
@@ -1902,6 +1934,25 @@ object QueriesPipeline {
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
         .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
     }),
+
+    // The PRODUCTION-regime threshold derivation, gated (round-9 verdict
+    // #3 — the last documented gated-vs-production divergence): the same
+    // three cutoffs via percentile_approx (KLL/GK sketch — a true
+    // partial/merge AGGREGATE, so the plan holds NO single-partition
+    // global window and survives 10⁹-doc corpora; plan-pinned in
+    // PlanSpec), all three in ONE pass over the persisted sliver instead
+    // of rankQuantile's three windows. The oracle replays the EXACT
+    // discrete rank (ceil(p·n)): with accuracy ≥ corpus count the sketch
+    // stores every sample and its query rule selects exactly that datum
+    // (probed identical at sf0.001/0.01/0.1 for p04/p50/p98), so
+    // sketch-vs-exact agreement is what the gate certifies; beyond
+    // accuracy the rank error is the documented ±n/accuracy bound.
+    "q_gate_thresholds_approx" -> ((s, dir) =>
+      persistedGateSig(s, dir).agg(
+        percentile_approx(col("cov3"), lit(0.98), lit(10000)).as("cov3_t"),
+        percentile_approx(col("entropy"), lit(0.04), lit(10000)).as("entropy_t"),
+        percentile_approx(col("mean_surprise"), lit(0.98), lit(10000))
+          .as("surprise_t"))),
 
     // The self-calibrating quality gate: q_quality_gate_v2's shape with
     // the constants replaced by the q_gate_thresholds values (broadcast —
@@ -2244,12 +2295,13 @@ object QueriesPipeline {
       HeavyHitters.heavyTermsByGroup(t(s, dir, "documents"), "lang", col("text"),
         denom = 100L, k = 256)),
 
-    // Compression-ratio signal (CCNet lineage) gated end-to-end — the
-    // suite's first ROWS-ONLY entry (the q_lsh_prod-precedent trade,
-    // round-8 verdict #5: no SQL engine exposes deflate, so the driver
-    // records the weaker rows+schema check while the byte-level values
-    // stay pinned by DeflateLen's cross-implementation unit oracle):
-    // per doc raw/deflate bytes + ratio, plus the keep flag at the
+    // Compression-ratio signal (CCNet lineage) gated end-to-end with a
+    // FULL cross-implementation oracle (round-9 verdict #2, following
+    // the r5→r6 q_lsh_prod escalation): no SQL engine exposes deflate,
+    // so the CPython-zlib twin that pins DeflateLen emitted the gate
+    // corpus's per-doc compressed lengths once ([[DeflateGateFixture]])
+    // and the oracle replays ratio + keep from that VALUES literal.
+    // Per doc raw/deflate bytes + ratio, plus the keep flag at the
     // corpus-derived p98 rank-quantile cutoff — the same data-derived
     // threshold discipline as q_quality_gate_auto (long-range verbatim
     // repetition that n-gram statistics miss is exactly what inflates
@@ -2272,10 +2324,17 @@ object QueriesPipeline {
     // as the aggregate() fold; the marker wrapping prevents cross-symbol
     // suffix matches). Output is the real per-doc BPE token stream +
     // count — the token budget q_token_pack's whitespace proxy
-    // approximates.
+    // approximates. Gated outputs carry SCALAR columns only (standing
+    // rule: the driver's comparator sorts raw cells and cannot hash
+    // array values), so the token stream rides space-joined — lossless,
+    // since BPE symbols never contain whitespace (they come from
+    // whitespace-split words).
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
-        bpeGateMerges)),
+        bpeGateMerges)
+        .select(col("doc_id"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"),
+          col("n_bpe_tokens"))),
 
     // Sequence packing — assign each doc to a token-budgeted training
     // pack (2048-token bins, contiguous in doc_id order within each
@@ -2787,7 +2846,7 @@ object QueriesPipeline {
            |  flatten(list_transform(ws,
            |    w -> string_split(trim($merged, '$sep'), '$sep$sep'))) AS bpe_tokens
            |FROM wt)
-           |SELECT doc_id, bpe_tokens,
+           |SELECT doc_id, array_to_string(bpe_tokens, ' ') AS bpe_text,
            |  CAST(len(bpe_tokens) AS BIGINT) AS n_bpe_tokens
            |FROM enc""".stripMargin
       },
@@ -2912,6 +2971,15 @@ object QueriesPipeline {
       // the three discrete-rank thresholds as one row (value at
       // row_number ceil(p*n) — an observed datum, so tie order is moot)
       "q_gate_thresholds" ->
+        s"""WITH $sqlGateAutoBase
+           |SELECT (SELECT t FROM qtc) AS cov3_t,
+           |  (SELECT t FROM qte) AS entropy_t,
+           |  (SELECT t FROM qts) AS surprise_t""".stripMargin,
+
+      // the sketch-path twin replays the SAME exact ranks: at oracle
+      // scale the sketch stores every sample, so approx ≡ exact — the
+      // cross-engine agreement is precisely what the gate certifies
+      "q_gate_thresholds_approx" ->
         s"""WITH $sqlGateAutoBase
            |SELECT (SELECT t FROM qtc) AS cov3_t,
            |  (SELECT t FROM qte) AS entropy_t,
@@ -3963,6 +4031,36 @@ object QueriesPipeline {
            |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
            |FROM sides""".stripMargin,
 
+      // Compression-ratio FULL oracle (round-9 verdict #2, replacing the
+      // no_oracle row where the driver verified nothing): deflate isn't
+      // replayable in SQL, but the gate corpus at oracle scale is
+      // deterministic, so the CPython-zlib twin that already pins
+      // graft_deflate_len byte-for-byte emitted the 500 per-doc
+      // compressed lengths ONCE ([[DeflateGateFixture]]) and they ride
+      // here as a VALUES literal — the q_bpe_encode fixed-table trick.
+      // Ratio arithmetic and the p98 rank-quantile keep flag replay
+      // exactly (same double division, same ceil(p·n) rank).
+      "q_compression_ratio" -> {
+        val values = DeflateGateFixture.lengths.zipWithIndex
+          .map { case (dl, id) => s"($id, $dl)" }.mkString(", ")
+        s"""WITH dl(doc_id, deflate_bytes) AS (VALUES $values),
+           |r AS MATERIALIZED (SELECT d.doc_id,
+           |  CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           |  CAST(dl.deflate_bytes AS BIGINT) AS deflate_bytes,
+           |  round(CAST(strlen(d.text) AS DOUBLE)
+           |      / greatest(dl.deflate_bytes, 1), 6) AS compress_ratio
+           |FROM documents d JOIN dl USING (doc_id)),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+           |th AS (SELECT compress_ratio AS t FROM (
+           |    SELECT compress_ratio, row_number() OVER (ORDER BY compress_ratio) AS rn
+           |    FROM r)
+           |  WHERE rn = (SELECT CAST(ceil(0.98 * n) AS BIGINT) FROM n))
+           |SELECT doc_id, n_bytes, deflate_bytes, compress_ratio,
+           |  CAST(CASE WHEN compress_ratio <= (SELECT t FROM th)
+           |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+           |FROM r""".stripMargin
+      },
+
       "q_heavy_by_lang" ->
         s"""WITH toks AS (
            |  SELECT lang, unnest($sqlWords) AS token FROM documents),
@@ -4021,7 +4119,7 @@ object QueriesPipeline {
 
       "q_cosine_pairs" ->
         s"""WITH $sqlEmbCorpus,
-           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 4)} AS h
+           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 8)} AS h
            |         FROM (SELECT count(*) AS n FROM ecorpus)),
            |withb AS (SELECT vec_id, embedding,
            |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,
@@ -4040,7 +4138,7 @@ object QueriesPipeline {
       // minus every id_b of a qualifying (id_a < id_b) pair.
       "q_semantic_dedup" ->
         s"""WITH $sqlEmbCorpus,
-           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 4)} AS h
+           |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 8)} AS h
            |         FROM (SELECT count(*) AS n FROM ecorpus)),
            |withb AS (SELECT vec_id, embedding,
            |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,

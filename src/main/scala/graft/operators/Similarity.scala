@@ -688,6 +688,12 @@ object Similarity {
     * to the pair scan it right-sizes. At 100 TB the count comes from
     * table stats for free.
     *
+    * `minPlanes` floors h at the old fixed regime's 8: deriving h < 8
+    * at small n would make buckets FATTER than the fixed path ever had
+    * (measured 3× the sf0.1 cost for zero benefit), while planes below
+    * the floor cost only h dot products per vector — the floor is paid
+    * in signature bits, never in pair work.
+    *
     * h is derived with EXACT INTEGER arithmetic (smallest h in
     * [minPlanes, 20] with targetBucket·2^h ≥ n) rather than
     * ceil(log2(n/targetBucket)) in floating point — same value, but
@@ -697,7 +703,7 @@ object Similarity {
     * bucket_20 mod 2^h on either engine). */
   def pairwiseCosineCandidatesAuto(df: DataFrame, idCol: String, vecCol: String,
                                    threshold: Double, targetBucket: Int = 256,
-                                   minPlanes: Int = 4, portable: Boolean = false,
+                                   minPlanes: Int = 8, portable: Boolean = false,
                                    maxBucket: Int = 10000): DataFrame = {
     require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
     val n = df.count()
@@ -902,6 +908,66 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v)
       }),
       lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Deterministic random orthonormal rotation (OPQ-lite — Ge et al.
+    * '13 "Optimized Product Quantization" §4 random-rotation baseline,
+    * the standard OPQ initializer): PQ quantizes m CONTIGUOUS subspace
+    * slices independently, so when variance concentrates in a few
+    * coordinates, a few subspaces carry all the error. An orthonormal
+    * rotation mixes every input dim into every subspace (L2-preserving,
+    * so all true distances are unchanged) and equalizes per-subspace
+    * variance — the cheapest version of the OPQ idea, no training loop.
+    * Seeded [[java.util.SplittableRandom]] Gaussian fill + modified
+    * Gram-Schmidt: the same (dim, seed) always yields the SAME matrix
+    * on any JVM, so the rotation can ride into plans (and oracles) as a
+    * literal, like the quantizer codebooks. */
+  def randomRotation(dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val rnd = new java.util.SplittableRandom(seed)
+    // Box-Muller from two uniforms: SplittableRandom's nextGaussian is
+    // JDK-17+-dependent; this stays reproducible on any JDK
+    def gauss(): Double = {
+      val u1 = math.max(rnd.nextDouble(), 1e-300)
+      val u2 = rnd.nextDouble()
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    val a = Array.fill(dim, dim)(gauss())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) { // subtract projections onto earlier rows
+        var d = 0.0; var t = 0
+        while (t < dim) { d += a(i)(t) * a(j)(t); t += 1 }
+        t = 0
+        while (t < dim) { a(i)(t) -= d * a(j)(t); t += 1 }
+        j += 1
+      }
+      var nrm = 0.0; var t = 0
+      while (t < dim) { nrm += a(i)(t) * a(i)(t); t += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-9, "degenerate Gram-Schmidt row (astronomically unlikely)")
+      t = 0
+      while (t < dim) { a(i)(t) /= nrm; t += 1 }
+      i += 1
+    }
+    a
+  }
+
+  /** `outCol` = R·x — the rotated copy of `vecCol`. The matrix rides as
+    * one plan literal; per row the product is dim row-dots in index
+    * order (a transform over literal rows, each an ordered zip-fold),
+    * so a SQL oracle replaying the same fold order reproduces the exact
+    * doubles. Narrow codegen map, no shuffle; dim² multiplies per row
+    * (64² = 4 k — noise next to the ADC scan it improves). */
+  def withRotated(df: DataFrame, vecCol: String,
+                  rot: Array[Array[Double]], outCol: String): DataFrame = {
+    val rotLit = array(rot.toIndexedSeq.map(r =>
+      array(r.toIndexedSeq.map(lit(_)): _*)): _*)
+    df.withColumn(outCol,
+      transform(rotLit, row =>
+        aggregate(zip_with(row, col(vecCol), (a, b) => a * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)))
   }
 
   /** Recall@k harness for IVF-residual PQ — the fifth [[annRecallAtK]]

@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
     graft.QueriesPipeline.releaseCurationCache(spark, dir)
   }
 
+  test("q_gate_thresholds_approx derives cutoffs with NO global window (sketch path)") {
+    // the production threshold regime must be a partial/merge AGGREGATE:
+    // a single-partition row_number window here would re-introduce the
+    // one-task global sort the sketch path exists to avoid at 10⁹ docs
+    val q = SparkEntry.queries("q_gate_thresholds_approx")(spark, dir)
+    val pp = q.queryExecution.executedPlan
+    val windows = pp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"sketch-path thresholds must not run any window, found: $windows")
+    val pStr = pp.toString
+    assert(pStr.contains("percentile_approx"),
+      "expected the percentile_approx aggregate in the plan")
+    assert(pStr.contains("partial_percentile_approx"),
+      "sketch must partial-aggregate map-side (partial_percentile_approx)")
+    graft.QueriesPipeline.releaseCurationCache(spark, dir)
+  }
+
   test("q_predicate pushes filters into the parquet scan") {
     val p = plan("q_predicate")
     assert(p.contains("PushedFilters: ["))
