@@ -69,6 +69,36 @@ object IvfPqProbe {
         "query_id", "qv", k = 20, anchorCents, books, nProbe, refine))
       println(f"anchor  m=$m%2d k=$nBooks%3d p=$nProbe r=$refine%3d  recall@20=$rec%.3f n_cand=$nc%.0f  ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    // OPQ-lite (random orthonormal rotation, Ge '13 §4 baseline): the
+    // same anchor chain run entirely in rotated space — L2 geometry is
+    // unchanged, but the m contiguous PQ slices now each mix every
+    // input dim, so per-subspace variance equalizes.
+    val rot = Similarity.randomRotation(dim, seed = 42L)
+    val eR = Similarity.withRotated(e, "embedding", rot, "__r")
+      .select(col("vec_id"), col("__r").as("embedding"))
+    val qR = Similarity.withRotated(queries, "qv", rot, "__r")
+      .select(col("query_id"), col("__r").as("qv"))
+    val anchorCentsR = eR.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (m <- Seq(8); nBooks <- Seq(16, 64); nProbe <- Seq(4, 8); refine <- Seq(100, 200)) {
+      val t0 = System.nanoTime()
+      val books = Similarity.ivfPqAnchorBooks(eR, "vec_id", "embedding",
+        anchorCentsR, m, nBooks)
+      val (rec, nc) = mean(Similarity.ivfPqRecallAtK(eR, qR, "vec_id", "embedding",
+        "query_id", "qv", k = 20, anchorCentsR, books, nProbe, refine))
+      println(f"opq-anc m=$m%2d k=$nBooks%3d p=$nProbe r=$refine%3d  recall@20=$rec%.3f n_cand=$nc%.0f  ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    // rotation under the TRAINED regime (kmeans cells + trained books)
+    val centsR = Similarity.kmeansCentroids(eR, "embedding", k = 8)
+    for (m <- Seq(8, 16); k <- Seq(16, 64); refine <- Seq(0, 200)) {
+      val t0 = System.nanoTime()
+      val books = Similarity.ivfPqTrain(eR, "embedding", centsR, m, k)
+      val (rec, nc) = mean(Similarity.ivfPqRecallAtK(eR, qR, "vec_id", "embedding",
+        "query_id", "qv", k = 20, centsR, books, nProbe = 8, refine = refine))
+      val bytes = 1 + m * (if (k <= 16) 0.5 else 1.0)
+      println(f"opq-ivf m=$m%2d k=$k%3d r=$refine%3d  recall@20=$rec%.3f n_cand=$nc%.0f  ${dim * 4 / bytes}%.0fx  ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     spark.stop()
   }
 }
