@@ -289,11 +289,18 @@ object QueriesPipeline {
     // the gate: keep docs inside all three signal tails — cutoffs either
     // frozen (v2) or derived from the corpus at the percentiles the
     // constants sit at (v3; thresholds are one broadcast row)
+    // v3's thresholds ride the PRODUCTION sketch path (one
+    // percentile_approx pass — no single-partition window anywhere in
+    // the flagship plan); the DuckDB oracle replays exact ranks, which
+    // the sketch equals at gate scale (accuracy ≥ n). At 10⁹ docs the
+    // cutoffs drift within the sketch's ±n/accuracy rank bound — the
+    // intended production trade, now the gated one too.
     val gated =
       if (autoThresholds) {
-        val th = TextAnalysis.rankQuantile(sig, col("cov3"), 0.98, "cov3_t")
-          .crossJoin(TextAnalysis.rankQuantile(sig, col("entropy"), 0.04, "entropy_t"))
-          .crossJoin(TextAnalysis.rankQuantile(sig, col("mean_surprise"), 0.98, "surprise_t"))
+        val th = TextAnalysis.approxQuantileAgg(sig, Seq(
+          (col("cov3"), 0.98, "cov3_t"),
+          (col("entropy"), 0.04, "entropy_t"),
+          (col("mean_surprise"), 0.98, "surprise_t")))
         sig.crossJoin(broadcast(th))
           .filter(col("cov3") <= col("cov3_t") && col("entropy") >= col("entropy_t") &&
             col("mean_surprise") <= col("surprise_t"))
@@ -2061,22 +2068,27 @@ object QueriesPipeline {
     // sketch-vs-exact agreement is what the gate certifies; beyond
     // accuracy the rank error is the documented ±n/accuracy bound.
     "q_gate_thresholds_approx" -> ((s, dir) =>
-      persistedGateSig(s, dir).agg(
-        percentile_approx(col("cov3"), lit(0.98), lit(10000)).as("cov3_t"),
-        percentile_approx(col("entropy"), lit(0.04), lit(10000)).as("entropy_t"),
-        percentile_approx(col("mean_surprise"), lit(0.98), lit(10000))
-          .as("surprise_t"))),
+      TextAnalysis.approxQuantileAgg(persistedGateSig(s, dir), Seq(
+        (col("cov3"), 0.98, "cov3_t"),
+        (col("entropy"), 0.04, "entropy_t"),
+        (col("mean_surprise"), 0.98, "surprise_t")))),
 
     // The self-calibrating quality gate: q_quality_gate_v2's shape with
     // the constants replaced by the q_gate_thresholds values (broadcast —
     // one row). On this corpus the derived gate reproduces the constant
     // twin on 498/500 docs (the 2 flips sit inside the threshold gap
     // 0.08→0.0811 / 2.70→2.6927 / 3.46→3.4588); spec-pinned.
+    // Thresholds come from the PRODUCTION sketch path (one
+    // percentile_approx pass, no global window — plan-pinned); the
+    // exact-rank twin remains gated as q_gate_thresholds, and the
+    // oracle replays exact ranks, which the sketch equals at gate scale
+    // (accuracy ≥ n — see approxQuantileAgg).
     "q_quality_gate_auto" -> ((s, dir) => {
       val qsig = persistedGateSig(s, dir)
-      val th = TextAnalysis.rankQuantile(qsig, col("cov3"), 0.98, "cov3_t")
-        .crossJoin(TextAnalysis.rankQuantile(qsig, col("entropy"), 0.04, "entropy_t"))
-        .crossJoin(TextAnalysis.rankQuantile(qsig, col("mean_surprise"), 0.98, "surprise_t"))
+      val th = TextAnalysis.approxQuantileAgg(qsig, Seq(
+        (col("cov3"), 0.98, "cov3_t"),
+        (col("entropy"), 0.04, "entropy_t"),
+        (col("mean_surprise"), 0.98, "surprise_t")))
       qsig.crossJoin(broadcast(th))
         .select(col("doc_id"),
           when(col("cov3") > col("cov3_t"), "repetitive_spans")
@@ -2422,7 +2434,8 @@ object QueriesPipeline {
     "q_compression_ratio" -> ((s, dir) => {
       val ratios = TextAnalysis.compressionRatio(
         t(s, dir, "documents"), "doc_id", "text")
-      val th = TextAnalysis.rankQuantile(ratios, col("compress_ratio"), 0.98, "ratio_t")
+      val th = TextAnalysis.approxQuantileAgg(ratios,
+        Seq((col("compress_ratio"), 0.98, "ratio_t")))
       ratios.crossJoin(broadcast(th))
         .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
           col("compress_ratio"),

@@ -625,6 +625,27 @@ object TextAnalysis {
       .select(col("__v").as(outName))
   }
 
+  /** PRODUCTION threshold derivation — every requested cutoff in ONE
+    * partial/merge aggregate pass over `df` via `percentile_approx`
+    * (the KLL/GK sketch): no global window, no single-task sort, so the
+    * plan survives 10⁹-row signal frames where [[rankQuantile]]'s
+    * row_number window serializes. When `accuracy ≥ count(df)` the
+    * sketch stores every sample and its query rule selects exactly the
+    * ceil(p·n)-th datum — i.e. it EQUALS [[rankQuantile]] (probed and
+    * oracle-gated, `q_gate_thresholds_approx`); beyond that the rank
+    * error is the documented ±n/accuracy. `specs` = (value, p, name)
+    * per cutoff; returns one row. */
+  def approxQuantileAgg(df: DataFrame, specs: Seq[(Column, Double, String)],
+                        accuracy: Int = 10000): DataFrame = {
+    require(specs.nonEmpty, "approxQuantileAgg needs at least one cutoff")
+    require(specs.forall { case (_, p, _) => p > 0 && p <= 1 },
+      "percentiles must be in (0, 1]")
+    val aggs = specs.map { case (c, p, n) =>
+      percentile_approx(c, lit(p), lit(accuracy)).as(n)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** C4-style chunk dedup APPLY — the rewrite step after
     * [[graft.Dedup]]-style chunk detection: every duplicated 8-token
     * chunk keeps exactly ONE occurrence corpus-wide (first by (doc, chunk

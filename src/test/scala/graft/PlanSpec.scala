@@ -85,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
     graft.QueriesPipeline.releaseCurationCache(spark, dir)
   }
 
+  test("threshold CONSUMERS run the sketch path: no empty-partition window " +
+      "in q_quality_gate_auto / q_compression_ratio / q_curation_pipeline_v3") {
+    // partitioned windows (dedup keeper, packing) are scale-safe and
+    // allowed; an EMPTY partitionSpec is the one-task global sort the
+    // sketch migration removed. q_gate_thresholds keeps its global
+    // window deliberately — it IS the exact-rank twin gate.
+    for (name <- Seq("q_quality_gate_auto", "q_compression_ratio",
+        "q_curation_pipeline_v3")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      val global = q.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name still runs a single-partition global window:\n${global.mkString("\n")}")
+    }
+    graft.QueriesPipeline.releaseCurationCache(spark, dir)
+  }
+
   test("q_predicate pushes filters into the parquet scan") {
     val p = plan("q_predicate")
     assert(p.contains("PushedFilters: ["))
