@@ -1711,8 +1711,8 @@ object QueriesPipeline {
     // cell/book/ADC/refine chain in rotated space.
     "q_ann_recall_opq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val rot = Similarity.randomRotation(64, seed = 42L)
-      val eR = Similarity.withRotated(e, "embedding", rot, "__rv")
+      val eR = Similarity.withRotatedNative(e, "embedding", dim = 64,
+          seed = 42L, outCol = "__rv")
         .select(col("vec_id"), col("__rv").as("embedding"))
       val queries = eR.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

@@ -112,6 +112,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BpeEncodeExpr(children.head, packed)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rotate_vec"),
+      new ExpressionInfo(classOf[RotateVecExpr].getName, "graft_rotate_vec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "graft_rotate_vec(vec, dim, seed): dim and seed must be literals")
+        val dim = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_rotate_vec: dim must be a numeric literal, got $other")
+        }
+        val seed = children(2).eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_rotate_vec: seed must be a numeric literal, got $other")
+        }
+        RotateVecExpr(children.head, dim, seed)
+      }))
     injectIntArg(ext, "graft_md5_minhash",
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",

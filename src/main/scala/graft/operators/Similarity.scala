@@ -922,37 +922,8 @@ object Similarity {
     * Gram-Schmidt: the same (dim, seed) always yields the SAME matrix
     * on any JVM, so the rotation can ride into plans (and oracles) as a
     * literal, like the quantizer codebooks. */
-  def randomRotation(dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    require(dim > 0, s"dim must be positive, got $dim")
-    val rnd = new java.util.SplittableRandom(seed)
-    // Box-Muller from two uniforms: SplittableRandom's nextGaussian is
-    // JDK-17+-dependent; this stays reproducible on any JDK
-    def gauss(): Double = {
-      val u1 = math.max(rnd.nextDouble(), 1e-300)
-      val u2 = rnd.nextDouble()
-      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-    }
-    val a = Array.fill(dim, dim)(gauss())
-    var i = 0
-    while (i < dim) {
-      var j = 0
-      while (j < i) { // subtract projections onto earlier rows
-        var d = 0.0; var t = 0
-        while (t < dim) { d += a(i)(t) * a(j)(t); t += 1 }
-        t = 0
-        while (t < dim) { a(i)(t) -= d * a(j)(t); t += 1 }
-        j += 1
-      }
-      var nrm = 0.0; var t = 0
-      while (t < dim) { nrm += a(i)(t) * a(i)(t); t += 1 }
-      nrm = math.sqrt(nrm)
-      require(nrm > 1e-9, "degenerate Gram-Schmidt row (astronomically unlikely)")
-      t = 0
-      while (t < dim) { a(i)(t) /= nrm; t += 1 }
-      i += 1
-    }
-    a
-  }
+  def randomRotation(dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    graft.functions.RotateVec.build(dim, seed)
 
   /** `outCol` = R·x — the rotated copy of `vecCol`. The matrix rides as
     * one plan literal; per row the product is dim row-dots in index
@@ -969,6 +940,20 @@ object Similarity {
         aggregate(zip_with(row, col(vecCol), (a, b) => a * b.cast("double")),
           lit(0.0), (acc, v) => acc + v)))
   }
+
+  /** The production rotation map — `graft_rotate_vec`
+    * ([[graft.functions.RotateVec]], the tenth native codegen
+    * Expression): same doubles as [[withRotated]] over
+    * [[randomRotation]]`(dim, seed)` (identical in-order fold — spec-
+    * pinned bit-equal), but the dim² loop runs inside whole-stage
+    * codegen instead of one interpreted HOF lambda dispatch per
+    * element, and the plan carries (dim, seed) instead of dim² literal
+    * doubles. Measured: q_ann_recall_opq 58.8 → (see SCALE.md) at the
+    * 100× rung, where the rotated frame feeds three consumers. */
+  def withRotatedNative(df: DataFrame, vecCol: String, dim: Int, seed: Long,
+                        outCol: String): DataFrame =
+    df.withColumn(outCol,
+      call_function("graft_rotate_vec", col(vecCol), lit(dim), lit(seed)))
 
   /** Recall@k harness for IVF-residual PQ — the fifth [[annRecallAtK]]
     * sibling, composing IVF's ROW pruning with PQ's BYTE shrink: per

@@ -1606,6 +1606,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"norm changed under rotation: ${r.getDouble(1)} vs ${r.getDouble(2)}"))
   }
 
+  test("graft_rotate_vec (native) is bit-identical to the withRotated HOF twin") {
+    val s = spark
+    import s.implicits._
+    // bit-equality is the contract: the DuckDB oracle replays the HOF's
+    // in-order fold, so the native path must produce the same doubles —
+    // float and double inputs both
+    val fdf = Seq((1L, (0 until 16).map(i => (i * 0.37f - 2.9f)).toArray),
+      (2L, Array.fill(16)(1.25f))).toDF("vec_id", "v")
+    val rot = Similarity.randomRotation(16, seed = 9L)
+    val both = Similarity.withRotatedNative(
+        Similarity.withRotated(fdf, "v", rot, "hof"), "v", 16, 9L, "nat")
+      .select(col("vec_id"), col("hof"), col("nat")).collect()
+    both.foreach { r =>
+      val h = r.getSeq[Double](1); val n = r.getSeq[Double](2)
+      assert(h == n, s"native != HOF for vec ${r.getLong(0)}")
+    }
+    val ddf = fdf.select(col("vec_id"),
+      transform(col("v"), x => x.cast("double")).as("v"))
+    val bothD = Similarity.withRotatedNative(
+        Similarity.withRotated(ddf, "v", rot, "hof"), "v", 16, 9L, "nat")
+      .select(col("hof"), col("nat")).collect()
+    bothD.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+    // wrong-length vector fails loudly, not silently
+    intercept[Exception] {
+      Similarity.withRotatedNative(fdf, "v", 8, 9L, "nat").collect()
+    }
+  }
+
   test("ivfSq8TopK: probes prune rows, int8 ranking keeps the in-cell order") {
     val s = spark
     import s.implicits._
