@@ -2123,6 +2123,54 @@ object QueriesPipeline {
     // of the same visible text must hash identically before any
     // byte-keyed dedup. DuckDB replays via its own nfc_normalize — two
     // independent Unicode implementations agreeing per doc.
+    // Dolma/Pile-style PII masking. The synthetic corpus carries no PII,
+    // so the gate INJECTS it deterministically (the q_nfc_normalize
+    // pattern): every doc_id % 3 == 0 gains two emails, % 3 == 1 a
+    // phone + an IPv4, % 3 == 2 stays clean \u2014 then counts and masks.
+    // Both engines replay the same injection, so the masked text and
+    // per-category counts compare byte-for-byte; the regex subset is
+    // deliberately Java-regex \u2229 RE2 portable (TextAnalysis.EmailRe et
+    // al.). Narrow per-row map, zero shuffle at any scale.
+    "q_pii_redact" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin@site"), (col("doc_id") % 7).cast("string"),
+            lit(".org")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+        .otherwise(col("text"))
+      TextAnalysis.piiRedact(
+        t(s, dir, "documents").select(col("doc_id"), injected.as("__t")),
+        "doc_id", col("__t"))
+    }),
+
+    // C4 line-level cleaning (Raffel '20 \u00a72.2). The corpus has no line
+    // structure, so the gate MANUFACTURES it deterministically: each
+    // 10-token chunk becomes a line, every (doc_id + i) % 5 == 3 line
+    // gains a cookie-policy banner (terminal punct BUT a boilerplate
+    // marker \u2014 exercises rule c), every other (doc_id + i) % 2 == 0
+    // line gains the terminal '.', the rest stay punctuation-less
+    // (rule a), and short tail chunks fail the \u22655-word rule (rule b).
+    // Both engines replay the same construction; per-row, zero shuffle.
+    "q_line_filter" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = transform(
+        sequence(lit(0),
+          greatest(ceil(size(toks).cast("double") / 10).cast("int") - 1, lit(0))),
+        i => {
+          val base = array_join(slice(toks, i * 10 + 1, lit(10)), " ")
+          when((col("doc_id") + i) % 5 === 3,
+              concat(base, lit(" accept our cookie policy.")))
+            .when((col("doc_id") + i) % 2 === 0, concat(base, lit(".")))
+            .otherwise(base)
+        })
+      TextAnalysis.lineFilterC4(
+        t(s, dir, "documents").select(col("doc_id"), lines.as("__lines")),
+        "doc_id", col("__lines"))
+    }),
+
     "q_nfc_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -3806,6 +3854,59 @@ object QueriesPipeline {
            |  round(CAST(COALESCE(c3.cov, 0) AS DOUBLE) / greatest(len(t.w), 1), 6) AS cov3
            |FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin
       },
+
+      // PII replay: identical injection arithmetic, RE2 editions of the
+      // portable regex trio, same mask order (email → phone → ip).
+      "q_pii_redact" ->
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE
+          |      WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+          |        || '@example.com or admin@site' || (doc_id % 7)::VARCHAR || '.org'
+          |      WHEN doc_id % 3 = 1 THEN text || ' call 555-'
+          |        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          |        || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1'
+          |      ELSE text END AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+          |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '|||EMAIL|||', 'g'),
+          |      '\b\d{3}-\d{4}\b', '|||PHONE|||', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '|||IP|||', 'g') AS redacted_text
+          |FROM inj""".stripMargin,
+
+      // C4 line-filter replay: identical manufactured line structure
+      // (10-token chunks + the same CASE suffix arithmetic), identical
+      // three keep rules, kept lines rejoined by chr(10).
+      "q_line_filter" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM documents),
+          |lines AS (
+          |  SELECT doc_id, [
+          |    CASE WHEN (doc_id + i) % 5 = 3
+          |           THEN array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || ' accept our cookie policy.'
+          |         WHEN (doc_id + i) % 2 = 0
+          |           THEN array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || '.'
+          |         ELSE array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') END
+          |    for i in range(0, greatest(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))] AS ls
+          |  FROM toks),
+          |k AS (
+          |  SELECT doc_id, ls,
+          |    list_filter(ls, l ->
+          |      len(regexp_split_to_array(trim(l), '\s+')) >= 5
+          |      AND regexp_matches(l, '[.!?"]$')
+          |      AND NOT regexp_matches(lower(l), 'javascript|cookie|lorem ipsum')) AS kept
+          |  FROM lines)
+          |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  -- array_to_string([]) is NULL in DuckDB; Spark array_join is ''
+          |  COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+          |FROM k""".stripMargin,
 
       // NFC replay with DuckDB's independent Unicode tables: same
       // decomposition injection (chr(769) = U+0301), same counts.

@@ -130,6 +130,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RotateVecExpr(children.head, dim, seed)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "graft_winnow_fps(text, k, w): k and w must be literals")
+        def intLit(e: Expression, name: String): Int = e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow_fps: $name must be a numeric literal, got $other")
+        }
+        WinnowFpsExpr(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+    injectIntArg(ext, "graft_ngram_coverage",
+      classOf[NgramCoverageExpr], (c, n) => NgramCoverageExpr(c, n))
+    injectIntArg(ext, "graft_word_ngram_hash_set",
+      classOf[WordNgramHashSetExpr], (c, n) => WordNgramHashSetExpr(c, n))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapExpr].getName, "graft_sorted_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_overlap(a, b): exactly two array<bigint> arguments")
+        SortedOverlapExpr(children.head, children(1))
+      }))
     injectIntArg(ext, "graft_md5_minhash",
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",

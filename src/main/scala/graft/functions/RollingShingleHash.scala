@@ -34,7 +34,13 @@ object RollingShingleHash {
 
   /** All k-shingle hashes of `s` (≥1 entry: shorter strings hash whole).
     * Static so generated code calls it directly inside the codegen span. */
-  def hashes(s: UTF8String, k: Int): ArrayData = {
+  def hashes(s: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(hashesRaw(s, k))
+
+  /** [[hashes]] as a raw primitive array — shared with the fused
+    * winnowing expression ([[WinnowFps]]), which consumes the hashes
+    * in-place instead of materializing a Spark array between stages. */
+  def hashesRaw(s: UTF8String, k: Int): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
     val kk = math.max(k, 1)
@@ -54,7 +60,7 @@ object RollingShingleHash {
       out(i) = h
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 }
 

@@ -515,10 +515,47 @@ object Dedup {
     // (or co-bucket corpus and candidates by id), which removes the
     // barrier rather than adding one.
     //
-    // tokens projected separately so the n-gram lambda reads an
-    // attribute (NOT persisted: columnar-caching array<string> columns
-    // costs ~50× the recompute — measured 9 s cache build vs 0.2 s
-    // evaluation at 10 k docs)
+    // Round-10: HASHES-NOT-TEXT through the two verify joins. The join
+    // payload is the sorted distinct 64-bit gram-hash set (one fused
+    // native call, `graft_word_ngram_hash_set`) instead of the gram
+    // STRING array — ~3-4× fewer shuffle/sort bytes per doc — and the
+    // per-pair set algebra is one linear merge count
+    // (`graft_sorted_overlap`, |∪| = |A|+|B|−|∩|) instead of two
+    // hash-set builds + output arrays (`array_intersect`+`array_union`).
+    // Identical Jaccard values to [[ngramJaccardStrings]] absent a
+    // 64-bit gram collision inside one pair's union (P ≈ u²/2⁶⁵ per
+    // pair; deterministic either way — the hash family is fixed, so the
+    // oracle gates would catch any divergence every run, not flake).
+    // Equality is spec-pinned pair-for-pair on corpus data.
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = df.select(col(idCol).as("id"),
+      call_function("graft_word_ngram_hash_set", norm, lit(n)).as("g"))
+    candidates
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), Seq("id_a"))
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          call_function("graft_sorted_overlap", col("ga"), col("gb")).cast("double") /
+            greatest(
+              size(col("ga")) + size(col("gb")) -
+                call_function("graft_sorted_overlap", col("ga"), col("gb")),
+              lit(1)),
+          6).as("jaccard"))
+  }
+
+  /** The portable string-set reference for [[ngramJaccard]] — the exact
+    * per-pair `array_intersect`/`array_union` computation over gram
+    * TEXT the hashed production path is spec-pinned against (and the
+    * shape engine-portable oracles replay). Kept for verification and
+    * small frames; at corpus scale prefer [[ngramJaccard]].
+    *
+    * tokens projected separately so the n-gram lambda reads an
+    * attribute (NOT persisted: columnar-caching array<string> columns
+    * costs ~50× the recompute — measured 9 s cache build vs 0.2 s
+    * evaluation at 10 k docs) */
+  def ngramJaccardStrings(df: DataFrame, idCol: String, text: Column, n: Int,
+                          candidates: DataFrame): DataFrame = {
     val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
       .select(col("id"), ngramsOfTokens(col("__t"), n).as("g"))
     candidates
@@ -542,25 +579,29 @@ object Dedup {
     * the exact step runs only on candidate pairs. */
   def ngramContainment(df: DataFrame, idCol: String, text: Column, n: Int,
                        candidates: DataFrame): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
-      .select(col("id"), ngramsOfTokens(col("__t"), n).as("g"))
+    // Same round-10 hashed-set regime as [[ngramJaccard]]: sorted gram-hash
+    // sets through the joins, one merge count per pair, every output
+    // statistic derived from (|∩|, |A|, |B|). Equality with the string
+    // path is covered by the ngramJaccard pin (identical gram sets and
+    // overlap machinery; containment is arithmetic on the same counts).
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = df.select(col(idCol).as("id"),
+      call_function("graft_word_ngram_hash_set", norm, lit(n)).as("g"))
     candidates
       .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), Seq("id_a"))
       .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        size(array_intersect(col("ga"), col("gb"))).as("__i"),
-        size(col("ga")).as("__na"), size(col("gb")).as("__nb"),
-        round(
-          size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            greatest(size(array_union(col("ga"), col("gb"))), lit(1)),
-          6).as("jaccard"))
+        call_function("graft_sorted_overlap", col("ga"), col("gb")).as("__i"),
+        size(col("ga")).as("__na"), size(col("gb")).as("__nb"))
       .select(col("id_a"), col("id_b"),
         round(col("__i").cast("double") / greatest(col("__na"), lit(1)), 6)
           .as("contain_a"),
         round(col("__i").cast("double") / greatest(col("__nb"), lit(1)), 6)
           .as("contain_b"),
-        col("jaccard"))
+        round(col("__i").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__i"), lit(1)), 6)
+          .as("jaccard"))
   }
 
   /** MinHash ESTIMATOR-ERROR harness — the dedup family's accuracy twin

@@ -116,6 +116,56 @@ object TextAnalysis {
     qualityScoreFrom(comp("n_chars"), comp("punct_ratio"), comp("stopword_ratio"))
   }
 
+  /** C4 line-level cleaning (Raffel et al. '20 §2.2): keep only lines
+    * that (a) end in terminal punctuation, (b) carry ≥ `minWords`
+    * whitespace words, and (c) don't mention a boilerplate marker
+    * (javascript / cookie / lorem ipsum — the published list's
+    * replayable core). `lines` must be an `array<string>` column (the
+    * document's line split; web corpora use `split(text, '\n')`).
+    * Returns (idCol, n_lines, n_kept, cleaned_text) with kept lines
+    * rejoined by newline. A per-row narrow map — the lambdas are
+    * doc-local, zero shuffle at any corpus scale. */
+  def lineFilterC4(df: DataFrame, idCol: String, lines: Column,
+                   minWords: Int = 5): DataFrame = {
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        !lower(l).rlike("javascript|cookie|lorem ipsum"))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("cleaned_text"))
+  }
+
+  /** PII masking regexes (Dolma/Pile-style pre-training hygiene) — a
+    * deliberately PORTABLE subset (plain classes, `\b`, bounded repeats)
+    * that means the same thing to Java regex (Spark codegen'd
+    * `regexp_*`) and RE2 (oracle replay), validated cross-engine in the
+    * `q_pii_redact` gate. High-recall-by-design, as the published
+    * pipelines run them: over-masking a rare false positive is free,
+    * leaking real PII is not. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-category PII counts + masked text: emails → `|||EMAIL|||`,
+    * phone numbers → `|||PHONE|||`, IPv4 literals → `|||IP|||` (the
+    * Dolma marker convention). Counts are measured per category on the
+    * ORIGINAL text (independent, not sequential); masking applies
+    * email → phone → ip, safe because the markers contain no digits for
+    * a later pattern to re-match. A narrow per-row map — codegen'd
+    * `regexp_count`/`regexp_replace`, no shuffle at any corpus scale. */
+  def piiRedact(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "|||EMAIL|||"),
+          PhoneRe, "|||PHONE|||"),
+        Ipv4Re, "|||IP|||").as("redacted_text"))
+
   /** Deterministic 64-bit document fingerprint: xxhash64 of
     * whitespace-normalized, lowercased text (rolling-hash analog). */
   def fingerprint(text: Column): Column =
@@ -156,21 +206,23 @@ object TextAnalysis {
           i => array_min(slice(col("__h"), i + lit(1), lit(w))))).as("fps"))
   }
 
-  /** Winnowing over the native one-pass rolling-hash expression
-    * (`graft_rolling_shingle_hash`, [[graft.functions.RollingShingleHash]]):
-    * identical window-min selection to [[winnowingFingerprints]], but the
-    * shingle hashes come from a single byte walk instead of one substring
-    * allocation + hash per window — the production fast path (requires
-    * `GraftExtensions`; measured vs the substring path in SCALE.md). */
+  /** Winnowing over the fully fused native expression
+    * (`graft_winnow_fps`, [[graft.functions.WinnowFps]]): identical
+    * selection to [[winnowingFingerprints]] — same rolling polynomial as
+    * `graft_rolling_shingle_hash`, same window-min + first-occurrence
+    * distinct — but hash walk, monotonic-deque window minima, and
+    * primitive distinct set run as ONE codegen call per row. The
+    * composed form it replaces paid an interpreted higher-order
+    * `transform`/`slice`/`array_min` per window (HOFs sit outside
+    * whole-stage codegen) plus the materialized intermediate hash array;
+    * the fused↔composed equivalence is order-exact-pinned in
+    * `OperatorsSpec`, and the win is measured in SCALE.md (requires
+    * `GraftExtensions`). */
   def winnowingFingerprintsRolling(df: DataFrame, idCol: String, text: Column,
                                    k: Int, w: Int): DataFrame = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     df.select(col(idCol).as("id"),
-        call_function("graft_rolling_shingle_hash", norm, lit(k)).as("__h"))
-      .select(col("id"),
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__h")) - w, lit(0))),
-          i => array_min(slice(col("__h"), i + lit(1), lit(w))))).as("fps"))
+      call_function("graft_winnow_fps", norm, lit(k), lit(w)).as("fps"))
   }
 
   /** All word n-grams WITH duplicates from a token-array attribute —
@@ -540,6 +592,32 @@ object TextAnalysis {
     * in corpus size; nothing global. */
   def repeatedNgramCoverage(df: DataFrame, idCol: String, text: Column,
                             ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"need n >= 2, got $ns")
+    // Round-10: the signal is doc-local, so it no longer leaves the row —
+    // `graft_ngram_coverage` computes each doc's covered-position count
+    // in one native codegen call ([[graft.functions.NgramCoverage]]):
+    // a narrow map with ZERO shuffle at any corpus scale, replacing the
+    // exploded three-shuffle-per-n aggregation below
+    // ([[repeatedNgramCoverageShuffled]], kept as the spec-pinned
+    // frame-scale reference).
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val base = df.select(col(idCol), size(Dedup.tokens(text)).as("__n_toks"),
+      norm.as("__norm"))
+    base.select(
+      col(idCol) +: col("__n_toks").cast("long").as("n_toks") +:
+        ns.map(n => round(
+          call_function("graft_ngram_coverage", col("__norm"), lit(n)).cast("double") /
+            greatest(col("__n_toks"), lit(1)), 6).as(s"cov$n")): _*)
+  }
+
+  /** The frame-scale shuffled reference for [[repeatedNgramCoverage]] —
+    * explode gram occurrences, hash-aggregate (doc, gram-hash),
+    * re-explode covered positions, distinct, count. Shuffles carry only
+    * hashes and int positions, but there are three of them per n and
+    * their row count is ∝ corpus grams; the per-row native path needs
+    * none. Kept as the equivalence oracle for the spec. */
+  def repeatedNgramCoverageShuffled(df: DataFrame, idCol: String, text: Column,
+                                    ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"need n >= 2, got $ns")
     val toks = df.select(col(idCol), Dedup.tokens(text).as("__w"))
       .withColumn("__n_toks", size(col("__w")))

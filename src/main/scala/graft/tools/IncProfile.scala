@@ -49,8 +49,14 @@ object IncProfile {
     }
 
     // ---- q_incremental_cluster shape ----
+    // Round-10: profile over the DOUBLED corpus the query actually runs
+    // on (nearDupCorpus plants a near-dup for every doc, so candidate
+    // volume is far above the un-doubled corpus this section used to
+    // read — the 39 s stage sum vs 92 s recorded operator gap).
     {
-      val corpus = docs // close enough for profiling edge costs
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text")))
       val cands = stage("cluster.lshCandidates") {
         val (c, _) = Dedup.minhashCandidatesManaged(corpus, "doc_id", col("text"),
           ngramN = 3, bands = 4, rowsPerBand = 3,
@@ -69,10 +75,10 @@ object IncProfile {
       val byId = d.resolve("byId").toString
       val byRep = d.resolve("byRep").toString
       stage("cluster.update batch1") {
-        IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L)
+        IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L, nBuckets = 8)
       }
       stage("cluster.update batch2") {
-        IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L)
+        IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L, nBuckets = 8)
       }
       stage("cluster.assignments") {
         IncrementalCluster.assignments(spark, byId).localCheckpoint(true).count()

@@ -237,14 +237,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(cluster_rep"))
   }
 
-  test("q_ngram_coverage shuffles 8-byte gram hashes and int positions — never text") {
+  test("q_ngram_coverage is one codegen'd narrow map — zero shuffle, zero aggregation") {
+    // round-10: the signal went per-row (graft_ngram_coverage computes
+    // each doc's covered-position count inside the row), so the plan
+    // must have NO exchange and NO aggregate at all — the strongest
+    // possible 100 TB shape for a doc-local signal
     val p = plan("q_ngram_coverage")
-    // per-(doc, gram-hash) agg partial-aggregates map-side before its shuffle
-    assert(p.contains("partial_"), "expected map-side partial aggregation")
-    assert(p.contains("xxhash64"), "grams must be hashed before the shuffle")
-    // no exchange may carry the gram text or the raw document text
-    assert(!p.contains("hashpartitioning(text"))
-    assert(!p.contains("hashpartitioning(gm"))
+    assert(p.contains("graft_ngram_coverage"), "expected the native per-row expression")
+    assert(!p.contains("Exchange"), "a doc-local signal must not shuffle")
+    assert(!p.contains("HashAggregate"), "nothing to aggregate per-row")
+    assert(p.linesIterator.next().trim.startsWith("*("),
+      "the projection must sit inside whole-stage codegen")
   }
 
   test("q_bigram_surprise partial-aggregates bigram counts map-side") {

@@ -195,6 +195,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 0.6)
   }
 
+  test("hashed ngramJaccard equals the string-set reference pair-for-pair on corpus data") {
+    val s = spark
+    import s.implicits._
+    // real corpus + real LSH candidates: every banded candidate pair of
+    // the sf0.001 documents table must get the IDENTICAL rounded Jaccard
+    // from the hashed production path and the string-set reference —
+    // plus edge pairs the LSH step would never emit (empty vs empty,
+    // fewer-than-n-token docs) via a synthetic block
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (cands, release) = Dedup.minhashCandidatesManaged(
+      docsDf, "doc_id", col("text"), ngramN = 3, bands = 4, rowsPerBand = 3,
+      hashFn = Dedup.md5Hex, maxBucket = 200)
+    try {
+      val hashed = Dedup.ngramJaccard(docsDf, "doc_id", col("text"), 3, cands)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val strings = Dedup.ngramJaccardStrings(docsDf, "doc_id", col("text"), 3, cands)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(hashed.nonEmpty && hashed == strings,
+        s"${hashed.size} hashed vs ${strings.size} string pairs")
+    } finally release()
+    val edge = docs(
+      1L -> "", 2L -> "", 3L -> "one two", 4L -> "one two",
+      5L -> "x y z x y z", 6L -> "x y z w")
+    val edgeCands = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val eh = Dedup.ngramJaccard(edge, "doc_id", col("text"), 3, edgeCands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val es = Dedup.ngramJaccardStrings(edge, "doc_id", col("text"), 3, edgeCands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(eh == es && eh((1L, 2L)) == 0.0 && eh((3L, 4L)) == 0.0)
+  }
+
   test("character shingles cover the text; short texts yield one shingle") {
     val s = spark
     import s.implicits._
@@ -586,6 +619,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == ((5L, 0.0, 0.0)))
     // "p q"×2 covers 0-3, "z z"×2 covers 4-6, position 7 ("w") uncovered
     assert(out(3L) == ((8L, 0.875, 0.0)))
+  }
+
+  test("per-row ngram coverage equals the shuffled frame-scale reference on corpus data") {
+    val s = spark
+    // the zero-shuffle native path must reproduce the exploded
+    // three-shuffle aggregation doc-for-doc on real data (plus the edge
+    // docs the hand-computed spec above pins): same n_toks, same cov2,
+    // same cov3 after the same rounding
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val native = asMap(TextAnalysis.repeatedNgramCoverage(
+      docsDf, "doc_id", col("text"), Seq(2, 3)))
+    val shuffled = asMap(TextAnalysis.repeatedNgramCoverageShuffled(
+      docsDf, "doc_id", col("text"), Seq(2, 3)))
+    assert(native.size == shuffled.size && native.nonEmpty)
+    assert(native == shuffled)
+    val edge = docs(1L -> "", 2L -> "one", 3L -> "one two",
+      4L -> "  Spaced   OUT  case  spaced out case ")
+    assert(asMap(TextAnalysis.repeatedNgramCoverage(edge, "doc_id", col("text"))) ==
+      asMap(TextAnalysis.repeatedNgramCoverageShuffled(edge, "doc_id", col("text"))))
   }
 
   test("charEntropy: uniform, degenerate, and empty texts") {
@@ -1025,6 +1081,45 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("graft_rolling_shingle_hash"), plan)
   }
 
+  test("fused graft_winnow_fps equals the composed rolling-hash winnow, order included") {
+    val s = spark
+    import s.implicits._
+    // the composed pipeline the fused expression replaces — the
+    // semantics reference, evaluated via the same Catalyst operators the
+    // pre-round-10 production path used
+    val texts = Seq(
+      "",                                  // empty → one whole-string hash window
+      "a", "abcd",                         // shorter than k
+      "abcde",                             // exactly k → single hash
+      "abcdefg",                           // m < w (3 hashes, w=4)
+      "abcdefgh",                          // m == w
+      "aaaaaaaaaaaaaaaa",                  // all ties → deque equality path
+      "ünïcödé bytes not codepoints ügh",  // multibyte
+      "the quick brown fox jumps over the lazy dog and keeps going",
+      ("lorem ipsum dolor sit amet " * 20).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val norm = regexp_replace(lower(trim(col("t"))), "\\s+", " ")
+    val composed = df.select(col("id"),
+        call_function("graft_rolling_shingle_hash", norm, lit(5)).as("__h"))
+      .select(col("id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__h")) - 4, lit(0))),
+          i => array_min(slice(col("__h"), i + lit(1), lit(4))))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = df.select(col("id"),
+        call_function("graft_winnow_fps", norm, lit(5), lit(4)).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach { i =>
+      assert(fused(i.toLong) == composed(i.toLong), s"text '${texts(i)}'")
+    }
+    // and the fused expression stays inside whole-stage codegen
+    val plan = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(call_function("graft_winnow_fps", col("text"), lit(5), lit(4)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(") &&
+      plan.contains("graft_winnow_fps"), plan)
+  }
+
   test("quality score stays in [0,1] and rewards clean text") {
     val out = docs(
       1L -> ("this is a perfectly normal sentence with the usual words in it " * 3),
@@ -1052,6 +1147,48 @@ class OperatorsSpec extends AnyFunSuite {
         TextAnalysis.repetitionRatioFromGrams(col("__g")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(local == agg)
+  }
+
+  test("lineFilterC4 keeps punctuated >=5-word lines without boilerplate markers") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(
+      "this line has plenty of words and ends well.",   // kept
+      "short line.",                                    // < 5 words
+      "this line has plenty of words but no terminal punctuation", // no punct
+      "please enable javascript to view this content.", // marker
+      "we use cookie banners to track everything here.",// marker (cookie)
+      "is this a kept question with enough words?",     // kept (?)
+      "a quoted ending also counts as terminal \"")),   // kept (")
+      (2L, Seq.empty[String])).toDF("doc_id", "lines")
+    val out = TextAnalysis.lineFilterC4(df, "doc_id", col("lines"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(out(1L)._1 == 7L && out(1L)._2 == 3L)
+    assert(out(1L)._3 == Seq(
+      "this line has plenty of words and ends well.",
+      "is this a kept question with enough words?",
+      "a quoted ending also counts as terminal \"").mkString("\n"))
+    assert(out(2L) == ((0L, 0L, "")))
+  }
+
+  test("piiRedact masks emails, phones, and IPs with per-category counts") {
+    val out = TextAnalysis.piiRedact(
+      docs(
+        1L -> "mail bob@example.com and a.b-c@sub.domain.co.uk today",
+        2L -> "call 555-1234 or 555-9999 from 192.168.0.1",
+        3L -> "clean text with no identifiers at all",
+        4L -> "edge: not-an-ip 1234.5.6.7890 half-phone 55-1234"),
+      "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 0L, 0L,
+      "mail |||EMAIL||| and |||EMAIL||| today")))
+    assert(out(2L) == ((0L, 2L, 1L,
+      "call |||PHONE||| or |||PHONE||| from |||IP|||")))
+    assert(out(3L) == ((0L, 0L, 0L, "clean text with no identifiers at all")))
+    // \b guards: digit runs butting against more digits don't match
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0L && out(4L)._3 == 0L)
   }
 
   test("fingerprint is whitespace/case-insensitive") {
