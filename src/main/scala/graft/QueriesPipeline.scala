@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HeavyHitters, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis}
+import graft.operators.{Dedup, HeavyHitters, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis, Urls}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -402,6 +402,34 @@ object QueriesPipeline {
   /** Word list of normalized text. */
   private val sqlWords =
     """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** Shared CTE prefix of the duplicate-span oracles: every word 8-gram
+    * occurrence hashed with the graft_word_ngram_hash polynomial
+    * (HUGEINT mod 2^64 → signed BIGINT, the q_winnow replay trick; the
+    * gram string rebuilt from the token slice is byte-identical to the
+    * normalized span the native expression hashes), then every NON-FIRST
+    * occurrence of a hash seen at > 1 (doc, pos) kept as `seeds`. */
+  private val sqlDupSeeds =
+    """WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+      |g AS (
+      |  SELECT doc_id, p - 1 AS pos,
+      |    (SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+      |     FROM (SELECT list_reduce(
+      |        [CAST(unicode(gs[j]) + 1 AS HUGEINT) for j in range(1, len(gs) + 1)],
+      |        (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
+      |       FROM (SELECT array_to_string(w[p:p + 7], ' ') AS gs))) AS h
+      |  FROM w, unnest(range(1, len(w) - 6)) AS t(p)
+      |  WHERE len(w) >= 8),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+      |    count(*) OVER (PARTITION BY h) AS c
+      |  FROM g),
+      |seeds AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rk > 1)""".stripMargin
 
   /** The cross-corpus contamination pair sweep (matches
     * `crossMinhashCandidates(docs, bench, …, md5Hex, 200)` with bench =
@@ -2187,6 +2215,57 @@ object QueriesPipeline {
     "q_chunk_dedup_apply" -> ((s, dir) =>
       TextAnalysis.chunkDedupApply(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Exact duplicate-SPAN detection (ExactSubstr regime, Lee et al.
+    // '22): every word 8-gram occurrence is positional, so any verbatim
+    // run of ≥ 8 words shared across (or within) docs is caught at EVERY
+    // alignment — the shifted copies fixed chunking misses. This runs
+    // the PRODUCTION path (native graft_word_ngram_hash span hashing;
+    // the shuffle carries (hash, id, pos), never text) and the oracle
+    // replays the polynomial in DuckDB HUGEINT arithmetic mod 2^64, the
+    // q_winnow precedent.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // The APPLY half: affected docs only, covered runs cut out, exactly
+    // one copy of each shared passage surviving corpus-wide (the first
+    // (doc_id, pos) occurrence is the keeper).
+    "q_dup_span_excise" -> ((s, dir) =>
+      Dedup.duplicateSpanExcise(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // URL curation (C4 §2.2 blocklist + Dolma/RefinedWeb per-domain
+    // caps). The corpus has no URL column, so the gate MANUFACTURES one
+    // deterministically (the q_pii_redact precedent), exercising every
+    // normalization rule: scheme case + default port + WWW + fragment +
+    // tracking params (case 0), a multi-label public suffix + blocked
+    // domain (case 1), trailing slash (case 2), scheme-less mixed-case
+    // host (case 3), and a blocklisted flood domain (case 4). Both
+    // engines replay the same construction; per-row except the
+    // domain-partitioned cap rank.
+    "q_url_curation" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = when(d % 5 === 0,
+          concat(lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+            lit(".COM:443/Articles/Item"), d.cast("string"),
+            lit("/?utm_source=feed&id="), d.cast("string"),
+            lit("&utm_campaign=x#frag")))
+        .when(d % 5 === 1,
+          concat(lit("http://tracker"), (d % 3).cast("string"),
+            lit(".co.uk/path/P"), d.cast("string"),
+            lit("?ref=tw&q="), (d % 13).cast("string")))
+        .when(d % 5 === 2,
+          concat(lit("https://news.journal"), (d % 11).cast("string"),
+            lit(".org/story"), d.cast("string"), lit("/")))
+        .when(d % 5 === 3,
+          concat(lit("Blog"), (d % 7).cast("string"), lit(".Com/post?id="),
+            d.cast("string"), lit("&fbclid=ab"), d.cast("string")))
+        .otherwise(
+          concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
+      Urls.urlCurate(
+        t(s, dir, "documents").select(col("doc_id"), url.as("__url")),
+        "doc_id", col("__url"),
+        blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
+    }),
+
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
     // of chunk-dedup: an 8-token chunk present in ≥ 20 distinct docs is
     // dropped from EVERY doc (dedup keeps one copy; a cookie banner
@@ -3954,6 +4033,103 @@ object QueriesPipeline {
            |  COALESCE(string_agg(k.ct, ' ' ORDER BY k.idx), '') AS clean_text
            |FROM toks t LEFT JOIN kept k USING (doc_id)
            |GROUP BY t.doc_id""".stripMargin,
+
+      "q_dup_spans" ->
+        s"""$sqlDupSeeds,
+           |marked AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN lag(pos) OVER dw IS NULL
+           |              OR pos > lag(pos) OVER dw + 8 THEN 1 ELSE 0 END AS ns,
+           |    pos + 7 - greatest(coalesce(lag(pos) OVER dw + 7, -2), pos - 1)
+           |      AS contrib
+           |  FROM seeds WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+           |agg AS (
+           |  SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_spans,
+           |    CAST(sum(contrib) AS BIGINT) AS n_dup
+           |  FROM marked GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           |  COALESCE(n_dup, 0) AS n_dup_tokens,
+           |  COALESCE(n_spans, 0) AS n_spans
+           |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+      "q_dup_span_excise" ->
+        s"""$sqlDupSeeds,
+           |covset AS (
+           |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+           |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM seeds)
+           |  GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           |  CAST(len(cs) AS BIGINT) AS n_dup_tokens,
+           |  COALESCE(array_to_string(
+           |    [w.w[i] for i in range(1, len(w.w) + 1)
+           |            if NOT list_contains(cs, i - 1)], ' '), '') AS clean_text
+           |FROM w JOIN covset USING (doc_id)""".stripMargin,
+
+      "q_url_curation" -> {
+        val sfx = Urls.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+        s"""WITH u AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 5
+           |      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+           |        || '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR)
+           |        || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           |        || '&utm_campaign=x#frag'
+           |      WHEN 1 THEN 'http://tracker' || CAST(doc_id % 3 AS VARCHAR)
+           |        || '.co.uk/path/P' || CAST(doc_id AS VARCHAR)
+           |        || '?ref=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
+           |      WHEN 2 THEN 'https://news.journal' || CAST(doc_id % 11 AS VARCHAR)
+           |        || '.org/story' || CAST(doc_id AS VARCHAR) || '/'
+           |      WHEN 3 THEN 'Blog' || CAST(doc_id % 7 AS VARCHAR)
+           |        || '.Com/post?id=' || CAST(doc_id AS VARCHAR)
+           |        || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+           |      ELSE 'https://shop.spamsite.com/buy' || CAST(doc_id AS VARCHAR)
+           |    END AS url
+           |  FROM documents),
+           |ns AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+           |      '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s
+           |  FROM u),
+           |hostr AS (
+           |  SELECT doc_id, s, regexp_extract(s, '^[^/?]+', 0) AS raw_host FROM ns),
+           |parts AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(lower(raw_host), '^www\\.', ''),
+           |      ':(80|443)$$', '') AS host,
+           |    substr(s, len(raw_host) + 1) AS rest
+           |  FROM hostr),
+           |pq AS (
+           |  SELECT doc_id, host,
+           |    regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$$', '') AS path,
+           |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query
+           |  FROM parts),
+           |normurl AS (
+           |  SELECT doc_id, host,
+           |    host || path || (CASE WHEN len(ps) > 0
+           |      THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
+           |  FROM (SELECT doc_id, host, path,
+           |          [p for p in string_split(query, '&')
+           |             if len(p) > 0 AND NOT regexp_matches(p,
+           |               '^(utm_[a-zA-Z]+|fbclid|gclid|ref)=')] AS ps
+           |        FROM pq)),
+           |dom AS (
+           |  SELECT doc_id, url_norm,
+           |    CASE
+           |      WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN ($sfx)
+           |        THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+           |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+           |      ELSE host END AS domain
+           |  FROM (SELECT doc_id, url_norm, host,
+           |          string_split(host, '.') AS hp FROM normurl)),
+           |rk AS (
+           |  SELECT doc_id, url_norm, domain,
+           |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+           |  FROM dom)
+           |SELECT doc_id, url_norm, domain,
+           |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10)
+           |    AS keep
+           |FROM rk""".stripMargin
+      },
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from
       // every doc; the planted per-source banner is prepended (window-

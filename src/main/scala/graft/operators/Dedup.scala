@@ -759,4 +759,103 @@ object Dedup {
     val sb = kb.toSet
     union.count(h => sa(h) && sb(h)).toDouble / union.length
   }
+
+  // ----- exact duplicate-SPAN detection / excision (substring dedup) -----
+  //
+  // Whole-doc and chunk dedup miss the common web-corpus failure mode:
+  // a license header, navigation boilerplate, or quoted passage repeated
+  // VERBATIM across otherwise-distinct documents (Lee et al. '22,
+  // "Deduplicating Training Data Makes Language Models Better" — their
+  // ExactSubstr regime, reference behavior in spirit only; the paper
+  // builds a corpus-wide suffix array, which is a single-machine design).
+  // The Spark-first equivalent: every word k-gram occurrence is a
+  // (hash, doc, pos) row; a k-gram seen at more than one (doc, pos) marks
+  // every NON-FIRST occurrence as a duplicate seed; per doc, seed
+  // intervals [pos, pos+k-1] merge into maximal covered runs, which are
+  // reported ([[duplicateSpans]]) or excised ([[duplicateSpanExcise]]).
+  //
+  // 100 TB shape: gram hashing is one codegen byte-pass per doc (the
+  // native [[graft.functions.WordNgramHash]] span hasher); the only
+  // corpus-sized shuffle carries (8-byte hash, id, int pos) rows — never
+  // text; first-vs-rest resolution is a window PARTITIONED BY HASH (high
+  // cardinality, never global); the excision itself is a narrow per-row
+  // map over each affected doc. Same complexity class as chunk dedup,
+  // but positional: overlapping grams chain, so ANY shared run of ≥ k
+  // words is caught at every alignment, where fixed chunking misses
+  // shifted copies.
+
+  /** Merged-duplicate-run fold over a sorted seed-position array:
+    * struct(s = span count, e = last covered index, c = covered tokens).
+    * A seed at `p` covers [p, p+k-1]; runs merge when contiguous or
+    * overlapping (p <= prev_end + 1). Positions are sorted and k is
+    * fixed, so the running end is always the last seed's p+k-1. */
+  private def spanFold(ps: Column, k: Int): Column =
+    aggregate(
+      ps,
+      struct(lit(0).as("s"), lit(-2).as("e"), lit(0).as("c")),
+      (acc, p) => struct(
+        when(p > acc("e") + 1, acc("s") + 1).otherwise(acc("s")).as("s"),
+        (p + lit(k) - 1).as("e"),
+        (acc("c") + p + lit(k) - 1 - greatest(acc("e"), p - 1)).as("c")))
+
+  /** (id, __t normalized text, __w tokens, __n token count, __ps sorted
+    * non-first duplicate k-gram positions — null when none). `joinType`
+    * lets the stats query keep unaffected docs ("left") while the
+    * excision query visits only affected ones ("inner"). */
+  private def dupSpanBase(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, joinType: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df
+      .select(col(idCol),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__t"))
+      .select(col(idCol), col("__t"), split(col("__t"), " ").as("__w"))
+    val grams = toks
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol),
+        posexplode(call_function("graft_word_ngram_hash", col("__t"), lit(k)))
+          .as(Seq("__pos", "__h")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val seeds = grams
+      .withColumn("__rk", row_number().over(
+        byHash.orderBy(col(idCol), col("__pos"))))
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .filter(col("__c") > 1 && col("__rk") > 1)
+    val perDoc = seeds.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    toks.join(perDoc, Seq(idCol), joinType)
+  }
+
+  /** Per-doc duplicate-span report over every document: token count,
+    * tokens covered by at least one non-first duplicate k-gram, and the
+    * count of maximal covered runs. Docs shorter than k words (including
+    * empty text, which tokenizes to one empty word) report zeros. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    dupSpanBase(df, idCol, textCol, k, "left")
+      .withColumn("__f", spanFold(col("__ps"), k))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(col("__f")("c"), lit(0)).cast("long").as("n_dup_tokens"),
+        coalesce(col("__f")("s"), lit(0)).cast("long").as("n_spans"))
+
+  /** Duplicate-span EXCISION: affected docs only, with the covered runs
+    * cut out and the survivors rejoined by single spaces. The first
+    * occurrence of every duplicated gram (global (id, pos) order) is the
+    * keeper, so exactly one copy of each shared passage survives the
+    * corpus — the apply half of [[duplicateSpans]], as
+    * [[graft.operators.TextAnalysis.chunkDedupApply]] is to chunk
+    * detection. */
+  def duplicateSpanExcise(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val cov = array_distinct(flatten(
+      transform(col("__ps"), p => sequence(p, p + lit(k) - 1))))
+    dupSpanBase(df, idCol, textCol, k, "inner")
+      .withColumn("__cov", cov)
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_dup_tokens"),
+        array_join(
+          filter(col("__w"), (x, i) => !array_contains(col("__cov"), i)),
+          " ").as("clean_text"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL curation operators — the provenance-side filters every web-scale
+  * training pipeline runs before a byte of text is scored (C4 §2.2 keeps
+  * a blocklist; Dolma and RefinedWeb cap per-domain volume and dedup on
+  * canonical URLs).
+  *
+  *   - [[normalize]]: canonical URL key for dedup/blocking — scheme and
+  *     fragment dropped, host lowercased, `www.` and default ports
+  *     stripped, tracking query parameters (utm_*, fbclid, gclid, ref)
+  *     removed, trailing path slashes trimmed;
+  *   - [[registeredDomain]]: the blocklist/cap grouping key — last two
+  *     host labels, or three when the two-label tail is a multi-label
+  *     public suffix (co.uk family);
+  *   - [[urlCurate]]: blocklist + per-domain cap → a keep flag per row.
+  *
+  * Everything is per-row string/regex work (codegen'd, zero shuffle)
+  * except the per-domain cap, which is a rank window PARTITIONED BY
+  * registered domain — never global. Regexes stay in the RE2-safe
+  * subset (character classes, anchors, alternation — no lookaround), so
+  * any engine replays them; the q_pii_redact precedent.
+  *
+  * 100 TB note: the cap window ranks every row of a hot domain even
+  * though only the first `maxPerDomain` matter. When one domain is a
+  * double-digit share of the corpus, pre-filter with an approximate
+  * per-domain count (the [[HeavyHitters]] sketch) and exempt the cold
+  * tail from the window — same two-regime trade as the skew-join loop.
+  */
+object Urls {
+
+  /** Tracking-parameter pattern (anchored at the key): the utm_* family
+    * plus the common click/referrer ids. */
+  private val trackingParam = "^(utm_[a-zA-Z]+|fbclid|gclid|ref)="
+
+  /** Canonical URL key. Scheme-insensitive (http/https/none identical),
+    * fragment-free, host lowercased with `www.` and `:80`/`:443`
+    * dropped, tracking params removed (other params kept IN ORDER),
+    * trailing path slashes trimmed. Path case is preserved (paths are
+    * case-sensitive per RFC 3986; only the authority is folded). */
+  def normalize(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val rawHost = regexp_extract(noScheme, "^[^/?]+", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(rawHost), "^www\\.", ""), ":(80|443)$", "")
+    val rest = noScheme.substr(length(rawHost) + 1, lit(1 << 20))
+    val path = regexp_replace(regexp_extract(rest, "^[^?]*", 0), "/+$", "")
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(trackingParam))
+    concat(host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]] — a
+    * deliberately small literal set covering the common ccTLD families;
+    * a production deployment swaps in the full public-suffix list (it is
+    * a broadcast-sized literal table either way). */
+  val publicSuffixes2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "co.in",
+    "co.kr", "com.mx", "com.tr", "co.za")
+
+  /** Registered ("pay-level") domain of a lowercased host: the last two
+    * labels, or the last three when the two-label tail is a listed
+    * public suffix. Hosts with one label (localhost, bare names) pass
+    * through unchanged. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    when(n >= 3 && last2.isin(publicSuffixes2: _*),
+        concat_ws(".", element_at(parts, -3), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Blocklist + per-domain cap over a URL column: every row comes back
+    * with its canonical URL, registered domain, and a keep flag — kept
+    * iff the domain is not blocked AND the row ranks within the first
+    * `maxPerDomain` of its domain (rank by `idCol`, deterministic).
+    * Flagging instead of filtering keeps the decision auditable — the
+    * drop reason is recoverable from (blocked-membership, rank). */
+  def urlCurate(df: DataFrame, idCol: String, urlCol: Column,
+                blocked: Seq[String], maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col(idCol))
+    df.select(col(idCol), normalize(urlCol).as("url_norm"))
+      .withColumn("domain",
+        registeredDomain(regexp_extract(col("url_norm"), "^[^/?]+", 0)))
+      .withColumn("__rk", row_number().over(byDomain))
+      .select(col(idCol), col("url_norm"), col("domain"),
+        (!col("domain").isin(blocked: _*) && col("__rk") <= maxPerDomain)
+          .as("keep"))
+  }
+}

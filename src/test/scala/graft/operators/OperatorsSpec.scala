@@ -685,6 +685,95 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, c1)))           // real doc unaffected by empties
   }
 
+  test("duplicateSpans: cross-doc, within-doc, overlap + adjacency merge, short docs") {
+    // k=3 fixture. doc1 is the first occurrence of every passage it
+    // shares, so it reports zeros; doc2 embeds doc1's "a b c d e f"
+    // (4 chained dup grams → ONE merged run of 6 tokens); doc3 has a
+    // dup prefix, a WITHIN-doc repeat ("m m m" at 3,4,5 — first stays,
+    // 4 and 5 are seeds, overlapping runs merge), and a dup suffix
+    // ADJACENT to the m-run (seed 8 starts exactly at prev_end+1 → one
+    // span, not two); doc4 is shorter than k; doc5 shares nothing.
+    val fix = docs(
+      1L -> "a b c d e f",
+      2L -> "x y z a b c d e f q r",
+      3L -> "a b c m m m m m d e f w",
+      4L -> "p q",
+      5L -> "unique words only here today")
+    val out = Dedup.duplicateSpans(fix, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((6L, 0L, 0L)))
+    assert(out(2L) == ((11L, 6L, 1L)))
+    assert(out(3L) == ((12L, 10L, 2L)))  // [0,2] and [4,10] (merged m-run + adjacent suffix)
+    assert(out(4L) == ((2L, 0L, 0L)))
+    assert(out(5L) == ((5L, 0L, 0L)))
+  }
+
+  test("duplicateSpanExcise cuts covered runs, keeps one corpus-wide copy, skips clean docs") {
+    val fix = docs(
+      1L -> "a b c d e f",
+      2L -> "x y z a b c d e f q r",
+      3L -> "a b c m m m m m d e f w",
+      4L -> "p q",
+      5L -> "unique words only here today")
+    val out = Dedup.duplicateSpanExcise(fix, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(2L, 3L))   // affected docs only
+    assert(out(2L) == ((11L, 6L, "x y z q r")))
+    assert(out(3L) == ((12L, 10L, "m w")))
+  }
+
+  test("Urls.normalize: scheme/fragment/www/port/tracking-param/trailing-slash rules") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      "HTTPS://WWW.Site3.COM:443/Articles/Item15/?utm_source=feed&id=15&utm_campaign=x#frag",
+      "http://tracker1.co.uk/path/P6?ref=tw&q=6",
+      "https://news.journal4.org/story12/",
+      "Blog3.Com/post?id=18&fbclid=ab18",       // scheme-less, mixed-case host
+      "https://WWW.X.COM",                       // bare host, no path
+      "http://a.com:8080/p",                     // NON-default port survives
+      "https://a.com/p?utm_source=x",            // only tracking params → none kept
+      "https://a.com/CaseKept/Path")             // path case preserved
+    val out = in.toDF("u").select(Urls.normalize(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "site3.com/Articles/Item15?id=15",
+      "tracker1.co.uk/path/P6?q=6",
+      "news.journal4.org/story12",
+      "blog3.com/post?id=18",
+      "x.com",
+      "a.com:8080/p",
+      "a.com/p",
+      "a.com/CaseKept/Path"))
+  }
+
+  test("Urls.registeredDomain: public-suffix tails, deep subdomains, single labels") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a.b.co.uk", "x.com", "deep.sub.x.com", "localhost", "co.uk")
+      .toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    // "co.uk" alone has no registrable label — the 2-label fallback
+    // returns it as-is (n=2 but the 3-label branch needs n>=3)
+    assert(out == Seq("b.co.uk", "x.com", "x.com", "localhost", "co.uk"))
+  }
+
+  test("urlCurate: blocklist and per-domain cap flag, deterministic rank by id") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 5L).map(i => (i, s"https://hot.com/p$i")) ++
+      Seq((6L, "https://bad.com/x"), (7L, "https://cold.org/y"))
+    val out = Urls.urlCurate(rows.toDF("doc_id", "u"), "doc_id", col("u"),
+        blocked = Seq("bad.com"), maxPerDomain = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true,   // within cap
+      4L -> false, 5L -> false,                             // over cap
+      6L -> false,                                          // blocked
+      7L -> true))
+  }
+
   test("bpeEncode native path: empty/whitespace/null text edges") {
     val s = spark
     import s.implicits._
