@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HeavyHitters, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis, Urls}
+import graft.operators.{Dedup, HeavyHitters, Html, IncrementalCluster, IncrementalDedup, Sampling, Similarity, TemporalJoin, TextAnalysis, Urls}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
@@ -430,6 +430,92 @@ object QueriesPipeline {
       |    count(*) OVER (PARTITION BY h) AS c
       |  FROM g),
       |seeds AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rk > 1)""".stripMargin
+
+  /** The manufactured URL column of the URL-curation gates — five
+    * deterministic shapes keyed on doc_id (see the q_url_curation
+    * comment); [[sqlUrlDom]] rebuilds it verbatim in DuckDB. */
+  private def gateUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    when(d % 5 === 0,
+        concat(lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+          lit(".COM:443/Articles/Item"), d.cast("string"),
+          lit("/?utm_source=feed&id="), d.cast("string"),
+          lit("&utm_campaign=x#frag")))
+      .when(d % 5 === 1,
+        concat(lit("http://tracker"), (d % 3).cast("string"),
+          lit(".co.uk/path/P"), d.cast("string"),
+          lit("?ref=tw&q="), (d % 13).cast("string")))
+      .when(d % 5 === 2,
+        concat(lit("https://news.journal"), (d % 11).cast("string"),
+          lit(".org/story"), d.cast("string"), lit("/")))
+      .when(d % 5 === 3,
+        concat(lit("Blog"), (d % 7).cast("string"), lit(".Com/post?id="),
+          d.cast("string"), lit("&fbclid=ab"), d.cast("string")))
+      .otherwise(
+        concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
+  }
+
+  /** Shared CTE prefix of the URL-curation oracles: the manufactured
+    * URL column (mirrors the q_url_curation construction), full
+    * normalization, and the registered domain — ends at `dom(doc_id,
+    * url_norm, domain)`. */
+  private lazy val sqlUrlDom: String = {
+    val sfx = graft.operators.Urls.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+       |        || '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR)
+       |        || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+       |        || '&utm_campaign=x#frag'
+       |      WHEN 1 THEN 'http://tracker' || CAST(doc_id % 3 AS VARCHAR)
+       |        || '.co.uk/path/P' || CAST(doc_id AS VARCHAR)
+       |        || '?ref=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
+       |      WHEN 2 THEN 'https://news.journal' || CAST(doc_id % 11 AS VARCHAR)
+       |        || '.org/story' || CAST(doc_id AS VARCHAR) || '/'
+       |      WHEN 3 THEN 'Blog' || CAST(doc_id % 7 AS VARCHAR)
+       |        || '.Com/post?id=' || CAST(doc_id AS VARCHAR)
+       |        || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'https://shop.spamsite.com/buy' || CAST(doc_id AS VARCHAR)
+       |    END AS url
+       |  FROM documents),
+       |ns AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+       |      '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s
+       |  FROM u),
+       |hostr AS (
+       |  SELECT doc_id, s, regexp_extract(s, '^[^/?]+', 0) AS raw_host FROM ns),
+       |parts AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(lower(raw_host), '^www\\.', ''),
+       |      ':(80|443)$$', '') AS host,
+       |    substr(s, len(raw_host) + 1) AS rest
+       |  FROM hostr),
+       |pq AS (
+       |  SELECT doc_id, host,
+       |    regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$$', '') AS path,
+       |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query
+       |  FROM parts),
+       |normurl AS (
+       |  SELECT doc_id, host,
+       |    host || path || (CASE WHEN len(ps) > 0
+       |      THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
+       |  FROM (SELECT doc_id, host, path,
+       |          [p for p in string_split(query, '&')
+       |             if len(p) > 0 AND NOT regexp_matches(p,
+       |               '^(utm_[a-zA-Z]+|fbclid|gclid|ref)=')] AS ps
+       |        FROM pq)),
+       |dom AS (
+       |  SELECT doc_id, url_norm,
+       |    CASE
+       |      WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN ($sfx)
+       |        THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+       |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+       |      ELSE host END AS domain
+       |  FROM (SELECT doc_id, url_norm, host,
+       |          string_split(host, '.') AS hp FROM normurl))""".stripMargin
+  }
 
   /** The cross-corpus contamination pair sweep (matches
     * `crossMinhashCandidates(docs, bench, …, md5Hex, 200)` with bench =
@@ -2241,29 +2327,47 @@ object QueriesPipeline {
     // host (case 3), and a blocklisted flood domain (case 4). Both
     // engines replay the same construction; per-row except the
     // domain-partitioned cap rank.
-    "q_url_curation" -> ((s, dir) => {
-      val d = col("doc_id")
-      val url = when(d % 5 === 0,
-          concat(lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
-            lit(".COM:443/Articles/Item"), d.cast("string"),
-            lit("/?utm_source=feed&id="), d.cast("string"),
-            lit("&utm_campaign=x#frag")))
-        .when(d % 5 === 1,
-          concat(lit("http://tracker"), (d % 3).cast("string"),
-            lit(".co.uk/path/P"), d.cast("string"),
-            lit("?ref=tw&q="), (d % 13).cast("string")))
-        .when(d % 5 === 2,
-          concat(lit("https://news.journal"), (d % 11).cast("string"),
-            lit(".org/story"), d.cast("string"), lit("/")))
-        .when(d % 5 === 3,
-          concat(lit("Blog"), (d % 7).cast("string"), lit(".Com/post?id="),
-            d.cast("string"), lit("&fbclid=ab"), d.cast("string")))
-        .otherwise(
-          concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
+    "q_url_curation" -> ((s, dir) =>
       Urls.urlCurate(
-        t(s, dir, "documents").select(col("doc_id"), url.as("__url")),
+        t(s, dir, "documents").select(col("doc_id"), gateUrl.as("__url")),
         "doc_id", col("__url"),
-        blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
+        blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)),
+
+    // The CLOSED LOOP over the same construction (the q_skew_join_auto
+    // pattern): the cap is DERIVED from the corpus's own domain-size
+    // distribution — sketch path in Spark (percentile_approx over the
+    // per-domain counts, partial/merge, no global sort), exact-rank
+    // replay in the oracle (pinned equal at accuracy ≥ n).
+    "q_url_cap_auto" -> ((s, dir) =>
+      Urls.urlCurateAuto(
+        t(s, dir, "documents").select(col("doc_id"), gateUrl.as("__url")),
+        "doc_id", col("__url"),
+        blocked = Seq("spamsite.com", "tracker1.co.uk"), pct = 0.9)),
+
+    // HTML → text extraction (jusText-lite: script/style/comment
+    // removal, per-<p> blocks, link-density boilerplate filter, entity
+    // decode). The corpus is plain text, so the gate WRAPS each doc in
+    // deterministic markup both engines rebuild identically: a pure-nav
+    // block (density 1.0 → dropped), a comment, a content block with
+    // entities (&amp;, &lt;), and a prose block with one inline anchor
+    // (low density → kept). Per-row regexes, zero shuffle.
+    "q_html_extract" -> ((s, dir) => {
+      val d = col("doc_id")
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val html = concat(
+        lit("<html><head><title>Doc "), d.cast("string"),
+        lit("</title><style>p { color: red; }</style><script>var x = "),
+        d.cast("string"), lit(";</script></head><body>"),
+        lit("<p><a href=\"/home\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/c\">Contact "), (d % 7).cast("string"), lit("</a></p>"),
+        lit("<!-- generated page "), d.cast("string"), lit(" -->"),
+        lit("<p>"), array_join(slice(w, 1, 10), " "),
+        lit(" Tom &amp; Jerry &lt;3</p>"),
+        lit("<p>Read <a href=\"/more\">more</a> about "),
+        array_join(slice(w, 11, 1 << 20), " "), lit("</p></body></html>"))
+      Html.extractTextNative(
+        t(s, dir, "documents").select(col("doc_id"), html.as("__h")),
+        "doc_id", col("__h"))
     }),
 
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
@@ -4065,70 +4169,94 @@ object QueriesPipeline {
            |            if NOT list_contains(cs, i - 1)], ' '), '') AS clean_text
            |FROM w JOIN covset USING (doc_id)""".stripMargin,
 
-      "q_url_curation" -> {
-        val sfx = Urls.publicSuffixes2.map(s => s"'$s'").mkString(", ")
-        s"""WITH u AS (
-           |  SELECT doc_id,
-           |    CASE doc_id % 5
-           |      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-           |        || '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR)
-           |        || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-           |        || '&utm_campaign=x#frag'
-           |      WHEN 1 THEN 'http://tracker' || CAST(doc_id % 3 AS VARCHAR)
-           |        || '.co.uk/path/P' || CAST(doc_id AS VARCHAR)
-           |        || '?ref=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
-           |      WHEN 2 THEN 'https://news.journal' || CAST(doc_id % 11 AS VARCHAR)
-           |        || '.org/story' || CAST(doc_id AS VARCHAR) || '/'
-           |      WHEN 3 THEN 'Blog' || CAST(doc_id % 7 AS VARCHAR)
-           |        || '.Com/post?id=' || CAST(doc_id AS VARCHAR)
-           |        || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
-           |      ELSE 'https://shop.spamsite.com/buy' || CAST(doc_id AS VARCHAR)
-           |    END AS url
+      // NOTE: the shared prefix is CONCATENATED, not interpolated into a
+      // stripMargin template — an outer stripMargin would re-process the
+      // prefix's lines and eat one pipe from every line-leading `||`.
+      "q_url_curation" ->
+        (sqlUrlDom + ",\n" +
+          """rk AS (
+            |  SELECT doc_id, url_norm, domain,
+            |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+            |  FROM dom)
+            |SELECT doc_id, url_norm, domain,
+            |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10)
+            |    AS keep
+            |FROM rk""".stripMargin),
+
+      // auto cap: exact-rank replay of the sketch derivation — the
+      // domain-count at rank ceil(0.9 * n_domains), ascending
+      "q_url_cap_auto" ->
+        (sqlUrlDom + ",\n" +
+          """counts AS (SELECT domain, count(*) AS c FROM dom GROUP BY domain),
+            |cap AS (
+            |  SELECT c AS cap FROM
+            |    (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM counts)
+            |  WHERE rk = CAST(ceil(0.9 * (SELECT count(*) FROM counts)) AS BIGINT)),
+            |rk AS (
+            |  SELECT doc_id, url_norm, domain,
+            |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+            |  FROM dom)
+            |SELECT doc_id, url_norm, domain,
+            |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk')
+            |     AND rk <= (SELECT cap FROM cap)) AS keep
+            |FROM rk""".stripMargin),
+
+      "q_html_extract" -> {
+        // one-level entity decode, &amp; LAST (matches Html.decodeEntities)
+        def dec(e: String) =
+          s"""replace(replace(replace(replace(replace(replace($e,
+             |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |  '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+        def squeeze(e: String) =
+          s"trim(regexp_replace(regexp_replace($e, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        s"""WITH n AS (
+           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
            |  FROM documents),
-           |ns AS (
+           |w AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+           |h AS (
            |  SELECT doc_id,
-           |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
-           |      '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s
-           |  FROM u),
-           |hostr AS (
-           |  SELECT doc_id, s, regexp_extract(s, '^[^/?]+', 0) AS raw_host FROM ns),
-           |parts AS (
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           |    || '</title><style>p { color: red; }</style><script>var x = '
+           |    || CAST(doc_id AS VARCHAR) || ';</script></head><body>'
+           |    || '<p><a href="/home">Home</a> <a href="/about">About</a> '
+           |    || '<a href="/c">Contact ' || CAST(doc_id % 7 AS VARCHAR)
+           |    || '</a></p>'
+           |    || '<!-- generated page ' || CAST(doc_id AS VARCHAR) || ' -->'
+           |    || '<p>' || array_to_string(w[1:10], ' ')
+           |    || ' Tom &amp; Jerry &lt;3</p>'
+           |    || '<p>Read <a href="/more">more</a> about '
+           |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
+           |    || '</p></body></html>' AS html
+           |  FROM w),
+           |bl AS (
            |  SELECT doc_id,
-           |    regexp_replace(regexp_replace(lower(raw_host), '^www\\.', ''),
-           |      ':(80|443)$$', '') AS host,
-           |    substr(s, len(raw_host) + 1) AS rest
-           |  FROM hostr),
-           |pq AS (
-           |  SELECT doc_id, host,
-           |    regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$$', '') AS path,
-           |    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS query
-           |  FROM parts),
-           |normurl AS (
-           |  SELECT doc_id, host,
-           |    host || path || (CASE WHEN len(ps) > 0
-           |      THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_norm
-           |  FROM (SELECT doc_id, host, path,
-           |          [p for p in string_split(query, '&')
-           |             if len(p) > 0 AND NOT regexp_matches(p,
-           |               '^(utm_[a-zA-Z]+|fbclid|gclid|ref)=')] AS ps
-           |        FROM pq)),
-           |dom AS (
-           |  SELECT doc_id, url_norm,
-           |    CASE
-           |      WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN ($sfx)
-           |        THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
-           |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
-           |      ELSE host END AS domain
-           |  FROM (SELECT doc_id, url_norm, host,
-           |          string_split(host, '.') AS hp FROM normurl)),
-           |rk AS (
-           |  SELECT doc_id, url_norm, domain,
-           |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-           |  FROM dom)
-           |SELECT doc_id, url_norm, domain,
-           |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10)
-           |    AS keep
-           |FROM rk""".stripMargin
+           |    regexp_extract_all(
+           |      regexp_replace(regexp_replace(regexp_replace(html,
+           |        '(?i)<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+           |        '(?i)<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+           |        '<!--[\\s\\S]*?-->', ' ', 'g'),
+           |      '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
+           |  FROM h),
+           |blk AS (
+           |  SELECT doc_id, i AS ord, bs[i] AS b, len(bs) AS nb
+           |  FROM bl, unnest(range(1, len(bs) + 1)) AS u(i)),
+           |scored AS (
+           |  SELECT doc_id, ord, nb,
+           |    ${dec(squeeze("b"))} AS txt,
+           |    ${dec(squeeze(
+                  "COALESCE(array_to_string(regexp_extract_all(b, '(?i)<a[^>]*>([\\s\\S]*?)</a>', 1), ' '), '')"))}
+           |      AS atxt
+           |  FROM blk),
+           |kept AS (
+           |  SELECT doc_id, ord, nb, txt,
+           |    (len(txt) > 0 AND CAST(len(atxt) AS DOUBLE)
+           |       / greatest(len(txt), 1) <= 0.5) AS keep
+           |  FROM scored)
+           |SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  COALESCE(string_agg(txt, ' ' ORDER BY ord) FILTER (WHERE keep), '')
+           |    AS clean_text
+           |FROM kept GROUP BY doc_id""".stripMargin
       },
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from

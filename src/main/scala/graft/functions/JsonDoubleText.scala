@@ -100,6 +100,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => DeflateLenExpr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_extract"),
+      new ExpressionInfo(classOf[HtmlExtractExpr].getName, "graft_html_extract"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_html_extract(html, maxLd): maxLd must be a numeric literal")
+        val maxLd = children(1).eval() match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_html_extract: maxLd must be a numeric literal, got $other")
+        }
+        HtmlExtractExpr(children.head, maxLd)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => {

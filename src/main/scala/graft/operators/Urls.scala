@@ -79,6 +79,13 @@ object Urls {
       .otherwise(host)
   }
 
+  /** (id, url_norm, domain) — the shared first stage of both curation
+    * regimes. */
+  private def withDomain(df: DataFrame, idCol: String, urlCol: Column): DataFrame =
+    df.select(col(idCol), normalize(urlCol).as("url_norm"))
+      .withColumn("domain",
+        registeredDomain(regexp_extract(col("url_norm"), "^[^/?]+", 0)))
+
   /** Blocklist + per-domain cap over a URL column: every row comes back
     * with its canonical URL, registered domain, and a keep flag — kept
     * iff the domain is not blocked AND the row ranks within the first
@@ -90,12 +97,32 @@ object Urls {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
     val byDomain = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col(idCol))
-    df.select(col(idCol), normalize(urlCol).as("url_norm"))
-      .withColumn("domain",
-        registeredDomain(regexp_extract(col("url_norm"), "^[^/?]+", 0)))
+    withDomain(df, idCol, urlCol)
       .withColumn("__rk", row_number().over(byDomain))
       .select(col(idCol), col("url_norm"), col("domain"),
         (!col("domain").isin(blocked: _*) && col("__rk") <= maxPerDomain)
           .as("keep"))
+  }
+
+  /** [[urlCurate]] with the cap DERIVED from the corpus's own
+    * domain-size distribution instead of hand-picked: cap = the size of
+    * the domain at rank ceil(pct·n_domains) — "trim every outsized
+    * domain down to a typical large domain's volume" (the Dolma/C4 cap
+    * rule, calibrated the way the skew-join loop derives its salt
+    * factor from the diagnosed skew). Derivation runs the SKETCH path
+    * (`percentile_approx` over the per-domain counts — a partial/merge
+    * aggregate, no global sort; at accuracy ≥ n it selects exactly the
+    * ceil(pct·n)-th datum, the pinned sketch-equals-exact-rank
+    * property), then one scalar rides into the flag query. The counts
+    * frame is domain-cardinality-sized — the one-row collect is
+    * metadata, not data. */
+  def urlCurateAuto(df: DataFrame, idCol: String, urlCol: Column,
+                    blocked: Seq[String], pct: Double = 0.9): DataFrame = {
+    require(pct > 0 && pct <= 1, s"pct must be in (0,1], got $pct")
+    val cap = withDomain(df, idCol, urlCol)
+      .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
+      .head().getLong(0)
+    urlCurate(df, idCol, urlCol, blocked, math.max(cap, 1L).toInt)
   }
 }

@@ -724,6 +724,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((12L, 10L, "m w")))
   }
 
+  test("Html.extractText: script/style/comment removal, link-density filter, entity decode") {
+    val s = spark
+    import s.implicits._
+    val html =
+      "<html><head><style>p{x}</style><script>if(a<b){}</script></head><body>" +
+        "<p><a href=\"/h\">Home</a> <a href=\"/a\">About</a></p>" +          // density 1 → drop
+        "<!-- <p>commented out</p> -->" +
+        "<p>Tom &amp; Jerry say &lt;hi&gt; &#39;loudly&#39;&nbsp;today</p>" + // entities
+        "<P CLASS=\"x\">Read <a href=\"/m\">more</a> on the subject here</P>" + // mixed, keep
+        "<p>   </p>" +                                                        // empty → drop
+        "</body></html>"
+    val out = Html.extractText(Seq((1L, html)).toDF("doc_id", "h"), "doc_id", col("h"))
+      .head()
+    assert(out.getLong(1) == 4L)  // n_blocks: commented <p> never parsed
+    assert(out.getLong(2) == 2L)  // n_kept
+    assert(out.getString(3) ==
+      "Tom & Jerry say <hi> 'loudly' today Read more on the subject here")
+  }
+
+  test("Html native path == HOF path doc-for-doc on corpus-built markup (+ edges)") {
+    val s = spark
+    import s.implicits._
+    // the q_html_extract construction over real corpus docs
+    val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style><script>var x = "),
+      col("doc_id").cast("string"), lit(";</script></head><body>"),
+      lit("<p><a href=\"/home\">Home</a> <a href=\"/c\">Contact "),
+      (col("doc_id") % 7).cast("string"), lit("</a></p>"),
+      lit("<!-- generated page --><p>"), array_join(slice(w, 1, 10), " "),
+      lit(" Tom &amp; Jerry &lt;3</p>"),
+      lit("<p>Read <a href=\"/more\">more</a> about "),
+      array_join(slice(w, 11, 1 << 20), " "), lit("</p></body></html>"))
+    val base = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), html.as("h"))
+      // unmatched-open / empty / pathological edges ride along
+      .unionByName(Seq(
+        (100001L, "<p>open never closes"),
+        (100002L, "<p>a</p><script>junk<p>ghost</p>"),   // unclosed script eats nothing
+        (100003L, "<p> &nbsp;edge&nbsp; </p>"),           // decoded spaces survive trim
+        (100004L, "no markup at all"),
+        (100005L, "<p><a href=x>all</a></p><p>b<>c</p>")  // density 1; literal <>
+      ).toDF("doc_id", "h"))
+    val nat = Html.extractTextNative(base, "doc_id", col("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val hof = Html.extractText(base, "doc_id", col("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(nat.keySet == hof.keySet)
+    for ((k, v) <- hof) assert(nat(k) == v, s"doc $k: native ${nat(k)} != hof $v")
+    // spot-pin the edge semantics themselves (not just agreement)
+    assert(nat(100001L) == ((0L, 0L, "")))
+    // an UNCLOSED <script> can never match the non-greedy span, so it
+    // removes nothing and the trailing <p> still parses
+    assert(nat(100002L) == ((2L, 2L, "a ghost")))
+    assert(nat(100003L) == ((1L, 1L, " edge ")))  // &nbsp; decodes AFTER trim
+    assert(nat(100004L) == ((0L, 0L, "")))
+    assert(nat(100005L) == ((2L, 1L, "b<>c")))
+  }
+
+  test("Html.decodeEntities decodes one level only (&amp;lt; stays &lt;)") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a &amp;lt; b &amp;amp; c").toDF("t")
+      .select(Html.decodeEntities(col("t"))).head().getString(0)
+    assert(out == "a &lt; b &amp; c")
+  }
+
   test("Urls.normalize: scheme/fragment/www/port/tracking-param/trailing-slash rules") {
     val s = spark
     import s.implicits._
@@ -772,6 +840,24 @@ class OperatorsSpec extends AnyFunSuite {
       4L -> false, 5L -> false,                             // over cap
       6L -> false,                                          // blocked
       7L -> true))
+  }
+
+  test("urlCurateAuto derives the cap from the domain-size distribution (exact-rank value)") {
+    val s = spark
+    import s.implicits._
+    // domain sizes 1,1,2,3,10 → rank ceil(0.8·5) = 4 → cap = 3: the
+    // flood domain keeps its first 3 rows, every other domain is whole
+    val rows =
+      Seq((1L, "https://a.com/1"), (2L, "https://b.com/1"),
+        (3L, "https://c.com/1"), (4L, "https://c.com/2"),
+        (5L, "https://d.com/1"), (6L, "https://d.com/2"), (7L, "https://d.com/3")) ++
+      (10L to 19L).map(i => (i, s"https://flood.com/p$i"))
+    val out = Urls.urlCurateAuto(rows.toDF("doc_id", "u"), "doc_id", col("u"),
+        blocked = Nil, pct = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((1L to 7L).forall(out(_)))
+    assert((10L to 12L).forall(out(_)))
+    assert((13L to 19L).forall(!out(_)))
   }
 
   test("bpeEncode native path: empty/whitespace/null text edges") {
