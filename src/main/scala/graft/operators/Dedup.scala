@@ -775,11 +775,12 @@ object Dedup {
   // reported ([[duplicateSpans]]) or excised ([[duplicateSpanExcise]]).
   //
   // 100 TB shape: gram hashing is one codegen byte-pass per doc (the
-  // native [[graft.functions.WordNgramHash]] span hasher); the only
-  // corpus-sized shuffle carries (8-byte hash, id, int pos) rows — never
-  // text; first-vs-rest resolution is a window PARTITIONED BY HASH (high
-  // cardinality, never global); the excision itself is a narrow per-row
-  // map over each affected doc. Same complexity class as chunk dedup,
+  // native [[graft.functions.WordNgramHash]] span hasher); the
+  // corpus-sized gram shuffle carries (8-byte hash, id, int pos) rows —
+  // never text; first-vs-rest resolution is a window PARTITIONED BY
+  // HASH (high cardinality, never global). The stats report joins pure
+  // ints; only the excision's rebuild join moves token arrays, once,
+  // and only for AFFECTED docs. Same complexity class as chunk dedup,
   // but positional: overlapping grams chain, so ANY shared run of ≥ k
   // words is caught at every alignment, where fixed chunking misses
   // shifted copies.
@@ -798,45 +799,48 @@ object Dedup {
         (p + lit(k) - 1).as("e"),
         (acc("c") + p + lit(k) - 1 - greatest(acc("e"), p - 1)).as("c")))
 
-  /** (id, __t normalized text, __w tokens, __n token count, __ps sorted
-    * non-first duplicate k-gram positions — null when none). `joinType`
-    * lets the stats query keep unaffected docs ("left") while the
-    * excision query visits only affected ones ("inner"). */
-  private def dupSpanBase(df: DataFrame, idCol: String, textCol: String,
-                          k: Int, joinType: String): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val toks = df
-      .select(col(idCol),
+  /** (id, __t normalized text, __w tokens). */
+  private def dupSpanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
         regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__t"))
       .select(col(idCol), col("__t"), split(col("__t"), " ").as("__w"))
+
+  /** (id, __ps): the sorted non-first duplicate k-gram positions of
+    * every affected doc. */
+  private def dupSeedPositions(toks: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val grams = toks
       .filter(size(col("__w")) >= k)
       .select(col(idCol),
         posexplode(call_function("graft_word_ngram_hash", col("__t"), lit(k)))
           .as(Seq("__pos", "__h")))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    val seeds = grams
+    grams
       .withColumn("__rk", row_number().over(
         byHash.orderBy(col(idCol), col("__pos"))))
       .withColumn("__c", count(lit(1)).over(byHash))
       .filter(col("__c") > 1 && col("__rk") > 1)
-    val perDoc = seeds.groupBy(col(idCol))
+      .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
-    toks.join(perDoc, Seq(idCol), joinType)
   }
 
   /** Per-doc duplicate-span report over every document: token count,
     * tokens covered by at least one non-first duplicate k-gram, and the
     * count of maximal covered runs. Docs shorter than k words (including
-    * empty text, which tokenizes to one empty word) report zeros. */
+    * empty text, which tokenizes to one empty word) report zeros.
+    * The report join carries only (id, count) ints against (id,
+    * positions) — token arrays never enter an exchange here. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame =
-    dupSpanBase(df, idCol, textCol, k, "left")
+                     k: Int): DataFrame = {
+    val toks = dupSpanToks(df, idCol, textCol)
+    toks.select(col(idCol), size(col("__w")).as("__n"))
+      .join(dupSeedPositions(toks, idCol, k), Seq(idCol), "left")
       .withColumn("__f", spanFold(col("__ps"), k))
       .select(col(idCol),
-        size(col("__w")).cast("long").as("n_tokens"),
+        col("__n").cast("long").as("n_tokens"),
         coalesce(col("__f")("c"), lit(0)).cast("long").as("n_dup_tokens"),
         coalesce(col("__f")("s"), lit(0)).cast("long").as("n_spans"))
+  }
 
   /** Duplicate-span EXCISION: affected docs only, with the covered runs
     * cut out and the survivors rejoined by single spaces. The first
@@ -844,12 +848,16 @@ object Dedup {
     * keeper, so exactly one copy of each shared passage survives the
     * corpus — the apply half of [[duplicateSpans]], as
     * [[graft.operators.TextAnalysis.chunkDedupApply]] is to chunk
-    * detection. */
+    * detection. The rebuild join moves each AFFECTED doc's tokens once
+    * (the inner join prunes clean docs before any token array is
+    * shuffled) — the same one-text-move cost class as chunkDedupApply's
+    * rebuild. */
   def duplicateSpanExcise(df: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame = {
+    val toks = dupSpanToks(df, idCol, textCol)
     val cov = array_distinct(flatten(
       transform(col("__ps"), p => sequence(p, p + lit(k) - 1))))
-    dupSpanBase(df, idCol, textCol, k, "inner")
+    toks.join(dupSeedPositions(toks, idCol, k), Seq(idCol), "inner")
       .withColumn("__cov", cov)
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_tokens"),

@@ -250,6 +250,35 @@ class PlanSpec extends AnyFunSuite {
       "the projection must sit inside whole-stage codegen")
   }
 
+  test("q_html_extract is one codegen'd narrow map — zero shuffle, zero aggregation") {
+    // the whole extraction (block split, link-density filter, entity
+    // decode) happens inside the native expression: no exchange, no
+    // aggregate, no window — per-row at any corpus scale
+    val p = plan("q_html_extract")
+    assert(p.contains("graft_html_extract"), "expected the native expression")
+    assert(!p.contains("Exchange"), "a per-doc extraction must not shuffle")
+    assert(!p.contains("HashAggregate"))
+    assert(!p.contains("WindowExec"))
+  }
+
+  test("q_dup_spans: gram shuffle keys on 64-bit hashes, windows partition by hash, " +
+      "token arrays never enter an exchange") {
+    val q = SparkEntry.queries("q_dup_spans")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // first-vs-rest resolution partitions by the gram HASH — high
+    // cardinality, never a single-partition global window
+    assert(p.contains("windowspecdefinition(__h"))
+    assert(p.contains("hashpartitioning(__h"))
+    val global = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "single-partition global window in the dup-span plan")
+    // the stats report joins (id, count) ints with (id, positions) —
+    // normalized text / token arrays never key an exchange
+    assert(!p.contains("hashpartitioning(__t") && !p.contains("hashpartitioning(__w"))
+  }
+
   test("q_bigram_surprise partial-aggregates bigram counts map-side") {
     val p = plan("q_bigram_surprise")
     assert(p.contains("partial_count"), "bigram counting must map-side combine")
