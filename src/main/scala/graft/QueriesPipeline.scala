@@ -403,33 +403,67 @@ object QueriesPipeline {
   private val sqlWords =
     """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
 
-  /** Shared CTE prefix of the duplicate-span oracles: every word 8-gram
-    * occurrence hashed with the graft_word_ngram_hash polynomial
-    * (HUGEINT mod 2^64 → signed BIGINT, the q_winnow replay trick; the
-    * gram string rebuilt from the token slice is byte-identical to the
-    * normalized span the native expression hashes), then every NON-FIRST
-    * occurrence of a hash seen at > 1 (doc, pos) kept as `seeds`. */
-  private val sqlDupSeeds =
-    """WITH n AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |  FROM documents),
-      |w AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
-      |g AS (
-      |  SELECT doc_id, p - 1 AS pos,
-      |    (SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-      |                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
-      |     FROM (SELECT list_reduce(
-      |        [CAST(unicode(gs[j]) + 1 AS HUGEINT) for j in range(1, len(gs) + 1)],
-      |        (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
-      |       FROM (SELECT array_to_string(w[p:p + 7], ' ') AS gs))) AS h
-      |  FROM w, unnest(range(1, len(w) - 6)) AS t(p)
-      |  WHERE len(w) >= 8),
-      |ranked AS (
-      |  SELECT doc_id, pos,
-      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
-      |    count(*) OVER (PARTITION BY h) AS c
-      |  FROM g),
-      |seeds AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rk > 1)""".stripMargin
+  /** CTE list of the duplicate-span seed derivation over any
+    * `(doc_id, text)` relation `src`: every word 8-gram occurrence
+    * hashed with the graft_word_ngram_hash polynomial (HUGEINT mod 2^64
+    * → signed BIGINT, the q_winnow replay trick; the gram string
+    * rebuilt from the token slice is byte-identical to the normalized
+    * span the native expression hashes), then every NON-FIRST
+    * occurrence of a hash seen at > 1 (doc, pos) kept as `${p}seeds`.
+    * `p` prefixes the CTE names so the list composes into larger
+    * pipelines without collisions. No leading WITH. */
+  private def sqlDupSeedCtes(src: String, p: String): String =
+    s"""${p}n AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM $src),
+       |${p}w AS (SELECT doc_id, string_split(t, ' ') AS w FROM ${p}n),
+       |${p}g AS (
+       |  SELECT doc_id, p - 1 AS pos,
+       |    (SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+       |     FROM (SELECT list_reduce(
+       |        [CAST(unicode(gs[j]) + 1 AS HUGEINT) for j in range(1, len(gs) + 1)],
+       |        (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
+       |       FROM (SELECT array_to_string(w[p:p + 7], ' ') AS gs))) AS h
+       |  FROM ${p}w, unnest(range(1, len(w) - 6)) AS t(p)
+       |  WHERE len(w) >= 8),
+       |${p}ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+       |    count(*) OVER (PARTITION BY h) AS c
+       |  FROM ${p}g),
+       |${p}seeds AS (SELECT doc_id, pos FROM ${p}ranked WHERE c > 1 AND rk > 1)""".stripMargin
+
+  /** [[sqlDupSeedCtes]] over the documents table, unprefixed — the
+    * shared prefix of the q_dup_spans / q_dup_span_excise oracles. */
+  private lazy val sqlDupSeeds = "WITH " + sqlDupSeedCtes("documents", "")
+
+  /** One-level entity decode, `&amp;` LAST (matches
+    * [[graft.operators.Html.decodeEntities]]). */
+  private def sqlEntityDecode(e: String): String =
+    s"""replace(replace(replace(replace(replace(replace($e,
+       |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |  '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+
+  /** Tag-strip + whitespace squeeze + trim (the
+    * [[graft.operators.Html]] blockText stage order — decode applies
+    * AFTER this). */
+  private def sqlStripSqueeze(e: String): String =
+    s"trim(regexp_replace(regexp_replace($e, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** The per-block (txt, atxt) scoring projection of the HTML
+    * extraction oracles, over a relation with (doc_id, ord, b). */
+  private def sqlBlockScore(src: String): String =
+    s"""SELECT doc_id, ord,
+       |    ${sqlEntityDecode(sqlStripSqueeze("b"))} AS txt,
+       |    ${sqlEntityDecode(sqlStripSqueeze(
+              "COALESCE(array_to_string(regexp_extract_all(b, '(?i)<a[^>]*>([\\s\\S]*?)</a>', 1), ' '), '')"))}
+       |      AS atxt
+       |  FROM $src""".stripMargin
+
+  /** Kept-block predicate of the extraction oracles. */
+  private val sqlBlockKeep =
+    "len(txt) > 0 AND CAST(len(atxt) AS DOUBLE) / greatest(len(txt), 1) <= 0.5"
 
   /** The manufactured URL column of the URL-curation gates — five
     * deterministic shapes keyed on doc_id (see the q_url_curation
@@ -2370,6 +2404,42 @@ object QueriesPipeline {
         "doc_id", col("__h"))
     }),
 
+    // The WEB PIPELINE: raw HTML in, training text out — the new
+    // provenance/markup families composed end-to-end. Manufactured
+    // markup (nav block dropped by link density, a planted per-doc
+    // email) → native extraction → PII redaction → duplicate-span
+    // excision over the REDACTED text (redaction makes the planted
+    // emails identical, so spans are judged on real content, not PII
+    // noise) → a minimum-length keep flag. Every stage is per-row
+    // except the span dedup (gram-hash shuffle + affected-doc rebuild).
+    "q_web_pipeline" -> ((s, dir) => {
+      val d = col("doc_id")
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val html = concat(
+        lit("<html><body><p><a href=\"/h\">Home</a> <a href=\"/s\">Site "),
+        (d % 5).cast("string"), lit("</a></p><p>"),
+        array_join(slice(w, 1, 10), " "),
+        lit(" contact user"), d.cast("string"), lit("@example.com now</p><p>"),
+        array_join(slice(w, 11, 1 << 20), " "),
+        lit(" see <a href=\"/m\">details</a></p></body></html>"))
+      val extracted = Html.extractTextNative(
+          t(s, dir, "documents").select(col("doc_id"), html.as("__h")),
+          "doc_id", col("__h"))
+        .select(col("doc_id"), col("clean_text"))
+      val red = TextAnalysis.piiRedact(extracted, "doc_id", col("clean_text"))
+        .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
+      val exc = Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8)
+        .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
+      red.join(exc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pii"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          coalesce(col("__ex"), col("redacted_text")).as("final_text"))
+        .select(col("doc_id"), col("n_pii"), col("n_dup_tokens"),
+          size(split(trim(col("final_text")), "\\s+")).cast("long").as("n_tokens"),
+          (size(split(trim(col("final_text")), "\\s+")) >= 12).as("keep"),
+          col("final_text"))
+    }),
+
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
     // of chunk-dedup: an 8-token chunk present in ≥ 20 distinct docs is
     // dropped from EVERY doc (dedup keeps one copy; a cookie banner
@@ -4202,13 +4272,8 @@ object QueriesPipeline {
             |FROM rk""".stripMargin),
 
       "q_html_extract" -> {
-        // one-level entity decode, &amp; LAST (matches Html.decodeEntities)
-        def dec(e: String) =
-          s"""replace(replace(replace(replace(replace(replace($e,
-             |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-             |  '&nbsp;', ' '), '&amp;', '&')""".stripMargin
-        def squeeze(e: String) =
-          s"trim(regexp_replace(regexp_replace($e, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        val dec: String => String = sqlEntityDecode
+        val squeeze: String => String = sqlStripSqueeze
         s"""WITH n AS (
            |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
            |  FROM documents),
@@ -4258,6 +4323,80 @@ object QueriesPipeline {
            |    AS clean_text
            |FROM kept GROUP BY doc_id""".stripMargin
       },
+
+      // end-to-end replay of the web pipeline: manufactured markup →
+      // block extraction (this construction plants no script/style/
+      // comment subtrees and corpus text cannot contain '<', so those
+      // removal passes are identities and are elided here) → PII regex
+      // redaction → duplicate-span excision over the redacted text
+      // (d-prefixed seed CTEs) → length gate
+      "q_web_pipeline" ->
+        (s"""WITH tn AS (
+            |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            |  FROM documents),
+            |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM tn),
+            |eh AS (
+            |  SELECT doc_id,
+            |    '<html><body><p><a href="/h">Home</a> <a href="/s">Site '
+            |    || CAST(doc_id % 5 AS VARCHAR) || '</a></p><p>'
+            |    || array_to_string(w[1:10], ' ')
+            |    || ' contact user' || CAST(doc_id AS VARCHAR)
+            |    || '@example.com now</p><p>'
+            |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
+            |    || ' see <a href="/m">details</a></p></body></html>' AS html
+            |  FROM tw),
+            |ebl AS (
+            |  SELECT doc_id,
+            |    regexp_extract_all(html, '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
+            |  FROM eh),
+            |eblk AS (
+            |  SELECT doc_id, i AS ord, bs[i] AS b
+            |  FROM ebl, unnest(range(1, len(bs) + 1)) AS u(i)),
+            |escored AS (
+            |  ${sqlBlockScore("eblk")}),
+            |ext AS (
+            |  SELECT doc_id,
+            |    COALESCE(string_agg(txt, ' ' ORDER BY ord)
+            |      FILTER (WHERE $sqlBlockKeep), '') AS clean_text
+            |  FROM escored GROUP BY doc_id),
+            |red AS (
+            |  SELECT doc_id,
+            |    CAST(len(regexp_extract_all(clean_text,
+            |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+            |      AS n_pii,
+            |    regexp_replace(
+            |      regexp_replace(
+            |        regexp_replace(clean_text,
+            |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            |          '|||EMAIL|||', 'g'),
+            |        '\\b\\d{3}-\\d{4}\\b', '|||PHONE|||', 'g'),
+            |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '|||IP|||', 'g')
+            |      AS rt
+            |  FROM ext),
+            |redsrc AS (SELECT doc_id, rt AS text FROM red),
+            |""".stripMargin
+          + sqlDupSeedCtes("redsrc", "d") + ",\n" +
+          """dcovset AS (
+            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM dseeds)
+            |  GROUP BY doc_id),
+            |exc AS (
+            |  SELECT dw.doc_id, CAST(len(cs) AS BIGINT) AS n_dup_tokens,
+            |    COALESCE(array_to_string(
+            |      [dw.w[i] for i in range(1, len(dw.w) + 1)
+            |              if NOT list_contains(cs, i - 1)], ' '), '') AS ex
+            |  FROM dw JOIN dcovset USING (doc_id)),
+            |fin AS (
+            |  SELECT red.doc_id, n_pii,
+            |    COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+            |    COALESCE(ex, rt) AS final_text
+            |  FROM red LEFT JOIN exc ON red.doc_id = exc.doc_id)
+            |SELECT doc_id, n_pii, n_dup_tokens,
+            |  CAST(len(regexp_split_to_array(trim(final_text), '\s+')) AS BIGINT)
+            |    AS n_tokens,
+            |  (len(regexp_split_to_array(trim(final_text), '\s+')) >= 12) AS keep,
+            |  final_text
+            |FROM fin""".stripMargin),
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from
       // every doc; the planted per-source banner is prepended (window-
