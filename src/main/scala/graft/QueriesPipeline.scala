@@ -412,7 +412,7 @@ object QueriesPipeline {
     * occurrence of a hash seen at > 1 (doc, pos) kept as `${p}seeds`.
     * `p` prefixes the CTE names so the list composes into larger
     * pipelines without collisions. No leading WITH. */
-  private def sqlDupSeedCtes(src: String, p: String): String =
+  private def sqlGramCtes(src: String, p: String): String =
     s"""${p}n AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM $src),
@@ -426,8 +426,11 @@ object QueriesPipeline {
        |        (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
        |       FROM (SELECT array_to_string(w[p:p + 7], ' ') AS gs))) AS h
        |  FROM ${p}w, unnest(range(1, len(w) - 6)) AS t(p)
-       |  WHERE len(w) >= 8),
-       |${p}ranked AS (
+       |  WHERE len(w) >= 8)""".stripMargin
+
+  private def sqlDupSeedCtes(src: String, p: String): String =
+    sqlGramCtes(src, p) + ",\n" +
+    s"""${p}ranked AS (
        |  SELECT doc_id, pos,
        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
        |    count(*) OVER (PARTITION BY h) AS c
@@ -2352,6 +2355,27 @@ object QueriesPipeline {
     "q_dup_span_excise" -> ((s, dir) =>
       Dedup.duplicateSpanExcise(t(s, dir, "documents"), "doc_id", "text", k = 8)),
 
+    // The CONTINUOUS-INGESTION regime: even docs are the accumulated
+    // corpus (their gram occurrences live in a hash-bucketed on-disk
+    // store); odd docs arrive as a batch and excise every span the
+    // store has seen (the store always wins seniority) plus non-first
+    // within-batch occurrences. The probe reads only the bucket files
+    // the batch's own hashes occupy. The scratch store is removed after
+    // the seed set is materialized (checkpoint-before-append, the
+    // q_incremental_dedup rule).
+    "q_dup_span_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-spanstore")
+      val store = root.resolve("grams").toString
+      Dedup.spanStoreAppend(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 8, store, nBuckets = 8)
+      val out = Dedup.duplicateSpanExciseIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 8, store, nBuckets = 8)
+      rmTree(root)
+      out
+    }),
+
     // URL curation (C4 §2.2 blocklist + Dolma/RefinedWeb per-domain
     // caps). The corpus has no URL column, so the gate MANUFACTURES one
     // deterministically (the q_pii_redact precedent), exercising every
@@ -4238,6 +4262,34 @@ object QueriesPipeline {
            |    [w.w[i] for i in range(1, len(w.w) + 1)
            |            if NOT list_contains(cs, i - 1)], ' '), '') AS clean_text
            |FROM w JOIN covset USING (doc_id)""".stripMargin,
+
+      // incremental replay: even docs' grams are the store; a batch
+      // gram is a seed when its hash exists there OR it is non-first
+      // within the batch
+      "q_dup_span_incremental" ->
+        ("WITH esrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),\n"
+          + "bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),\n"
+          + sqlGramCtes("esrc", "e") + ",\n"
+          + sqlGramCtes("bsrc", "b") + ",\n" +
+          """branked AS (
+            |  SELECT doc_id, pos, h,
+            |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+            |  FROM bg),
+            |bseeds AS (
+            |  SELECT doc_id, pos FROM branked
+            |  WHERE rk > 1 OR h IN (SELECT h FROM eg)),
+            |bcov AS (
+            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM bseeds)
+            |  GROUP BY doc_id)
+            |SELECT bw.doc_id, CAST(len(bw.w) AS BIGINT) AS n_tokens,
+            |  CAST(COALESCE(len(cs), 0) AS BIGINT) AS n_dup_tokens,
+            |  CASE WHEN cs IS NULL THEN array_to_string(bw.w, ' ')
+            |       ELSE COALESCE(array_to_string(
+            |         [bw.w[i] for i in range(1, len(bw.w) + 1)
+            |                 if NOT list_contains(cs, i - 1)], ' '), '') END
+            |    AS clean_text
+            |FROM bw LEFT JOIN bcov USING (doc_id)""".stripMargin),
 
       // NOTE: the shared prefix is CONCATENATED, not interpolated into a
       // stripMargin template — an outer stripMargin would re-process the

@@ -855,15 +855,101 @@ object Dedup {
   def duplicateSpanExcise(df: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame = {
     val toks = dupSpanToks(df, idCol, textCol)
+    spanExcision(toks, idCol, k,
+      dupSeedPositions(toks, idCol, k), "inner")
+  }
+
+  /** The excision rebuild over (toks ⋈ seed positions). */
+  private def spanExcision(toks: DataFrame, idCol: String, k: Int,
+                           perDoc: DataFrame, joinType: String): DataFrame = {
     val cov = array_distinct(flatten(
       transform(col("__ps"), p => sequence(p, p + lit(k) - 1))))
-    toks.join(dupSeedPositions(toks, idCol, k), Seq(idCol), "inner")
-      .withColumn("__cov", cov)
+    toks.join(perDoc, Seq(idCol), joinType)
+      .withColumn("__cov", coalesce(cov, array().cast("array<int>")))
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_tokens"),
         size(col("__cov")).cast("long").as("n_dup_tokens"),
         array_join(
           filter(col("__w"), (x, i) => !array_contains(col("__cov"), i)),
           " ").as("clean_text"))
+  }
+
+  // ----- incremental duplicate-span dedup (batch vs gram store) --------
+  //
+  // The continuous-ingestion regime of the span family, following
+  // [[IncrementalDedup]]'s signature-store design: the accumulated
+  // corpus is represented by its gram-hash occurrences on disk,
+  // BUCKETED BY HASH so a batch probe reads only the bucket files its
+  // own hashes land in (partition-pruned scan, I/O ∝ touched buckets —
+  // never ∝ store size); an incoming batch excises every span already
+  // seen in the store (the store always wins seniority) plus every
+  // non-first occurrence within the batch itself, then appends its own
+  // grams. Store rows are (bucket, h, doc_id, pos) — 8-byte hashes and
+  // ints, never text, so the store grows ∝ corpus tokens but compresses
+  // like the integers it is.
+
+  /** Bucket of a 64-bit gram hash (non-negative for any Long). */
+  private def gramBucket(h: Column, nBuckets: Int): Column =
+    pmod(h, lit(nBuckets.toLong)).cast("int")
+
+  /** (id, __pos, __h) gram occurrences of a batch. */
+  private def spanGrams(toks: DataFrame, idCol: String, k: Int): DataFrame =
+    toks.filter(size(col("__w")) >= k)
+      .select(col(idCol),
+        posexplode(call_function("graft_word_ngram_hash", col("__t"), lit(k)))
+          .as(Seq("__pos", "__h")))
+
+  /** Append a batch's gram occurrences to the store (created on first
+    * use), bucketed by hash for probe-side partition pruning. */
+  def spanStoreAppend(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, storePath: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    spanGrams(dupSpanToks(df, idCol, textCol), idCol, k)
+      .select(gramBucket(col("__h"), nBuckets).as("bucket"),
+        col("__h"), col(idCol).as("doc_id"), col("__pos"))
+      .write.mode("append").partitionBy("bucket").parquet(storePath)
+  }
+
+  /** Excise an incoming batch against the accumulated store: a batch
+    * gram is a duplicate seed when its hash exists in the store (ANY
+    * store occurrence is senior to the whole batch) OR it is a
+    * non-first occurrence within the batch. Returns every batch doc
+    * (zeros when clean) and appends the batch's grams to the store.
+    * The store read is pruned to the buckets the batch's own hashes
+    * occupy. */
+  def duplicateSpanExciseIncremental(df: DataFrame, idCol: String,
+                                     textCol: String, k: Int,
+                                     storePath: String,
+                                     nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = dupSpanToks(df, idCol, textCol)
+    val grams = spanGrams(toks, idCol, k)
+    val batchBuckets = grams
+      .select(gramBucket(col("__h"), nBuckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets ints — metadata
+    val storeHashes =
+      if (batchBuckets.isEmpty || !new java.io.File(storePath).exists()) null
+      else df.sparkSession.read.parquet(storePath)
+        .filter(col("bucket").isin(batchBuckets.toSeq: _*))
+        .select(col("__h"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val ranked = grams
+      .withColumn("__rk", row_number().over(
+        byHash.orderBy(col(idCol), col("__pos"))))
+    val seeds =
+      (if (storeHashes == null) ranked.filter(col("__rk") > 1)
+       else ranked.join(storeHashes.distinct().withColumn("__hit", lit(1)),
+           Seq("__h"), "left")
+         .filter(col("__rk") > 1 || col("__hit").isNotNull))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+        // MATERIALIZE before the append below: the store read is lazy,
+        // and a post-append evaluation would see the batch's own grams
+        // in the store and excise every token of every doc (the
+        // probeCandidates checkpoint-before-append rule)
+        .localCheckpoint(true)
+    val out = spanExcision(toks, idCol, k, seeds, "left")
+    spanStoreAppend(df, idCol, textCol, k, storePath, nBuckets)
+    out
   }
 }

@@ -724,6 +724,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((12L, 10L, "m w")))
   }
 
+  test("duplicateSpanExciseIncremental: store seniority, within-batch firsts, append accumulation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spanstore-spec")
+    val store = root.resolve("grams").toString
+    try {
+      Dedup.spanStoreAppend(docs(1L -> "a b c d e f"), "doc_id", "text",
+        k = 3, store, nBuckets = 4)
+      val batch1 = docs(
+        11L -> "x a b c d y",          // store grams inside → excised even as batch-first
+        12L -> "p q r s t",            // within-batch first occurrence → kept whole
+        13L -> "p q r s t",            // within-batch duplicate → fully excised
+        14L -> "fresh words only here")
+      val out1 = Dedup.duplicateSpanExciseIncremental(batch1, "doc_id", "text",
+          k = 3, store, nBuckets = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out1(11L) == ((6L, 4L, "x y")))
+      assert(out1(12L) == ((5L, 0L, "p q r s t")))
+      assert(out1(13L) == ((5L, 5L, "")))
+      assert(out1(14L) == ((4L, 0L, "fresh words only here")))
+      // batch 2 must see batch 1's grams in the store (append accumulated)
+      val out2 = Dedup.duplicateSpanExciseIncremental(docs(21L -> "p q r s t"),
+          "doc_id", "text", k = 3, store, nBuckets = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out2(21L) == ((5L, 5L, "")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("Html.extractText: script/style/comment removal, link-density filter, entity decode") {
     val s = spark
     import s.implicits._
