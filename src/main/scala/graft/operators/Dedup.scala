@@ -927,8 +927,15 @@ object Dedup {
     val batchBuckets = grams
       .select(gramBucket(col("__h"), nBuckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nBuckets ints — metadata
+    // Hadoop FS, not java.io.File: the store lives wherever the cluster
+    // filesystem is (HDFS/S3/local alike) — the repo-wide rule from
+    // [[graft.sinks.BucketedMergeTarget]]
+    val storeExists = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
+    }
     val storeHashes =
-      if (batchBuckets.isEmpty || !new java.io.File(storePath).exists()) null
+      if (batchBuckets.isEmpty || !storeExists) null
       else df.sparkSession.read.parquet(storePath)
         .filter(col("bucket").isin(batchBuckets.toSeq: _*))
         .select(col("__h"))
