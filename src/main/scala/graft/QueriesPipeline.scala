@@ -2355,6 +2355,19 @@ object QueriesPipeline {
     "q_dup_span_excise" -> ((s, dir) =>
       Dedup.duplicateSpanExcise(t(s, dir, "documents"), "doc_id", "text", k = 8)),
 
+    // SPAN-level benchmark decontamination: the benchmark is drawn FROM
+    // the corpus (every 10th doc — the realistic test-set-leakage
+    // scenario), so its members lose every token and any other doc
+    // sharing a verbatim ≥8-word run with a benchmark doc loses that
+    // run. Exact-match complement of q_decontaminate (minhash near-dup
+    // docs); the benchmark gram set broadcasts, corpus grams never
+    // shuffle.
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.decontaminateSpans(docs, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8)
+    }),
+
     // The CONTINUOUS-INGESTION regime: even docs are the accumulated
     // corpus (their gram occurrences live in a hash-bucketed on-disk
     // store); odd docs arrive as a batch and excise every span the
@@ -4262,6 +4275,28 @@ object QueriesPipeline {
            |    [w.w[i] for i in range(1, len(w.w) + 1)
            |            if NOT list_contains(cs, i - 1)], ' '), '') AS clean_text
            |FROM w JOIN covset USING (doc_id)""".stripMargin,
+
+      // span decontamination replay: corpus grams whose hash appears in
+      // the benchmark gram set are seeds; no within-corpus seniority
+      "q_decontaminate_spans" ->
+        ("WITH csrc AS (SELECT doc_id, text FROM documents),\n"
+          + "xsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),\n"
+          + sqlGramCtes("csrc", "c") + ",\n"
+          + sqlGramCtes("xsrc", "x") + ",\n" +
+          """cseeds AS (
+            |  SELECT doc_id, pos FROM cg WHERE h IN (SELECT h FROM xg)),
+            |ccov AS (
+            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM cseeds)
+            |  GROUP BY doc_id)
+            |SELECT cw.doc_id, CAST(len(cw.w) AS BIGINT) AS n_tokens,
+            |  CAST(COALESCE(len(cs), 0) AS BIGINT) AS n_dup_tokens,
+            |  CASE WHEN cs IS NULL THEN array_to_string(cw.w, ' ')
+            |       ELSE COALESCE(array_to_string(
+            |         [cw.w[i] for i in range(1, len(cw.w) + 1)
+            |                 if NOT list_contains(cs, i - 1)], ' '), '') END
+            |    AS clean_text
+            |FROM cw LEFT JOIN ccov USING (doc_id)""".stripMargin),
 
       // incremental replay: even docs' grams are the store; a batch
       // gram is a seed when its hash exists there OR it is non-first

@@ -874,6 +874,32 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** SPAN-level benchmark decontamination: excise from every corpus doc
+    * each run of ≥ k words that appears VERBATIM anywhere in the
+    * benchmark — the exact-match complement of the minhash-based
+    * [[crossMinhashCandidates]] decontamination (near-dup docs) and the
+    * n-gram-overlap report (detection only): this one REWRITES the
+    * corpus, and the benchmark always wins (no seniority — a
+    * contaminated span is cut even at its corpus-first occurrence).
+    *
+    * 100 TB shape: the benchmark gram-hash set is benchmark-sized (test
+    * sets are small by definition) and BROADCASTS to a left-semi join,
+    * so corpus grams never enter an exchange at all — the only shuffle
+    * is the contaminated-position rollup, ∝ contamination volume. Every
+    * corpus doc comes back (zeros when clean). */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ctoks = dupSpanToks(corpus, idCol, textCol)
+    val bgrams = spanGrams(dupSpanToks(bench, idCol, textCol), idCol, k)
+      .select(col("__h")).distinct()
+    val seeds = spanGrams(ctoks, idCol, k)
+      .join(broadcast(bgrams), Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    spanExcision(ctoks, idCol, k, seeds, "left")
+  }
+
   // ----- incremental duplicate-span dedup (batch vs gram store) --------
   //
   // The continuous-ingestion regime of the span family, following

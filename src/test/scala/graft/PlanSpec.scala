@@ -279,6 +279,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(__t") && !p.contains("hashpartitioning(__w"))
   }
 
+  test("q_decontaminate_spans broadcasts the benchmark gram set — corpus grams never shuffle") {
+    val p = plan("q_decontaminate_spans")
+    assert(p.contains("LeftSemi, BuildRight"),
+      "benchmark gram set must broadcast into a left-semi join")
+    // exactly ONE gram-hash exchange is allowed: the benchmark-side
+    // distinct (benchmark-sized, beneath its BroadcastExchange); the
+    // CORPUS gram stream must reach the semi join unshuffled
+    val gramExchanges =
+      "Exchange hashpartitioning\\(__h".r.findAllIn(p).size
+    assert(gramExchanges <= 1,
+      s"$gramExchanges gram-hash exchanges — corpus grams entered a shuffle")
+  }
+
   test("q_bigram_surprise partial-aggregates bigram counts map-side") {
     val p = plan("q_bigram_surprise")
     assert(p.contains("partial_count"), "bigram counting must map-side combine")

@@ -724,6 +724,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((12L, 10L, "m w")))
   }
 
+  test("decontaminateSpans: benchmark always wins, members fully excised, clean docs intact") {
+    val bench = docs(100L -> "a b c d e")
+    val corpus = docs(
+      100L -> "a b c d e",            // benchmark member leaked into the corpus
+      2L -> "x a b c d y",            // shares "a b c d" → loses the middle
+      3L -> "nothing shared here at all")
+    val out = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(100L) == ((5L, 5L, "")))
+    assert(out(2L) == ((6L, 4L, "x y")))
+    assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
+  }
+
   test("duplicateSpanExciseIncremental: store seniority, within-batch firsts, append accumulation") {
     val root = java.nio.file.Files.createTempDirectory("graft-spanstore-spec")
     val store = root.resolve("grams").toString
