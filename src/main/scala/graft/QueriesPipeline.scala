@@ -411,7 +411,16 @@ object QueriesPipeline {
     * span the native expression hashes), then every NON-FIRST
     * occurrence of a hash seen at > 1 (doc, pos) kept as `${p}seeds`.
     * `p` prefixes the CTE names so the list composes into larger
-    * pipelines without collisions. No leading WITH. */
+    * pipelines without collisions. No leading WITH.
+    *
+    * ASCII-ONLY replay (the [[graft.functions.RollingShingleHashExpr]]
+    * caveat, restated for this family): the polynomial here folds
+    * `unicode(gs[j])` per CODE POINT while the native
+    * `graft_word_ngram_hash` folds per UTF-8 BYTE — identical values
+    * exactly when every gram character is ASCII (one byte = one code
+    * point = the same integer). The gate corpora are ASCII by
+    * construction; replaying a non-ASCII corpus requires folding over
+    * `encode()` bytes here instead. */
   private def sqlGramCtes(src: String, p: String): String =
     s"""${p}n AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -4403,12 +4412,17 @@ object QueriesPipeline {
            |  SELECT doc_id, ord, nb, txt,
            |    (len(txt) > 0 AND CAST(len(atxt) AS DOUBLE)
            |       / greatest(len(txt), 1) <= 0.5) AS keep
-           |  FROM scored)
-           |SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
-           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           |  COALESCE(string_agg(txt, ' ' ORDER BY ord) FILTER (WHERE keep), '')
-           |    AS clean_text
-           |FROM kept GROUP BY doc_id""".stripMargin
+           |  FROM scored),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |    COALESCE(string_agg(txt, ' ' ORDER BY ord) FILTER (WHERE keep), '')
+           |      AS clean_text
+           |  FROM kept GROUP BY doc_id)
+           |SELECT bl.doc_id, CAST(len(bl.bs) AS BIGINT) AS n_blocks,
+           |  COALESCE(agg.n_kept, 0) AS n_kept,
+           |  COALESCE(agg.clean_text, '') AS clean_text
+           |FROM bl LEFT JOIN agg USING (doc_id)""".stripMargin
       },
 
       // end-to-end replay of the web pipeline: manufactured markup →
@@ -4441,11 +4455,14 @@ object QueriesPipeline {
             |  FROM ebl, unnest(range(1, len(bs) + 1)) AS u(i)),
             |escored AS (
             |  ${sqlBlockScore("eblk")}),
-            |ext AS (
+            |extagg AS (
             |  SELECT doc_id,
             |    COALESCE(string_agg(txt, ' ' ORDER BY ord)
             |      FILTER (WHERE $sqlBlockKeep), '') AS clean_text
             |  FROM escored GROUP BY doc_id),
+            |ext AS (
+            |  SELECT ebl.doc_id, COALESCE(extagg.clean_text, '') AS clean_text
+            |  FROM ebl LEFT JOIN extagg USING (doc_id)),
             |red AS (
             |  SELECT doc_id,
             |    CAST(len(regexp_extract_all(clean_text,

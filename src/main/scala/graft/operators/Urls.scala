@@ -119,10 +119,14 @@ object Urls {
   def urlCurateAuto(df: DataFrame, idCol: String, urlCol: Column,
                     blocked: Seq[String], pct: Double = 0.9): DataFrame = {
     require(pct > 0 && pct <= 1, s"pct must be in (0,1], got $pct")
-    val cap = withDomain(df, idCol, urlCol)
+    val row = withDomain(df, idCol, urlCol)
       .groupBy(col("domain")).agg(count(lit(1)).as("c"))
       .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
-      .head().getLong(0)
+      .head()
+    // an empty corpus aggregates to one NULL row — there is no
+    // distribution to derive a cap from, so default to 1 (every
+    // first-of-domain row keeps; there are none) instead of NPE-ing
+    val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
     urlCurate(df, idCol, urlCol, blocked, math.max(cap, 1L).toInt)
   }
 }
