@@ -913,6 +913,19 @@ object Dedup {
   // grams. Store rows are (bucket, h, doc_id, pos) — 8-byte hashes and
   // ints, never text, so the store grows ∝ corpus tokens but compresses
   // like the integers it is.
+  //
+  // The store itself is a [[graft.sinks.SpanGramStore]] — an LSM-lite
+  // SEGMENT store with atomic manifest commits: each append writes one
+  // immutable bucket-partitioned segment (I/O ∝ batch, nothing
+  // re-read), probes prune to the touched buckets across live segments
+  // from manifest metadata, and [[spanStoreCompact]] folds the accreted
+  // segments back to ~one file per bucket, off the ingest path. Crash/
+  // retry contract: the append is an atomic all-or-nothing commit, and
+  // a RETRIED batch (its grams already committed by the crashed
+  // attempt) excises identically, because store seniority EXCLUDES
+  // occurrences from the batch's own doc ids — a doc's earlier
+  // committed grams are its own first occurrence, not someone else's
+  // seniority. The whole ingest step is therefore idempotent.
 
   /** Bucket of a 64-bit gram hash (non-negative for any Long). */
   private def gramBucket(h: Column, nBuckets: Int): Column =
@@ -926,44 +939,58 @@ object Dedup {
           .as(Seq("__pos", "__h")))
 
   /** Append a batch's gram occurrences to the store (created on first
-    * use), bucketed by hash for probe-side partition pruning. */
+    * use) as one atomically-committed [[graft.sinks.SpanGramStore]]
+    * segment, bucketed by hash for probe-side partition pruning. */
   def spanStoreAppend(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, storePath: String, nBuckets: Int): Unit = {
+                      k: Int, storePath: String,
+                      nBuckets: Int): graft.sinks.SpanGramStore.CommitStats = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    spanGrams(dupSpanToks(df, idCol, textCol), idCol, k)
-      .select(gramBucket(col("__h"), nBuckets).as("bucket"),
-        col("__h"), col(idCol).as("doc_id"), col("__pos"))
-      .write.mode("append").partitionBy("bucket").parquet(storePath)
+    graft.sinks.SpanGramStore.append(
+      spanGrams(dupSpanToks(df, idCol, textCol), idCol, k)
+        .select(gramBucket(col("__h"), nBuckets).as("bucket"),
+          col("__h"), col(idCol).as("doc_id"), col("__pos")),
+      storePath, nBuckets)
   }
 
+  /** Fold the store's accreted segments into one (~one file per bucket)
+    * — the maintenance half of the append/compact split; schedule off
+    * the ingest path ([[graft.sinks.SpanGramStore.compact]]). */
+  def spanStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): graft.sinks.SpanGramStore.CommitStats =
+    graft.sinks.SpanGramStore.compact(spark, storePath)
+
   /** Excise an incoming batch against the accumulated store: a batch
-    * gram is a duplicate seed when its hash exists in the store (ANY
-    * store occurrence is senior to the whole batch) OR it is a
-    * non-first occurrence within the batch. Returns every batch doc
-    * (zeros when clean) and appends the batch's grams to the store.
-    * The store read is pruned to the buckets the batch's own hashes
-    * occupy. */
+    * gram is a duplicate seed when its hash exists in the store from a
+    * doc OUTSIDE the batch (any foreign store occurrence is senior to
+    * the whole batch) OR it is a non-first occurrence within the batch.
+    * Returns every batch doc (zeros when clean) and appends the batch's
+    * grams to the store as one atomic segment commit. The store read is
+    * pruned to the buckets the batch's own hashes occupy.
+    *
+    * IDEMPOTENT under replay: excluding the batch's own doc ids from
+    * seniority means a retried batch whose grams were already committed
+    * by a crashed earlier attempt excises exactly as the first attempt
+    * did (its own history is its own first occurrence), and re-appending
+    * is harmless duplicate metadata that [[spanStoreCompact]] does not
+    * need to dedup (the probe is an existence test). */
   def duplicateSpanExciseIncremental(df: DataFrame, idCol: String,
                                      textCol: String, k: Int,
                                      storePath: String,
                                      nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import graft.sinks.SpanGramStore
+    val spark = df.sparkSession
     val toks = dupSpanToks(df, idCol, textCol)
     val grams = spanGrams(toks, idCol, k)
     val batchBuckets = grams
       .select(gramBucket(col("__h"), nBuckets).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ nBuckets ints — metadata
-    // Hadoop FS, not java.io.File: the store lives wherever the cluster
-    // filesystem is (HDFS/S3/local alike) — the repo-wide rule from
-    // [[graft.sinks.BucketedMergeTarget]]
-    val storeExists = {
-      val p = new org.apache.hadoop.fs.Path(storePath)
-      p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
-    }
+      .collect().map(_.getInt(0)).toSet // ≤ nBuckets ints — metadata
     val storeHashes =
-      if (batchBuckets.isEmpty || !storeExists) null
-      else df.sparkSession.read.parquet(storePath)
-        .filter(col("bucket").isin(batchBuckets.toSeq: _*))
+      if (batchBuckets.isEmpty || !SpanGramStore.exists(spark, storePath)) null
+      else SpanGramStore.probe(spark, storePath, batchBuckets)
+        .select(col("__h"), col("doc_id"))
+        .join(df.select(col(idCol).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
         .select(col("__h"))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val ranked = grams
@@ -976,10 +1003,12 @@ object Dedup {
          .filter(col("__rk") > 1 || col("__hit").isNotNull))
         .groupBy(col(idCol))
         .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
-        // MATERIALIZE before the append below: the store read is lazy,
-        // and a post-append evaluation would see the batch's own grams
-        // in the store and excise every token of every doc (the
-        // probeCandidates checkpoint-before-append rule)
+        // MATERIALIZE before the append below (the probeCandidates
+        // checkpoint-before-append rule). Segment immutability makes the
+        // pruned probe re-readable across ONE later commit, but only one
+        // — the returned frame must stay valid however long the caller
+        // holds it, through any number of later appends/compactions that
+        // GC the segments this probe planned against.
         .localCheckpoint(true)
     val out = spanExcision(toks, idCol, k, seeds, "left")
     spanStoreAppend(df, idCol, textCol, k, storePath, nBuckets)

@@ -13,7 +13,14 @@ import graft.operators.{Dedup, IncrementalCluster, IncrementalDedup}
   * ScaleGen'd 3× corpus and n=30, the store ends at 30× its first-batch
   * size while each batch stays sf0.1/10-sized — the deepest growth rung.
   *
-  * Usage: runMain graft.tools.StoreGrowthBench <sfDir> [nBatches] [dedup|cluster|both]
+  * The `span` mode runs the duplicate-span gram store
+  * ([[graft.sinks.SpanGramStore]]) through the same ladder: per-batch
+  * probe+excise+append cost vs accumulated store size, with a
+  * mid-ladder compaction showing the segment/file count reset — the
+  * small-files debt payment — and that probe cost is unchanged across
+  * it.
+  *
+  * Usage: runMain graft.tools.StoreGrowthBench <sfDir> [nBatches] [dedup|cluster|span|both]
   */
 object StoreGrowthBench {
   def main(args: Array[String]): Unit = {
@@ -41,6 +48,34 @@ object StoreGrowthBench {
         println(f"storegrowth batch=$b%d secs=$secs%.2f candidates=$nc%d " +
           f"storeRowsAfter=${graft.sinks.BucketedMergeTarget.rowCount(s, store).getOrElse(-1L)}%d " +
           f"bucketsRewritten=${stats.bucketsRewritten}%d")
+      }
+    }
+
+    if (mode == "span" || mode == "both") {
+      import graft.sinks.SpanGramStore
+      val store = java.nio.file.Files.createTempDirectory("graft-growth-span")
+        .resolve("grams").toString
+      val nBuckets = 64
+      (0 until n).foreach { b =>
+        val batch = docs.filter(col("doc_id") % n === b)
+        val t0 = System.nanoTime()
+        val out = Dedup.duplicateSpanExciseIncremental(batch, "doc_id", "text",
+          k = 8, store, nBuckets)
+        val affected = out.filter(col("n_dup_tokens") > 0).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"spangrowth batch=$b%d secs=$secs%.2f affected=$affected%d " +
+          f"storeRowsAfter=${SpanGramStore.rowCount(s, store)}%d " +
+          f"segments=${SpanGramStore.segmentCount(s, store)}%d " +
+          f"files=${SpanGramStore.fileCount(s, store)}%d")
+        // pay the small-files debt mid-ladder: the batches after it
+        // prove probe cost is unchanged across a compaction
+        if (b == n / 2) {
+          val c0 = System.nanoTime()
+          SpanGramStore.compact(s, store)
+          println(f"spancompact secs=${(System.nanoTime() - c0) / 1e9}%.2f " +
+            f"segments=${SpanGramStore.segmentCount(s, store)}%d " +
+            f"files=${SpanGramStore.fileCount(s, store)}%d")
+        }
       }
     }
 
