@@ -506,7 +506,11 @@ object QueriesPipeline {
     * normalization, and the registered domain — ends at `dom(doc_id,
     * url_norm, domain)`. */
   private lazy val sqlUrlDom: String = {
-    val sfx = graft.operators.Urls.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+    def lit(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+    val sfx = lit(graft.operators.PublicSuffixes.suffixes2)
+    val sfx3 = lit(graft.operators.PublicSuffixes.suffixes3)
+    val wild = lit(graft.operators.PublicSuffixes.wildcardTlds)
+    val exc = lit(graft.operators.PublicSuffixes.exceptions2)
     s"""WITH u AS (
        |  SELECT doc_id,
        |    CASE doc_id % 5
@@ -555,8 +559,19 @@ object QueriesPipeline {
        |dom AS (
        |  SELECT doc_id, url_norm,
        |    CASE
-       |      WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN ($sfx)
-       |        THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+       |      WHEN len(hp) >= 2 AND (hp[-2] || '.' || hp[-1]) IN ($exc)
+       |        THEN hp[-2] || '.' || hp[-1]
+       |      WHEN hp[-1] IN ($wild) THEN
+       |        (CASE WHEN len(hp) >= 3
+       |          THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] ELSE host END)
+       |      WHEN len(hp) >= 3
+       |          AND (hp[-3] || '.' || hp[-2] || '.' || hp[-1]) IN ($sfx3) THEN
+       |        (CASE WHEN len(hp) >= 4
+       |          THEN hp[-4] || '.' || hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+       |          ELSE host END)
+       |      WHEN len(hp) >= 2 AND (hp[-2] || '.' || hp[-1]) IN ($sfx) THEN
+       |        (CASE WHEN len(hp) >= 3
+       |          THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] ELSE host END)
        |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
        |      ELSE host END AS domain
        |  FROM (SELECT doc_id, url_norm, host,

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *     fragment dropped, host lowercased, `www.` and default ports
   *     stripped, tracking query parameters (utm_*, fbclid, gclid, ref)
   *     removed, trailing path slashes trimmed;
-  *   - [[registeredDomain]]: the blocklist/cap grouping key — last two
-  *     host labels, or three when the two-label tail is a multi-label
-  *     public suffix (co.uk family);
+  *   - [[registeredDomain]]: the blocklist/cap grouping key — the
+  *     pay-level domain under the bundled [[PublicSuffixes]] snapshot
+  *     (2-/3-label suffixes, TLD wildcards, exceptions — the
+  *     publicsuffix.org rule shapes);
   *   - [[urlCurate]]: blocklist + per-domain cap → a keep flag per row.
   *
   * Everything is per-row string/regex work (codegen'd, zero shuffle)
@@ -56,25 +57,32 @@ object Urls {
         .otherwise(lit("")))
   }
 
-  /** Multi-label public suffixes recognized by [[registeredDomain]] — a
-    * deliberately small literal set covering the common ccTLD families;
-    * a production deployment swaps in the full public-suffix list (it is
-    * a broadcast-sized literal table either way). */
-  val publicSuffixes2: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "co.in",
-    "co.kr", "com.mx", "com.tr", "co.za")
+  /** The 2-label public suffixes recognized by [[registeredDomain]] —
+    * loaded from the bundled snapshot ([[PublicSuffixes.suffixes2]]);
+    * kept under this name as the anchor the oracle replay interpolates. */
+  def publicSuffixes2: Seq[String] = PublicSuffixes.suffixes2
 
-  /** Registered ("pay-level") domain of a lowercased host: the last two
-    * labels, or the last three when the two-label tail is a listed
-    * public suffix. Hosts with one label (localhost, bare names) pass
-    * through unchanged. */
+  /** Registered ("pay-level") domain of a lowercased host, per the
+    * bundled [[PublicSuffixes]] rule set: exception hosts (`!www.ck`)
+    * are themselves registered domains; under a wildcard TLD (`*.ck`)
+    * every 2-label tail is a suffix (registered = last 3 labels); a
+    * listed 3-label suffix takes the last 4 labels; a listed 2-label
+    * suffix takes the last 3; everything else takes the default last 2.
+    * A host that IS a public suffix, and single-label hosts (localhost,
+    * bare names), pass through unchanged. */
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
-    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
-    when(n >= 3 && last2.isin(publicSuffixes2: _*),
-        concat_ws(".", element_at(parts, -3), last2))
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    val last2 = lastK(2)
+    when(n >= 2 && last2.isin(PublicSuffixes.exceptions2: _*), last2)
+      .when(element_at(parts, -1).isin(PublicSuffixes.wildcardTlds: _*),
+        when(n >= 3, lastK(3)).otherwise(host))
+      .when(n >= 3 && lastK(3).isin(PublicSuffixes.suffixes3: _*),
+        when(n >= 4, lastK(4)).otherwise(host))
+      .when(n >= 2 && last2.isin(PublicSuffixes.suffixes2: _*),
+        when(n >= 3, lastK(3)).otherwise(host))
       .when(n >= 2, last2)
       .otherwise(host)
   }

@@ -875,6 +875,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq("b.co.uk", "x.com", "x.com", "localhost", "co.uk"))
   }
 
+  test("Urls.registeredDomain: full PSL snapshot — ccTLD families, 3-label rules, wildcards, exceptions, private suffixes") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "shop.example.com.sg" -> "example.com.sg",  // com.sg (beyond the old 18-entry set)
+      "a.b.gov.uk" -> "b.gov.uk",
+      "user.github.io" -> "user.github.io",       // private-section suffix: each user a distinct operator
+      "deep.user.github.io" -> "user.github.io",
+      "myblog.blogspot.com" -> "myblog.blogspot.com",
+      "app.herokuapp.com" -> "app.herokuapp.com",
+      "x.tokyo.jp" -> "x.tokyo.jp",               // prefecture 2-label suffix
+      "school.k12.ca.us" -> "school.k12.ca.us",   // 3-label rule → last 4
+      "www.school.k12.ca.us" -> "school.k12.ca.us",
+      "uni.act.edu.au" -> "uni.act.edu.au",
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com",
+      "foo.anything.ck" -> "foo.anything.ck",     // *.ck wildcard → last 3
+      "a.foo.anything.ck" -> "foo.anything.ck",
+      "www.ck" -> "www.ck",                       // !www.ck exception: itself registrable
+      "sub.www.ck" -> "www.ck",                   // subdomain of the exception host
+      "plain.example.org" -> "example.org",       // default rule unchanged
+      "k12.ca.us" -> "k12.ca.us")                 // host IS a 3-label suffix → pass-through
+    val out = cases.map(_._1).toDF("h")
+      .select(col("h"), Urls.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) => assert(out(h) == want, s"host $h") }
+    // loader sanity: every supported shape is populated from the snapshot
+    assert(PublicSuffixes.suffixes2.size > 1000)
+    assert(PublicSuffixes.suffixes3.size > 100)
+    assert(PublicSuffixes.wildcardTlds.nonEmpty)
+    assert(PublicSuffixes.exceptions2.contains("www.ck"))
+    assert(PublicSuffixes.ignoredRules == 0) // the bundled snapshot is fully consumed
+  }
+
   test("urlCurate: blocklist and per-domain cap flag, deterministic rank by id") {
     val s = spark
     import s.implicits._
