@@ -421,7 +421,7 @@ object QueriesPipeline {
     * point = the same integer). The gate corpora are ASCII by
     * construction; replaying a non-ASCII corpus requires folding over
     * `encode()` bytes here instead. */
-  private def sqlGramCtes(src: String, p: String): String =
+  private def sqlGramCtes(src: String, p: String, k: Int = 8): String =
     s"""${p}n AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM $src),
@@ -433,12 +433,12 @@ object QueriesPipeline {
        |     FROM (SELECT list_reduce(
        |        [CAST(unicode(gs[j]) + 1 AS HUGEINT) for j in range(1, len(gs) + 1)],
        |        (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
-       |       FROM (SELECT array_to_string(w[p:p + 7], ' ') AS gs))) AS h
-       |  FROM ${p}w, unnest(range(1, len(w) - 6)) AS t(p)
-       |  WHERE len(w) >= 8)""".stripMargin
+       |       FROM (SELECT array_to_string(w[p:p + ${k - 1}], ' ') AS gs))) AS h
+       |  FROM ${p}w, unnest(range(1, len(w) - ${k - 2})) AS t(p)
+       |  WHERE len(w) >= $k)""".stripMargin
 
-  private def sqlDupSeedCtes(src: String, p: String): String =
-    sqlGramCtes(src, p) + ",\n" +
+  private def sqlDupSeedCtes(src: String, p: String, k: Int = 8): String =
+    sqlGramCtes(src, p, k) + ",\n" +
     s"""${p}ranked AS (
        |  SELECT doc_id, pos,
        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
@@ -501,35 +501,18 @@ object QueriesPipeline {
         concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
   }
 
-  /** Shared CTE prefix of the URL-curation oracles: the manufactured
-    * URL column (mirrors the q_url_curation construction), full
-    * normalization, and the registered domain — ends at `dom(doc_id,
-    * url_norm, domain)`. */
-  private lazy val sqlUrlDom: String = {
+  /** The URL normalization + registered-domain CTE chain of the
+    * URL-curation oracles: expects a preceding `u(doc_id, url)` CTE and
+    * ends at `dom(doc_id, url_norm, domain)`. Standalone-stripped and
+    * CONCATENATED after the construction prefix (never interpolated
+    * into an outer stripMargin — the line-leading `||` SQL-concat trap). */
+  private lazy val sqlUrlChain: String = {
     def lit(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
     val sfx = lit(graft.operators.PublicSuffixes.suffixes2)
     val sfx3 = lit(graft.operators.PublicSuffixes.suffixes3)
     val wild = lit(graft.operators.PublicSuffixes.wildcardTlds)
     val exc = lit(graft.operators.PublicSuffixes.exceptions2)
-    s"""WITH u AS (
-       |  SELECT doc_id,
-       |    CASE doc_id % 5
-       |      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-       |        || '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR)
-       |        || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-       |        || '&utm_campaign=x#frag'
-       |      WHEN 1 THEN 'http://tracker' || CAST(doc_id % 3 AS VARCHAR)
-       |        || '.co.uk/path/P' || CAST(doc_id AS VARCHAR)
-       |        || '?ref=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
-       |      WHEN 2 THEN 'https://news.journal' || CAST(doc_id % 11 AS VARCHAR)
-       |        || '.org/story' || CAST(doc_id AS VARCHAR) || '/'
-       |      WHEN 3 THEN 'Blog' || CAST(doc_id % 7 AS VARCHAR)
-       |        || '.Com/post?id=' || CAST(doc_id AS VARCHAR)
-       |        || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
-       |      ELSE 'https://shop.spamsite.com/buy' || CAST(doc_id AS VARCHAR)
-       |    END AS url
-       |  FROM documents),
-       |ns AS (
+    s"""ns AS (
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
        |      '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s
@@ -577,6 +560,46 @@ object QueriesPipeline {
        |  FROM (SELECT doc_id, url_norm, host,
        |          string_split(host, '.') AS hp FROM normurl))""".stripMargin
   }
+
+  /** Shared CTE prefix of the q_url_curation / q_url_cap_auto oracles:
+    * the manufactured URL column (mirrors the [[gateUrl]] construction)
+    * + [[sqlUrlChain]] — ends at `dom(doc_id, url_norm, domain)`. */
+  private lazy val sqlUrlDom: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+       |        || '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR)
+       |        || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+       |        || '&utm_campaign=x#frag'
+       |      WHEN 1 THEN 'http://tracker' || CAST(doc_id % 3 AS VARCHAR)
+       |        || '.co.uk/path/P' || CAST(doc_id AS VARCHAR)
+       |        || '?ref=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
+       |      WHEN 2 THEN 'https://news.journal' || CAST(doc_id % 11 AS VARCHAR)
+       |        || '.org/story' || CAST(doc_id AS VARCHAR) || '/'
+       |      WHEN 3 THEN 'Blog' || CAST(doc_id % 7 AS VARCHAR)
+       |        || '.Com/post?id=' || CAST(doc_id AS VARCHAR)
+       |        || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'https://shop.spamsite.com/buy' || CAST(doc_id AS VARCHAR)
+       |    END AS url
+       |  FROM documents),
+       |""".stripMargin + sqlUrlChain
+
+  /** The q_url_cap_hot oracle prefix: a PLANTED MEGA-DOMAIN
+    * construction (half the corpus on one domain, the rest spread thin)
+    * + the same [[sqlUrlChain]]. The oracle replays the cap with the
+    * plain global rank window — the two-regime Spark path must produce
+    * identical flags. */
+  private lazy val sqlUrlHotDom: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN 'https://megahub.com/p' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+       |        || '.com/a' || CAST(doc_id AS VARCHAR)
+       |    END AS url
+       |  FROM documents),
+       |""".stripMargin + sqlUrlChain
 
   /** The cross-corpus contamination pair sweep (matches
     * `crossMinhashCandidates(docs, bench, …, md5Hex, 200)` with bench =
@@ -2413,6 +2436,24 @@ object QueriesPipeline {
       out
     }),
 
+    // The PRODUCTION operating point of the span family: Lee '22 runs
+    // ExactSubstr at ~50-token spans (k=8 above is the conservative
+    // stress end — shorter spans mean MORE duplicate hashes and bigger
+    // rank windows, so the k=8 gates bound the cost from above). The
+    // word-soup corpus has no natural 50-word verbatim runs, so the
+    // gate PLANTS one: every 20th doc gets the same 60-word clause
+    // appended — only the 11 grams fully inside the clause collide
+    // across docs, the first (doc, pos) occurrence keeps them, and
+    // every other planted doc reports one 60-token span.
+    "q_dup_spans_k50" -> ((s, dir) => {
+      val banner = (1 to 60).map(i => s"sharedclause$i").mkString(" ")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" " + banner)))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpans(planted, "doc_id", "text", k = 50)
+    }),
+
     // URL curation (C4 §2.2 blocklist + Dolma/RefinedWeb per-domain
     // caps). The corpus has no URL column, so the gate MANUFACTURES one
     // deterministically (the q_pii_redact precedent), exercising every
@@ -2438,6 +2479,26 @@ object QueriesPipeline {
         t(s, dir, "documents").select(col("doc_id"), gateUrl.as("__url")),
         "doc_id", col("__url"),
         blocked = Seq("spamsite.com", "tracker1.co.uk"), pct = 0.9)),
+
+    // The TWO-REGIME cap under a planted MEGA-DOMAIN (half the corpus
+    // on megahub.com, the rest spread over ~97 thin domains): the
+    // Misra–Gries sketch diagnoses the hot set, cold domains take the
+    // plain domain-partitioned rank, hot rows take the lossless
+    // two-stage (domain, slice)-then-survivors rank — no task ever
+    // ranks the whole mega-domain. The oracle replays the SAME flags
+    // with the plain global window: regimes must be invisible in the
+    // result.
+    "q_url_cap_hot" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = when(d % 2 === 0,
+          concat(lit("https://megahub.com/p"), d.cast("string")))
+        .otherwise(concat(lit("https://site"), (d % 97).cast("string"),
+          lit(".com/a"), d.cast("string")))
+      Urls.urlCurateHot(
+        t(s, dir, "documents").select(col("doc_id"), url.as("__url")),
+        "doc_id", col("__url"),
+        blocked = Seq("site7.com"), maxPerDomain = 10)
+    }),
 
     // HTML → text extraction (jusText-lite: script/style/comment
     // removal, per-<p> blocks, link-density boilerplate filter, entity
@@ -2498,6 +2559,78 @@ object QueriesPipeline {
         .select(col("doc_id"), col("n_pii"), col("n_dup_tokens"),
           size(split(trim(col("final_text")), "\\s+")).cast("long").as("n_tokens"),
           (size(split(trim(col("final_text")), "\\s+")) >= 12).as("keep"),
+          col("final_text"))
+    }),
+
+    // The FULL web flagship: provenance to training batches in one
+    // composition — URL curation (blocklist + per-domain cap) → HTML
+    // extraction (native) → C4 line filter → PII redaction → duplicate-
+    // span excision over the REDACTED text → quality gate with a
+    // SKETCH-derived token floor (percentile_approx at oracle-exact
+    // accuracy) → sequence packing into 2048-token bins per
+    // (source, lang) shard. One-scan discipline: the documents base is
+    // checkpointed once and feeds curation, markup and the pack join
+    // (plan-pinned: zero further documents scans); the redacted sliver
+    // is checkpointed so the extraction lineage runs ONCE across the
+    // excise join's two consumers. Output = surviving docs only (the
+    // training set), with their provenance counters and pack ids.
+    "q_web_pipeline_v2" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .localCheckpoint(true)
+      val cur = Urls.urlCurate(
+        base.select(col("doc_id"), gateUrl.as("__url")),
+        "doc_id", col("__url"),
+        blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
+      val srcKept = base.join(cur.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val html = concat(
+        lit("<html><body><p><a href=\"/h\">Home</a> <a href=\"/s\">Site "),
+        (d % 5).cast("string"), lit("</a></p><p>"),
+        array_join(slice(w, 1, 10), " "),
+        lit(" contact user"), d.cast("string"), lit("@example.com now</p><p>"),
+        array_join(slice(w, 11, 1 << 20), " "),
+        lit(" see <a href=\"/m\">details</a></p></body></html>"))
+      val ext = Html.extractTextNative(
+          srcKept.select(col("doc_id"), html.as("__h")), "doc_id", col("__h"))
+        .select(col("doc_id"), col("clean_text"))
+      val toks = split(trim(col("clean_text")), "\\s+")
+      val lines = transform(
+        sequence(lit(0),
+          greatest(ceil(size(toks).cast("double") / 10).cast("int") - 1, lit(0))),
+        i => {
+          val chunk = array_join(slice(toks, i * 10 + 1, lit(10)), " ")
+          when((col("doc_id") + i) % 5 === 3,
+              concat(chunk, lit(" accept our cookie policy.")))
+            .when((col("doc_id") + i) % 2 === 0, concat(chunk, lit(".")))
+            .otherwise(chunk)
+        })
+      val lf = TextAnalysis.lineFilterC4(
+          ext.select(col("doc_id"), lines.as("__lines")), "doc_id", col("__lines"))
+        .select(col("doc_id"), col("cleaned_text"))
+      val red = TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
+        .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
+        .localCheckpoint(true) // the redacted sliver — extraction runs once
+      val exc = Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8)
+        .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
+      val fin = red.join(exc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pii"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          coalesce(col("__ex"), col("redacted_text")).as("final_text"))
+        .withColumn("n_tokens",
+          size(split(trim(col("final_text")), "\\s+")).cast("long"))
+      val th = TextAnalysis.approxQuantileAgg(fin,
+        Seq((col("n_tokens"), 0.05, "tok_t")), accuracy = 1000000)
+      val surv = fin.crossJoin(broadcast(th))
+        .filter(col("n_tokens") >= col("tok_t")).drop("tok_t")
+      val packW = Window.partitionBy("source", "lang").orderBy("doc_id")
+      surv.join(base.select("doc_id", "source", "lang"), Seq("doc_id"))
+        .withColumn("__cum", sum(col("n_tokens")).over(packW))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_pii"),
+          col("n_dup_tokens"), col("n_tokens"),
+          floor((col("__cum") - col("n_tokens")) / lit(2048.0))
+            .cast("long").as("pack_id"),
           col("final_text"))
     }),
 
@@ -4300,6 +4433,33 @@ object QueriesPipeline {
            |            if NOT list_contains(cs, i - 1)], ' '), '') AS clean_text
            |FROM w JOIN covset USING (doc_id)""".stripMargin,
 
+      // production-k replay: the k=8 machinery with every constant at
+      // k=50, over the planted-clause corpus
+      "q_dup_spans_k50" -> {
+        val banner = (1 to 60).map(i => s"sharedclause$i").mkString(" ")
+        s"""WITH psrc AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 20 = 0 THEN text || ' $banner'
+           |         ELSE text END AS text
+           |  FROM documents),
+           |""".stripMargin + sqlDupSeedCtes("psrc", "", k = 50) + ",\n" +
+          """marked AS (
+            |  SELECT doc_id, pos,
+            |    CASE WHEN lag(pos) OVER dw IS NULL
+            |              OR pos > lag(pos) OVER dw + 50 THEN 1 ELSE 0 END AS ns,
+            |    pos + 49 - greatest(coalesce(lag(pos) OVER dw + 49, -2), pos - 1)
+            |      AS contrib
+            |  FROM seeds WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+            |agg AS (
+            |  SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_spans,
+            |    CAST(sum(contrib) AS BIGINT) AS n_dup
+            |  FROM marked GROUP BY doc_id)
+            |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+            |  COALESCE(n_dup, 0) AS n_dup_tokens,
+            |  COALESCE(n_spans, 0) AS n_spans
+            |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+      },
+
       // span decontamination replay: corpus grams whose hash appears in
       // the benchmark gram set are seeds; no within-corpus seniority
       "q_decontaminate_spans" ->
@@ -4380,6 +4540,18 @@ object QueriesPipeline {
             |SELECT doc_id, url_norm, domain,
             |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk')
             |     AND rk <= (SELECT cap FROM cap)) AS keep
+            |FROM rk""".stripMargin),
+
+      // mega-domain cap replay: the plain global rank window — the
+      // Spark side's two-regime topology must be invisible here
+      "q_url_cap_hot" ->
+        (sqlUrlHotDom + ",\n" +
+          """rk AS (
+            |  SELECT doc_id, url_norm, domain,
+            |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+            |  FROM dom)
+            |SELECT doc_id, url_norm, domain,
+            |  (domain NOT IN ('site7.com') AND rk <= 10) AS keep
             |FROM rk""".stripMargin),
 
       "q_html_extract" -> {
@@ -4516,6 +4688,127 @@ object QueriesPipeline {
             |  (len(regexp_split_to_array(trim(final_text), '\s+')) >= 12) AS keep,
             |  final_text
             |FROM fin""".stripMargin),
+
+      // the full web flagship, replayed as ONE statement: gateUrl
+      // construction + URL chain → blocklist/cap keep-set → markup +
+      // block extraction (script/style/comment passes are identities on
+      // this construction, elided as in q_web_pipeline) → line
+      // construction + C4 filter → PII → d-prefixed span seeds + excise
+      // → exact-rank token floor (the sketch equals it at gate
+      // accuracy) → per-(source, lang) running-sum packing
+      "q_web_pipeline_v2" ->
+        (sqlUrlDom + ",\n" +
+          s"""crk AS (
+             |  SELECT doc_id, domain,
+             |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+             |  FROM dom),
+             |ckeep AS (
+             |  SELECT doc_id FROM crk
+             |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10),
+             |tn AS (
+             |  SELECT d.doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+             |  FROM documents d JOIN ckeep USING (doc_id)),
+             |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM tn),
+             |eh AS (
+             |  SELECT doc_id,
+             |    '<html><body><p><a href="/h">Home</a> <a href="/s">Site '
+             |    || CAST(doc_id % 5 AS VARCHAR) || '</a></p><p>'
+             |    || array_to_string(w[1:10], ' ')
+             |    || ' contact user' || CAST(doc_id AS VARCHAR)
+             |    || '@example.com now</p><p>'
+             |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
+             |    || ' see <a href="/m">details</a></p></body></html>' AS html
+             |  FROM tw),
+             |ebl AS (
+             |  SELECT doc_id,
+             |    regexp_extract_all(html, '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
+             |  FROM eh),
+             |eblk AS (
+             |  SELECT doc_id, i AS ord, bs[i] AS b
+             |  FROM ebl, unnest(range(1, len(bs) + 1)) AS u(i)),
+             |escored AS (
+             |  ${sqlBlockScore("eblk")}),
+             |extagg AS (
+             |  SELECT doc_id,
+             |    COALESCE(string_agg(txt, ' ' ORDER BY ord)
+             |      FILTER (WHERE $sqlBlockKeep), '') AS clean_text
+             |  FROM escored GROUP BY doc_id),
+             |ext AS (
+             |  SELECT ebl.doc_id, COALESCE(extagg.clean_text, '') AS clean_text
+             |  FROM ebl LEFT JOIN extagg USING (doc_id)),
+             |lw AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS w2
+             |  FROM ext),
+             |elines AS (
+             |  SELECT doc_id, [
+             |    CASE WHEN (doc_id + i) % 5 = 3
+             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || ' accept our cookie policy.'
+             |         WHEN (doc_id + i) % 2 = 0
+             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || '.'
+             |         ELSE array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') END
+             |    for i in range(0, greatest(CAST(ceil(len(w2) / 10.0) AS BIGINT), 1))] AS ls
+             |  FROM lw),
+             |lf AS (
+             |  SELECT doc_id,
+             |    COALESCE(array_to_string(list_filter(ls, l ->
+             |      len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+             |      AND regexp_matches(l, '[.!?"]$$')
+             |      AND NOT regexp_matches(lower(l), 'javascript|cookie|lorem ipsum')),
+             |      chr(10)), '') AS cleaned
+             |  FROM elines),
+             |red AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(cleaned,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             |      AS n_pii,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(cleaned,
+             |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             |          '|||EMAIL|||', 'g'),
+             |        '\\b\\d{3}-\\d{4}\\b', '|||PHONE|||', 'g'),
+             |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '|||IP|||', 'g')
+             |      AS rt
+             |  FROM lf),
+             |redsrc AS (SELECT doc_id, rt AS text FROM red),
+             |""".stripMargin
+          + sqlDupSeedCtes("redsrc", "d") + ",\n" +
+          """dcovset AS (
+            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM dseeds)
+            |  GROUP BY doc_id),
+            |exc AS (
+            |  SELECT dw.doc_id, CAST(len(cs) AS BIGINT) AS n_dup_tokens,
+            |    COALESCE(array_to_string(
+            |      [dw.w[i] for i in range(1, len(dw.w) + 1)
+            |              if NOT list_contains(cs, i - 1)], ' '), '') AS ex
+            |  FROM dw JOIN dcovset USING (doc_id)),
+            |fin AS (
+            |  SELECT red.doc_id, n_pii,
+            |    COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+            |    COALESCE(ex, rt) AS final_text
+            |  FROM red LEFT JOIN exc ON red.doc_id = exc.doc_id),
+            |sig AS (
+            |  SELECT doc_id, n_pii, n_dup_tokens, final_text,
+            |    CAST(len(regexp_split_to_array(trim(final_text), '\s+')) AS BIGINT)
+            |      AS n_tokens
+            |  FROM fin),
+            |th AS (
+            |  SELECT n_tokens AS tok_t FROM
+            |    (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rk FROM sig)
+            |  WHERE rk = CAST(ceil(0.05 * (SELECT count(*) FROM sig)) AS BIGINT)),
+            |surv AS (
+            |  SELECT * FROM sig WHERE n_tokens >= (SELECT tok_t FROM th)),
+            |packed AS (
+            |  SELECT s.doc_id, d.source, d.lang, s.n_pii, s.n_dup_tokens,
+            |    s.n_tokens, s.final_text,
+            |    sum(s.n_tokens) OVER (PARTITION BY d.source, d.lang
+            |      ORDER BY s.doc_id) AS cum
+            |  FROM surv s JOIN documents d USING (doc_id))
+            |SELECT doc_id, source, lang, n_pii, n_dup_tokens, n_tokens,
+            |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+            |  final_text
+            |FROM packed""".stripMargin),
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from
       // every doc; the planted per-source banner is prepended (window-

@@ -112,6 +112,76 @@ object Urls {
           .as("keep"))
   }
 
+  /** [[urlCurate]] with the SKEW-AWARE two-regime cap window the 100 TB
+    * note above prescribes — the q_skew_join_auto diagnose→derive→apply
+    * loop applied to the cap: a mega-domain holding a double-digit share
+    * of the corpus would otherwise funnel its every row through ONE
+    * rank-window partition (the straggler/OOM shape at scale).
+    *
+    * Diagnose: one Misra–Gries pass over the domain stream (the native
+    * partial/merge aggregate — ≤ `hhK` counters per partial buffer, a
+    * guaranteed superset of every domain with share > 1/(hhK+1)), then
+    * an exact recount of the ≤ hhK candidates. HOT = above the MG
+    * guarantee line AND over the cap (an under-cap domain needs no
+    * ranking however popular). The hot set is ≤ hhK literal names —
+    * driver metadata, baked into the plan as map-side filters.
+    *
+    * Apply: the COLD tail — every domain provably under N/(hhK+1) rows,
+    * so its window partition is bounded — takes the plain
+    * domain-partitioned rank, unchanged. HOT rows take a TWO-STAGE
+    * rank: stage 1 partitions by (domain, input-partition id) and keeps
+    * each slice's first `maxPerDomain` rows — lossless, because a row
+    * ranked past the cap within its own slice already has ≥ cap
+    * smaller-id rows in its domain — and stage 2 ranks only the
+    * ≤ cap × nSlices survivors per domain exactly. No task ever sees
+    * more than a slice of a mega-domain, and the stage-1 exchange is
+    * shared by the survivor/loser branches (same subplan →
+    * ReusedExchange).
+    *
+    * Rows and flags are IDENTICAL to [[urlCurate]] — the slice id never
+    * reaches the result; stage 2 re-ranks deterministically by `idCol`.
+    * Only the shuffle topology changes. */
+  def urlCurateHot(df: DataFrame, idCol: String, urlCol: Column,
+                   blocked: Seq[String], maxPerDomain: Int,
+                   hhK: Int = 256): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    require(hhK > 0, s"hhK must be positive, got $hhK")
+    val dom = withDomain(df, idCol, urlCol)
+    val head = dom.agg(count(lit(1)).as("n"),
+        call_function("graft_misra_gries", col("domain"), lit(hhK)).as("cands"))
+      .head() // one row, ≤ hhK short strings — metadata
+    val total = head.getLong(0)
+    val cands = if (head.isNullAt(1)) Seq.empty[String] else head.getSeq[String](1)
+    val hot: Seq[String] =
+      if (cands.isEmpty) Nil
+      else dom.filter(col("domain").isin(cands: _*))
+        .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+        .filter(col("c") * lit(hhK + 1L) > lit(total) &&
+          col("c") > lit(maxPerDomain.toLong))
+        .collect().map(_.getString(0)).toSeq // ≤ hhK strings
+    if (hot.isEmpty)
+      return urlCurate(df, idCol, urlCol, blocked, maxPerDomain)
+    def keepFlag(rk: Column): Column =
+      (!col("domain").isin(blocked: _*) && rk <= maxPerDomain).as("keep")
+    val outCols = Seq(col(idCol), col("url_norm"), col("domain"))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col(idCol))
+    val cold = dom.filter(!col("domain").isin(hot: _*))
+      .withColumn("__rk", row_number().over(byDomain))
+      .select(outCols :+ keepFlag(col("__rk")): _*)
+    val sliced = dom.filter(col("domain").isin(hot: _*))
+      .withColumn("__salt", spark_partition_id())
+      .withColumn("__r1", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"), col("__salt")).orderBy(col(idCol))))
+    val hotRanked = sliced.filter(col("__r1") <= maxPerDomain)
+      .withColumn("__rk", row_number().over(byDomain))
+      .select(outCols :+ keepFlag(col("__rk")): _*)
+    val hotDropped = sliced.filter(col("__r1") > maxPerDomain)
+      .select(outCols :+ lit(false).as("keep"): _*)
+    cold.unionByName(hotRanked).unionByName(hotDropped)
+  }
+
   /** [[urlCurate]] with the cap DERIVED from the corpus's own
     * domain-size distribution instead of hand-picked: cap = the size of
     * the domain at rank ceil(pct·n_domains) — "trim every outsized

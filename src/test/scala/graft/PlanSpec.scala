@@ -261,6 +261,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"))
   }
 
+  test("q_web_pipeline_v2: one corpus scan (checkpointed base), partitioned windows only") {
+    val q = SparkEntry.queries("q_web_pipeline_v2")(spark, dir)
+    // the documents base is localCheckpoint'd once; every stage (URL
+    // curation, markup construction, the pack join) must read the
+    // checkpoint, never re-scan the parquet
+    val rawDocScans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.toString.contains("documents") => r
+    }
+    assert(rawDocScans.isEmpty,
+      "a stage re-scans documents.parquet — the base checkpoint is bypassed")
+    // cap rank by domain, span windows by hash, packing by (source,
+    // lang) — nothing global
+    val global = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "single-partition global window in the v2 web pipeline")
+  }
+
+  test("q_url_cap_hot: the mega-domain never funnels through one rank partition") {
+    val q = SparkEntry.queries("q_url_cap_hot")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // stage 1 slices the hot domain by (domain, input partition id) —
+    // the exchange that caps any single task's share of a mega-domain
+    assert(p.contains("hashpartitioning(domain") && p.contains("__salt"),
+      "expected the (domain, __salt) sliced stage-1 window")
+    // both regimes' windows are partitioned — never a global window
+    val global = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "single-partition global window in the hot-cap plan")
+  }
+
   test("q_dup_spans: gram shuffle keys on 64-bit hashes, windows partition by hash, " +
       "token arrays never enter an exchange") {
     val q = SparkEntry.queries("q_dup_spans")(spark, dir)

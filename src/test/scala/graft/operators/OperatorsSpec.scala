@@ -738,6 +738,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
   }
 
+  test("decontaminateSpans broadcast guard: oversized benchmark switches to the shuffled semi join, same result") {
+    val bench = docs(100L -> "a b c d e")
+    val corpus = docs(100L -> "a b c d e", 2L -> "x a b c d y",
+      3L -> "nothing shared here at all")
+    def run(maxBroadcast: Long) =
+      Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", k = 3,
+        maxBroadcastGrams = maxBroadcast)
+    def semiJoins(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("LeftSemi")).map(_.trim).toSeq
+    val small = run(Long.MaxValue) // default regime: benchmark broadcasts
+    assert(semiJoins(small).exists(_.contains("BroadcastHashJoin")))
+    val big = run(1L) // "benchmark" over the cap: shuffled semi join
+    val bigSemis = semiJoins(big)
+    assert(bigSemis.nonEmpty && bigSemis.forall(!_.contains("BroadcastHashJoin")),
+      s"over-threshold benchmark must not broadcast: $bigSemis")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(big) == m(small))
+  }
+
   test("duplicateSpanExciseIncremental: store seniority, within-batch firsts, append accumulation") {
     val root = java.nio.file.Files.createTempDirectory("graft-spanstore-spec")
     val store = root.resolve("grams").toString
@@ -938,6 +960,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert((1L to 7L).forall(out(_)))
     assert((10L to 12L).forall(out(_)))
     assert((13L to 19L).forall(!out(_)))
+  }
+
+  test("urlCurateHot: two-regime flags identical to urlCurate under a planted mega-domain") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, s"https://mega.com/p$i")) ++
+      (300L to 320L).map(i => (i, s"https://cold${i % 7}.org/x$i"))
+    val df = rows.toDF("doc_id", "u")
+    def flags(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    val plain = flags(Urls.urlCurate(df, "doc_id", col("u"),
+      blocked = Seq("cold1.org"), maxPerDomain = 5))
+    // hhK = 8: mega.com (90 % share, over cap) is the only hot domain
+    val hot = flags(Urls.urlCurateHot(df, "doc_id", col("u"),
+      blocked = Seq("cold1.org"), maxPerDomain = 5, hhK = 8))
+    assert(hot == plain)
+    assert(plain.count { case (_, (d, k)) => d == "mega.com" && k } == 5)
+    // uniform corpus → empty hot set → the plain-regime fallback
+    val uni = (1L to 30L).map(i => (i, s"https://u${i % 10}.com/$i")).toDF("doc_id", "u")
+    assert(flags(Urls.urlCurateHot(uni, "doc_id", col("u"), Nil, 2, hhK = 8)) ==
+      flags(Urls.urlCurate(uni, "doc_id", col("u"), Nil, 2)))
   }
 
   test("bpeEncode native path: empty/whitespace/null text edges") {
