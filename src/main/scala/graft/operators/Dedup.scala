@@ -886,15 +886,34 @@ object Dedup {
     * sets are small by definition) and BROADCASTS to a left-semi join,
     * so corpus grams never enter an exchange at all — the only shuffle
     * is the contaminated-position rollup, ∝ contamination volume. Every
-    * corpus doc comes back (zeros when clean). */
+    * corpus doc comes back (zeros when clean).
+    *
+    * The broadcast is GUARDED (the hot-bucket-cap precedent): nothing
+    * else stops a caller passing a corpus-sized "benchmark", and a
+    * blind broadcast of that is a driver/executor OOM. The distinct
+    * gram-hash count is measured first (one benchmark-sized pass —
+    * cheap next to the corpus scan it protects) and above
+    * `maxBroadcastGrams` (default 50 M hashes ≈ 400 MB broadcast-side)
+    * the semi join switches to the shuffled regime: correctness
+    * identical, the corpus gram stream pays one exchange — the honest
+    * cost of a benchmark that big. */
   def decontaminateSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
-                         textCol: String, k: Int): DataFrame = {
+                         textCol: String, k: Int,
+                         maxBroadcastGrams: Long = 50000000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxBroadcastGrams > 0,
+      s"maxBroadcastGrams must be positive, got $maxBroadcastGrams")
     val ctoks = dupSpanToks(corpus, idCol, textCol)
     val bgrams = spanGrams(dupSpanToks(bench, idCol, textCol), idCol, k)
       .select(col("__h")).distinct()
+      .localCheckpoint(true) // counted AND joined — derive the grams once
+    val bcast = bgrams.count() <= maxBroadcastGrams
+    // over the cap, the hint PINS the shuffled-hash regime — without it
+    // the size-based auto-broadcast would re-make the exact decision
+    // this guard exists to overrule
     val seeds = spanGrams(ctoks, idCol, k)
-      .join(broadcast(bgrams), Seq("__h"), "left_semi")
+      .join(if (bcast) broadcast(bgrams) else bgrams.hint("shuffle_hash"),
+        Seq("__h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
     spanExcision(ctoks, idCol, k, seeds, "left")
