@@ -460,12 +460,32 @@ object Bench {
         s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
-    // The driver captures a bounded TAIL of stdout and its parser has
-    // landed mid-line inside the per-query maps two rounds running
-    // (BENCH_r08/r09 both record parsed: null). Emit a compact,
-    // self-contained summary as the LAST stdout line so the tail parse
-    // always sees one complete JSON object; the full line above (and
-    // outPath) still carries the per-query detail.
+    // The driver captures a bounded TAIL of stdout (~2000 bytes) and its
+    // parser has landed mid-line inside the per-query maps two rounds
+    // running (BENCH_r08/r09 both record parsed: null), and in r11 the
+    // tail window held only the big line's trailing all-zero stall maps
+    // — the REAL per-query values survived nowhere durable. Emit, right
+    // before the final summary, one compact keyed line holding the
+    // slowest queries' values, greedily packed to a byte budget that
+    // keeps (top line + summary + sbt epilogue) inside the tail window;
+    // the full map still lives in the big line and outPath.
+    val topBudget = 1100
+    val topEntries = results
+      .flatMap { case (n, q) => q.sec.map(s => n -> s) }
+      .sortBy(-_._2)
+      .map { case (n, s) => "\"" + n + "\":" + f"$s%.2f" }
+    val topPacked = new StringBuilder
+    var topN = 0
+    topEntries.foreach { e =>
+      if (topPacked.length + e.length + 1 <= topBudget) {
+        if (topN > 0) topPacked.append(',')
+        topPacked.append(e); topN += 1
+      }
+    }
+    println(s"""{"metric":"top_queries","n_shown":$topN,""" +
+      s""""n_total":${results.size},"queries":{$topPacked}}""")
+    // the LAST stdout line stays a short self-contained summary so the
+    // tail parse always sees one complete JSON object
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""sf":"$sfDir","failed":${failed.size},""" +

@@ -507,11 +507,16 @@ object QueriesPipeline {
     * CONCATENATED after the construction prefix (never interpolated
     * into an outer stripMargin — the line-leading `||` SQL-concat trap). */
   private lazy val sqlUrlChain: String = {
-    def lit(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
-    val sfx = lit(graft.operators.PublicSuffixes.suffixes2)
-    val sfx3 = lit(graft.operators.PublicSuffixes.suffixes3)
-    val wild = lit(graft.operators.PublicSuffixes.wildcardTlds)
-    val exc = lit(graft.operators.PublicSuffixes.exceptions2)
+    // membership test over a literal rule list; an EMPTY list must
+    // render as a match-nothing predicate, not invalid `IN ()` SQL
+    def inList(expr: String, xs: Seq[String]): String =
+      if (xs.isEmpty) "FALSE"
+      else s"$expr IN (${xs.map(s => s"'$s'").mkString(", ")})"
+    import graft.operators.PublicSuffixes._
+    val tail2 = "hp[-2] || '.' || hp[-1]"
+    val tail3 = "hp[-3] || '.' || " + tail2
+    val tail4 = "hp[-4] || '.' || " + tail3
+    val tail5 = "hp[-5] || '.' || " + tail4
     s"""ns AS (
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
@@ -542,20 +547,21 @@ object QueriesPipeline {
        |dom AS (
        |  SELECT doc_id, url_norm,
        |    CASE
-       |      WHEN len(hp) >= 2 AND (hp[-2] || '.' || hp[-1]) IN ($exc)
-       |        THEN hp[-2] || '.' || hp[-1]
-       |      WHEN hp[-1] IN ($wild) THEN
-       |        (CASE WHEN len(hp) >= 3
-       |          THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] ELSE host END)
-       |      WHEN len(hp) >= 3
-       |          AND (hp[-3] || '.' || hp[-2] || '.' || hp[-1]) IN ($sfx3) THEN
-       |        (CASE WHEN len(hp) >= 4
-       |          THEN hp[-4] || '.' || hp[-3] || '.' || hp[-2] || '.' || hp[-1]
-       |          ELSE host END)
-       |      WHEN len(hp) >= 2 AND (hp[-2] || '.' || hp[-1]) IN ($sfx) THEN
-       |        (CASE WHEN len(hp) >= 3
-       |          THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1] ELSE host END)
-       |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", exceptions2)}
+       |        THEN $tail2
+       |      WHEN len(hp) >= 3 AND ${inList(s"($tail3)", exceptions3)}
+       |        THEN $tail3
+       |      WHEN (len(hp) >= 4 AND ${inList(s"($tail4)", suffixes4)})
+       |        OR (len(hp) >= 4 AND ${inList(s"($tail3)", wildcardBases3)}) THEN
+       |        (CASE WHEN len(hp) >= 5 THEN $tail5 ELSE host END)
+       |      WHEN (len(hp) >= 3 AND ${inList(s"($tail3)", suffixes3)})
+       |        OR (len(hp) >= 3 AND ${inList(s"($tail2)", wildcardBases2)}) THEN
+       |        (CASE WHEN len(hp) >= 4 THEN $tail4 ELSE host END)
+       |      WHEN ${inList("hp[-1]", wildcardTlds)} THEN
+       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
+       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", suffixes2)} THEN
+       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
+       |      WHEN len(hp) >= 2 THEN $tail2
        |      ELSE host END AS domain
        |  FROM (SELECT doc_id, url_norm, host,
        |          string_split(host, '.') AS hp FROM normurl))""".stripMargin
@@ -2579,7 +2585,12 @@ object QueriesPipeline {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
         .localCheckpoint(true)
-      val cur = Urls.urlCurate(
+      // the HOT-AWARE cap: production web corpora are where mega-domains
+      // live, and the gate's own manufactured URLs plant several domains
+      // above the Misra–Gries guarantee line — the flagship exercises
+      // the two-regime topology while the flags (and so the oracle)
+      // stay identical to the plain cap by construction
+      val cur = Urls.urlCurateHot(
         base.select(col("doc_id"), gateUrl.as("__url")),
         "doc_id", col("__url"),
         blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)

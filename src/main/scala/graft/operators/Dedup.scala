@@ -893,13 +893,18 @@ object Dedup {
     * blind broadcast of that is a driver/executor OOM. The distinct
     * gram-hash count is measured first (one benchmark-sized pass —
     * cheap next to the corpus scan it protects) and above
-    * `maxBroadcastGrams` (default 50 M hashes ≈ 400 MB broadcast-side)
-    * the semi join switches to the shuffled regime: correctness
-    * identical, the corpus gram stream pays one exchange — the honest
-    * cost of a benchmark that big. */
+    * `maxBroadcastGrams` the semi join switches to the shuffled regime:
+    * correctness identical, the corpus gram stream pays one exchange —
+    * the honest cost of a benchmark that big. The default of 8 M hashes
+    * budgets the MATERIALIZED broadcast HashedRelation, not the 64 MB
+    * of raw longs: a LongHashedRelation costs ~3-4× the payload in
+    * table+object overhead and lives once per executor plus once on the
+    * driver, so ~8 M ≈ 250 MB resident — safe under default 1 GiB
+    * driver/executor memory headroom. Raise it only with the memory to
+    * back it. */
   def decontaminateSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int,
-                         maxBroadcastGrams: Long = 50000000L): DataFrame = {
+                         maxBroadcastGrams: Long = 8000000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxBroadcastGrams > 0,
       s"maxBroadcastGrams must be positive, got $maxBroadcastGrams")
@@ -959,16 +964,29 @@ object Dedup {
 
   /** Append a batch's gram occurrences to the store (created on first
     * use) as one atomically-committed [[graft.sinks.SpanGramStore]]
-    * segment, bucketed by hash for probe-side partition pruning. */
+    * segment, bucketed by hash for probe-side partition pruning.
+    *
+    * AUTO-COMPACTION: when the append leaves more than `compactAbove`
+    * live segments, the accreted store is folded back to one segment
+    * inside this call — the growth rung's own operating rule ("compact
+    * every ~10–15 batches") enforced by the ingest path instead of
+    * remembered by the caller. The fold is a second ordinary manifest
+    * commit (crash-safe; a crash between the two leaves a valid
+    * uncompacted store the next trigger re-folds). `compactAbove <= 0`
+    * disables the trigger for callers scheduling [[spanStoreCompact]]
+    * themselves. Returns the stats of the LAST commit this call made. */
   def spanStoreAppend(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, storePath: String,
-                      nBuckets: Int): graft.sinks.SpanGramStore.CommitStats = {
+                      k: Int, storePath: String, nBuckets: Int,
+                      compactAbove: Int = 16): graft.sinks.SpanGramStore.CommitStats = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    graft.sinks.SpanGramStore.append(
+    val stats = graft.sinks.SpanGramStore.append(
       spanGrams(dupSpanToks(df, idCol, textCol), idCol, k)
         .select(gramBucket(col("__h"), nBuckets).as("bucket"),
           col("__h"), col(idCol).as("doc_id"), col("__pos")),
       storePath, nBuckets)
+    if (compactAbove > 0 && stats.nSegments > compactAbove)
+      graft.sinks.SpanGramStore.compact(df.sparkSession, storePath)
+    else stats
   }
 
   /** Fold the store's accreted segments into one (~one file per bucket)
@@ -991,11 +1009,19 @@ object Dedup {
     * by a crashed earlier attempt excises exactly as the first attempt
     * did (its own history is its own first occurrence), and re-appending
     * is harmless duplicate metadata that [[spanStoreCompact]] does not
-    * need to dedup (the probe is an existence test). */
+    * need to dedup (the probe is an existence test).
+    *
+    * `compactAbove` is [[spanStoreAppend]]'s auto-compaction threshold:
+    * the ingest call itself folds the store when its live segment count
+    * crosses it, so continuous ingestion never accretes an unbounded
+    * small-file ramp (disable with `compactAbove <= 0` to schedule
+    * [[spanStoreCompact]] externally). Safe here by construction — the
+    * returned frame's seeds are checkpointed before the append, so a
+    * same-call compaction cannot invalidate them. */
   def duplicateSpanExciseIncremental(df: DataFrame, idCol: String,
                                      textCol: String, k: Int,
-                                     storePath: String,
-                                     nBuckets: Int): DataFrame = {
+                                     storePath: String, nBuckets: Int,
+                                     compactAbove: Int = 16): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import graft.sinks.SpanGramStore
     val spark = df.sparkSession
@@ -1030,7 +1056,7 @@ object Dedup {
         // GC the segments this probe planned against.
         .localCheckpoint(true)
     val out = spanExcision(toks, idCol, k, seeds, "left")
-    spanStoreAppend(df, idCol, textCol, k, storePath, nBuckets)
+    spanStoreAppend(df, idCol, textCol, k, storePath, nBuckets, compactAbove)
     out
   }
 }

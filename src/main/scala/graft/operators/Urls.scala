@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *     removed, trailing path slashes trimmed;
   *   - [[registeredDomain]]: the blocklist/cap grouping key — the
   *     pay-level domain under the bundled [[PublicSuffixes]] snapshot
-  *     (2-/3-label suffixes, TLD wildcards, exceptions — the
-  *     publicsuffix.org rule shapes);
+  *     (every publicsuffix.org rule shape: 2-/3-/4-label suffixes,
+  *     wildcards under a 1-/2-/3-label base, exceptions);
   *   - [[urlCurate]]: blocklist + per-domain cap → a keep flag per row.
   *
   * Everything is per-row string/regex work (codegen'd, zero shuffle)
@@ -63,25 +63,37 @@ object Urls {
   def publicSuffixes2: Seq[String] = PublicSuffixes.suffixes2
 
   /** Registered ("pay-level") domain of a lowercased host, per the
-    * bundled [[PublicSuffixes]] rule set: exception hosts (`!www.ck`)
-    * are themselves registered domains; under a wildcard TLD (`*.ck`)
-    * every 2-label tail is a suffix (registered = last 3 labels); a
-    * listed 3-label suffix takes the last 4 labels; a listed 2-label
-    * suffix takes the last 3; everything else takes the default last 2.
-    * A host that IS a public suffix, and single-label hosts (localhost,
-    * bare names), pass through unchanged. */
+    * bundled [[PublicSuffixes]] rule set, PSL match order: exception
+    * hosts (`!www.ck`, `!city.kawasaki.jp`) are themselves registered
+    * domains and beat every other rule; otherwise the LONGEST matching
+    * suffix prevails — a listed k-label suffix, or a wildcard under a
+    * (k−1)-label base (`*.ck`, `*.kawasaki.jp`,
+    * `*.compute.amazonaws.com`), both make the public suffix k labels
+    * and the registered domain k+1; everything else takes the default
+    * last 2. A host that IS a public suffix, and single-label hosts
+    * (localhost, bare names), pass through unchanged. */
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
     def lastK(k: Int): Column =
       concat_ws(".", (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    // literal rule sets fold to hash-set membership; an EMPTY set must
+    // fold to false (isin() over zero values is not a match-nothing)
+    def in(c: Column, xs: Seq[String]): Column =
+      if (xs.isEmpty) lit(false) else c.isin(xs: _*)
     val last2 = lastK(2)
-    when(n >= 2 && last2.isin(PublicSuffixes.exceptions2: _*), last2)
-      .when(element_at(parts, -1).isin(PublicSuffixes.wildcardTlds: _*),
-        when(n >= 3, lastK(3)).otherwise(host))
-      .when(n >= 3 && lastK(3).isin(PublicSuffixes.suffixes3: _*),
+    val last3 = lastK(3)
+    when(n >= 2 && in(last2, PublicSuffixes.exceptions2), last2)
+      .when(n >= 3 && in(last3, PublicSuffixes.exceptions3), last3)
+      .when((n >= 4 && in(lastK(4), PublicSuffixes.suffixes4)) ||
+          (n >= 4 && in(last3, PublicSuffixes.wildcardBases3)),
+        when(n >= 5, lastK(5)).otherwise(host))
+      .when((n >= 3 && in(last3, PublicSuffixes.suffixes3)) ||
+          (n >= 3 && in(last2, PublicSuffixes.wildcardBases2)),
         when(n >= 4, lastK(4)).otherwise(host))
-      .when(n >= 2 && last2.isin(PublicSuffixes.suffixes2: _*),
+      .when(in(element_at(parts, -1), PublicSuffixes.wildcardTlds),
+        when(n >= 3, lastK(3)).otherwise(host))
+      .when(n >= 2 && in(last2, PublicSuffixes.suffixes2),
         when(n >= 3, lastK(3)).otherwise(host))
       .when(n >= 2, last2)
       .otherwise(host)
@@ -103,10 +115,18 @@ object Urls {
   def urlCurate(df: DataFrame, idCol: String, urlCol: Column,
                 blocked: Seq[String], maxPerDomain: Int): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    curateFromDom(withDomain(df, idCol, urlCol), idCol, blocked, maxPerDomain)
+  }
+
+  /** The plain single-regime cap over an already-normalized
+    * (id, url_norm, domain) frame — shared by [[urlCurate]] and
+    * [[urlCurateHot]]'s no-hot-domain fallback (which feeds it the
+    * checkpointed sliver instead of re-deriving the regex chain). */
+  private def curateFromDom(dom: DataFrame, idCol: String,
+                            blocked: Seq[String], maxPerDomain: Int): DataFrame = {
     val byDomain = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col(idCol))
-    withDomain(df, idCol, urlCol)
-      .withColumn("__rk", row_number().over(byDomain))
+    dom.withColumn("__rk", row_number().over(byDomain))
       .select(col(idCol), col("url_norm"), col("domain"),
         (!col("domain").isin(blocked: _*) && col("__rk") <= maxPerDomain)
           .as("keep"))
@@ -129,14 +149,14 @@ object Urls {
     * Apply: the COLD tail — every domain provably under N/(hhK+1) rows,
     * so its window partition is bounded — takes the plain
     * domain-partitioned rank, unchanged. HOT rows take a TWO-STAGE
-    * rank: stage 1 partitions by (domain, input-partition id) and keeps
-    * each slice's first `maxPerDomain` rows — lossless, because a row
-    * ranked past the cap within its own slice already has ≥ cap
-    * smaller-id rows in its domain — and stage 2 ranks only the
-    * ≤ cap × nSlices survivors per domain exactly. No task ever sees
-    * more than a slice of a mega-domain, and the stage-1 exchange is
-    * shared by the survivor/loser branches (same subplan →
-    * ReusedExchange).
+    * rank: stage 1 partitions by (domain, slice) — the slice a
+    * DETERMINISTIC hash of the row id, so both consumers of the sliced
+    * frame agree on it by construction — and keeps each slice's first
+    * `maxPerDomain` rows — lossless, because a row ranked past the cap
+    * within its own slice already has ≥ cap smaller-id rows in its
+    * domain — and stage 2 ranks only the ≤ cap × nSlices survivors per
+    * domain exactly. No task ever sees more than a slice of a
+    * mega-domain.
     *
     * Rows and flags are IDENTICAL to [[urlCurate]] — the slice id never
     * reaches the result; stage 2 re-ranks deterministically by `idCol`.
@@ -146,7 +166,14 @@ object Urls {
                    hhK: Int = 256): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
     require(hhK > 0, s"hhK must be positive, got $hhK")
-    val dom = withDomain(df, idCol, urlCol)
+    // the normalized sliver feeds FOUR consumers (MG diagnose, the
+    // candidate recount, the cold branch, the hot branch): materialize
+    // it once so the per-row regex chain runs ONE pass over the corpus
+    // and every branch reads the same rows — correctness no longer
+    // rests on the branches' identical subplans sharing a
+    // ReusedExchange (the compute-once-sliver discipline of the
+    // gate-signal family)
+    val dom = withDomain(df, idCol, urlCol).localCheckpoint(true)
     val head = dom.agg(count(lit(1)).as("n"),
         call_function("graft_misra_gries", col("domain"), lit(hhK)).as("cands"))
       .head() // one row, ≤ hhK short strings — metadata
@@ -160,7 +187,7 @@ object Urls {
           col("c") > lit(maxPerDomain.toLong))
         .collect().map(_.getString(0)).toSeq // ≤ hhK strings
     if (hot.isEmpty)
-      return urlCurate(df, idCol, urlCol, blocked, maxPerDomain)
+      return curateFromDom(dom, idCol, blocked, maxPerDomain)
     def keepFlag(rk: Column): Column =
       (!col("domain").isin(blocked: _*) && rk <= maxPerDomain).as("keep")
     val outCols = Seq(col(idCol), col("url_norm"), col("domain"))
@@ -169,8 +196,14 @@ object Urls {
     val cold = dom.filter(!col("domain").isin(hot: _*))
       .withColumn("__rk", row_number().over(byDomain))
       .select(outCols :+ keepFlag(col("__rk")): _*)
+    // deterministic slice id (a pure function of the row, NOT
+    // spark_partition_id): the survivor/loser branches below must agree
+    // on __r1 row-for-row whatever the physical plan does
+    val nSlices =
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 2)
     val sliced = dom.filter(col("domain").isin(hot: _*))
-      .withColumn("__salt", spark_partition_id())
+      .withColumn("__salt",
+        pmod(xxhash64(col(idCol)), lit(nSlices.toLong)).cast("int"))
       .withColumn("__r1", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("domain"), col("__salt")).orderBy(col(idCol))))

@@ -20,7 +20,7 @@ import graft.operators.{Dedup, IncrementalCluster, IncrementalDedup}
   * small-files debt payment — and that probe cost is unchanged across
   * it.
   *
-  * Usage: runMain graft.tools.StoreGrowthBench <sfDir> [nBatches] [dedup|cluster|span|both]
+  * Usage: runMain graft.tools.StoreGrowthBench <sfDir> [nBatches] [dedup|cluster|span|both] [compactAbove]
   */
 object StoreGrowthBench {
   def main(args: Array[String]): Unit = {
@@ -56,26 +56,23 @@ object StoreGrowthBench {
       val store = java.nio.file.Files.createTempDirectory("graft-growth-span")
         .resolve("grams").toString
       val nBuckets = 64
+      // the INGEST PATH's own auto-compaction pays the small-files debt
+      // (no manual intervention anywhere in the ladder): the per-batch
+      // segments/files columns show the ramp-and-reset sawtooth, and
+      // the batches after each fold prove probe cost is unchanged
+      // across it (compaction cost is inside that batch's secs)
+      val compactAbove = args.lift(3).map(_.toInt).getOrElse(10)
       (0 until n).foreach { b =>
         val batch = docs.filter(col("doc_id") % n === b)
         val t0 = System.nanoTime()
         val out = Dedup.duplicateSpanExciseIncremental(batch, "doc_id", "text",
-          k = 8, store, nBuckets)
+          k = 8, store, nBuckets, compactAbove)
         val affected = out.filter(col("n_dup_tokens") > 0).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"spangrowth batch=$b%d secs=$secs%.2f affected=$affected%d " +
           f"storeRowsAfter=${SpanGramStore.rowCount(s, store)}%d " +
           f"segments=${SpanGramStore.segmentCount(s, store)}%d " +
           f"files=${SpanGramStore.fileCount(s, store)}%d")
-        // pay the small-files debt mid-ladder: the batches after it
-        // prove probe cost is unchanged across a compaction
-        if (b == n / 2) {
-          val c0 = System.nanoTime()
-          SpanGramStore.compact(s, store)
-          println(f"spancompact secs=${(System.nanoTime() - c0) / 1e9}%.2f " +
-            f"segments=${SpanGramStore.segmentCount(s, store)}%d " +
-            f"files=${SpanGramStore.fileCount(s, store)}%d")
-        }
       }
     }
 

@@ -279,6 +279,13 @@ class PlanSpec extends AnyFunSuite {
           if w.partitionSpec.isEmpty => w
     }
     assert(global.isEmpty, "single-partition global window in the v2 web pipeline")
+    // the curation stage is the HOT-AWARE cap (urlCurateHot), and the
+    // gate's manufactured URLs plant domains above the Misra–Gries
+    // guarantee line, so the two-regime topology IS engaged — but it
+    // executes during construction, upstream of the redacted-sliver
+    // checkpoint that truncates this final plan's lineage. The sliced
+    // stage-1 exchange itself is plan-pinned where it is observable:
+    // the q_url_cap_hot test below.
   }
 
   test("q_url_cap_hot: the mega-domain never funnels through one rank partition") {

@@ -917,7 +917,24 @@ class OperatorsSpec extends AnyFunSuite {
       "www.ck" -> "www.ck",                       // !www.ck exception: itself registrable
       "sub.www.ck" -> "www.ck",                   // subdomain of the exception host
       "plain.example.org" -> "example.org",       // default rule unchanged
-      "k12.ca.us" -> "k12.ca.us")                 // host IS a 3-label suffix → pass-through
+      "k12.ca.us" -> "k12.ca.us",                 // host IS a 3-label suffix → pass-through
+      // wildcards under a 2-label base (*.kobe.jp — upstream's own
+      // test vectors for this family)
+      "c.kobe.jp" -> "c.kobe.jp",                 // host IS a wildcard suffix
+      "b.c.kobe.jp" -> "b.c.kobe.jp",
+      "a.b.c.kobe.jp" -> "b.c.kobe.jp",
+      // ... and their 3-label exceptions (!city.kobe.jp)
+      "city.kobe.jp" -> "city.kobe.jp",
+      "www.city.kobe.jp" -> "city.kobe.jp",
+      "kobe.jp" -> "kobe.jp",                     // the base alone: default last-2
+      // 4-label normal rules
+      "s3.eu-central-1.amazonaws.com" -> "s3.eu-central-1.amazonaws.com",
+      "bucket.s3.eu-central-1.amazonaws.com" -> "bucket.s3.eu-central-1.amazonaws.com",
+      "x.bucket.s3.eu-central-1.amazonaws.com" -> "bucket.s3.eu-central-1.amazonaws.com",
+      // wildcards under a 3-label base (*.compute.amazonaws.com)
+      "us-east-1.compute.amazonaws.com" -> "us-east-1.compute.amazonaws.com",
+      "vm.us-east-1.compute.amazonaws.com" -> "vm.us-east-1.compute.amazonaws.com",
+      "x.vm.us-east-1.compute.amazonaws.com" -> "vm.us-east-1.compute.amazonaws.com")
     val out = cases.map(_._1).toDF("h")
       .select(col("h"), Urls.registeredDomain(col("h")).as("d"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -925,9 +942,34 @@ class OperatorsSpec extends AnyFunSuite {
     // loader sanity: every supported shape is populated from the snapshot
     assert(PublicSuffixes.suffixes2.size > 1000)
     assert(PublicSuffixes.suffixes3.size > 100)
+    assert(PublicSuffixes.suffixes4.nonEmpty)
     assert(PublicSuffixes.wildcardTlds.nonEmpty)
+    assert(PublicSuffixes.wildcardBases2.contains("kawasaki.jp"))
+    assert(PublicSuffixes.wildcardBases3.contains("compute.amazonaws.com"))
     assert(PublicSuffixes.exceptions2.contains("www.ck"))
+    assert(PublicSuffixes.exceptions3.contains("city.kawasaki.jp"))
     assert(PublicSuffixes.ignoredRules == 0) // the bundled snapshot is fully consumed
+  }
+
+  test("PublicSuffixes.parse: single-label TLD rules are by-design skips, not ignored; " +
+      "only genuinely unsupported shapes count as ignored") {
+    val rs = PublicSuffixes.parse(Iterator(
+      "// a comment", "", "com", "uk", "co.uk", "k12.ca.us",
+      "s3.eu-central-1.amazonaws.com", "*.ck", "*.kawasaki.jp",
+      "*.compute.amazonaws.com", "!www.ck", "!city.kawasaki.jp",
+      "a.b.c.d.e",          // 5-label normal — genuinely unsupported
+      "*.a.b.c.d",          // wildcard under a 4-label base — unsupported
+      "!a.b.c.d"))          // 4-label exception — unsupported
+    assert(rs.defaultTldRules == 2)           // com, uk — skipped by design
+    assert(rs.ignoredRules == 3)              // ONLY the three deep rules
+    assert(rs.suffixes2 == Seq("co.uk"))
+    assert(rs.suffixes3 == Seq("k12.ca.us"))
+    assert(rs.suffixes4 == Seq("s3.eu-central-1.amazonaws.com"))
+    assert(rs.wildcardTlds == Seq("ck"))
+    assert(rs.wildcardBases2 == Seq("kawasaki.jp"))
+    assert(rs.wildcardBases3 == Seq("compute.amazonaws.com"))
+    assert(rs.exceptions2 == Seq("www.ck"))
+    assert(rs.exceptions3 == Seq("city.kawasaki.jp"))
   }
 
   test("urlCurate: blocklist and per-domain cap flag, deterministic rank by id") {

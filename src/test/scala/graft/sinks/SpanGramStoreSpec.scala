@@ -187,4 +187,34 @@ class SpanGramStoreSpec extends AnyFunSuite {
       ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(rows(11L) == ((6L, 4L, "x y")))
   }
+
+  test("auto-compaction folds the store exactly when the segment count crosses compactAbove") {
+    val store = tmp("span-autocompact").resolve("grams").toString
+    // below the threshold: every append accretes one more segment
+    (1 to 3).foreach { i =>
+      val st = Dedup.spanStoreAppend(docs(i.toLong -> s"w$i x$i y$i z$i q$i"),
+        "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 3)
+      assert(st.nSegments == i, s"append $i must accrete, not fold")
+    }
+    assert(SpanGramStore.segmentCount(spark, store) == 3)
+    val before = SpanGramStore.rowCount(spark, store)
+    // the 4th append crosses 3 → the ingest call itself folds to one
+    val st4 = Dedup.spanStoreAppend(docs(4L -> "a4 b4 c4 d4 e4"),
+      "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 3)
+    assert(st4.nSegments == 1, "trigger crossed — the returned stats are the fold's")
+    assert(SpanGramStore.segmentCount(spark, store) == 1)
+    assert(SpanGramStore.rowCount(spark, store) > before, "the 4th batch's rows are in")
+    // disabled trigger (<= 0): accretion resumes unbounded
+    (5 to 7).foreach { i =>
+      Dedup.spanStoreAppend(docs(i.toLong -> s"m$i n$i o$i p$i r$i"),
+        "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 0)
+    }
+    assert(SpanGramStore.segmentCount(spark, store) == 4)
+    // the incremental excise path carries the same trigger: one ingest
+    // call crossing the threshold leaves a folded store behind
+    val out = Dedup.duplicateSpanExciseIncremental(docs(8L -> "f8 g8 h8 i8 j8"),
+      "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 4)
+    assert(out.count() == 1)
+    assert(SpanGramStore.segmentCount(spark, store) == 1)
+  }
 }
