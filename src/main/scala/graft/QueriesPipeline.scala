@@ -501,12 +501,91 @@ object QueriesPipeline {
         concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
   }
 
+  /** One batch of the INCREMENTAL web flagship
+    * (q_web_pipeline_incremental): the q_web_pipeline_v2 chain scoped
+    * to the docs with `doc_id % 2 == b`, with the one-shot span
+    * excision swapped for the STORE-BACKED incremental regime — batch
+    * b's spans are judged against every batch committed before it
+    * (plus its own within-batch firsts), exactly the continuous-
+    * ingestion shape a production web pipeline runs. Curation cap,
+    * token floor, and packing are all batch-scoped (each arrival is
+    * curated and packed on its own); only the gram store carries
+    * state across batches. Same checkpoint discipline as v2: the
+    * batch base and the redacted sliver are materialized once. */
+  private def webIncrementalStage(s: SparkSession, dir: String, b: Int,
+                                  store: String): DataFrame = {
+    val d = col("doc_id")
+    val base = t(s, dir, "documents")
+      .filter(d % 2 === b)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val cur = graft.operators.Urls.urlCurateHot(
+      base.select(col("doc_id"), gateUrl.as("__url")),
+      "doc_id", col("__url"),
+      blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
+    val srcKept = base.join(cur.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val html = concat(
+      lit("<html><body><p><a href=\"/h\">Home</a> <a href=\"/s\">Site "),
+      (d % 5).cast("string"), lit("</a></p><p>"),
+      array_join(slice(w, 1, 10), " "),
+      lit(" contact user"), d.cast("string"), lit("@example.com now</p><p>"),
+      array_join(slice(w, 11, 1 << 20), " "),
+      lit(" see <a href=\"/m\">details</a></p></body></html>"))
+    val ext = graft.operators.Html.extractTextNative(
+        srcKept.select(col("doc_id"), html.as("__h")), "doc_id", col("__h"))
+      .select(col("doc_id"), col("clean_text"))
+    val toks = split(trim(col("clean_text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0),
+        greatest(ceil(size(toks).cast("double") / 10).cast("int") - 1, lit(0))),
+      i => {
+        val chunk = array_join(slice(toks, i * 10 + 1, lit(10)), " ")
+        when((col("doc_id") + i) % 5 === 3,
+            concat(chunk, lit(" accept our cookie policy.")))
+          .when((col("doc_id") + i) % 2 === 0, concat(chunk, lit(".")))
+          .otherwise(chunk)
+      })
+    val lf = graft.operators.TextAnalysis.lineFilterC4(
+        ext.select(col("doc_id"), lines.as("__lines")), "doc_id", col("__lines"))
+      .select(col("doc_id"), col("cleaned_text"))
+    val red = graft.operators.TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
+      .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
+      .localCheckpoint(true) // extraction lineage runs once, as in v2
+    val exc = graft.operators.Dedup.duplicateSpanExciseIncremental(
+        red, "doc_id", "redacted_text", k = 8, store, nBuckets = 8)
+      .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
+    val fin = red.join(exc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pii"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("__ex"), col("redacted_text")).as("final_text"))
+      .withColumn("n_tokens",
+        size(split(trim(col("final_text")), "\\s+")).cast("long"))
+    val th = graft.operators.TextAnalysis.approxQuantileAgg(fin,
+      Seq((col("n_tokens"), 0.05, "tok_t")), accuracy = 1000000)
+    val surv = fin.crossJoin(broadcast(th))
+      .filter(col("n_tokens") >= col("tok_t")).drop("tok_t")
+    val packW = Window.partitionBy("source", "lang").orderBy("doc_id")
+    surv.join(base.select("doc_id", "source", "lang"), Seq("doc_id"))
+      .withColumn("__cum", sum(col("n_tokens")).over(packW))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_pii"),
+        col("n_dup_tokens"), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / lit(2048.0))
+          .cast("long").as("pack_id"),
+        col("final_text"))
+  }
+
   /** The URL normalization + registered-domain CTE chain of the
     * URL-curation oracles: expects a preceding `u(doc_id, url)` CTE and
     * ends at `dom(doc_id, url_norm, domain)`. Standalone-stripped and
     * CONCATENATED after the construction prefix (never interpolated
     * into an outer stripMargin — the line-leading `||` SQL-concat trap). */
-  private lazy val sqlUrlChain: String = {
+  /** The registered-domain CASE ladder over a split-host list column
+    * `hp` (with `host` pass-through) — the DuckDB mirror of
+    * [[graft.operators.Urls.registeredDomain]], rule lists interpolated
+    * from the SAME bundled snapshot. Shared by [[sqlUrlChain]] and the
+    * q_url_domains oracle. */
+  private lazy val sqlDomainCase: String = {
     // membership test over a literal rule list; an EMPTY list must
     // render as a match-nothing predicate, not invalid `IN ()` SQL
     def inList(expr: String, xs: Seq[String]): String =
@@ -517,6 +596,26 @@ object QueriesPipeline {
     val tail3 = "hp[-3] || '.' || " + tail2
     val tail4 = "hp[-4] || '.' || " + tail3
     val tail5 = "hp[-5] || '.' || " + tail4
+    s"""CASE
+       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", exceptions2)}
+       |        THEN $tail2
+       |      WHEN len(hp) >= 3 AND ${inList(s"($tail3)", exceptions3)}
+       |        THEN $tail3
+       |      WHEN (len(hp) >= 4 AND ${inList(s"($tail4)", suffixes4)})
+       |        OR (len(hp) >= 4 AND ${inList(s"($tail3)", wildcardBases3)}) THEN
+       |        (CASE WHEN len(hp) >= 5 THEN $tail5 ELSE host END)
+       |      WHEN (len(hp) >= 3 AND ${inList(s"($tail3)", suffixes3)})
+       |        OR (len(hp) >= 3 AND ${inList(s"($tail2)", wildcardBases2)}) THEN
+       |        (CASE WHEN len(hp) >= 4 THEN $tail4 ELSE host END)
+       |      WHEN ${inList("hp[-1]", wildcardTlds)} THEN
+       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
+       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", suffixes2)} THEN
+       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
+       |      WHEN len(hp) >= 2 THEN $tail2
+       |      ELSE host END""".stripMargin
+  }
+
+  private lazy val sqlUrlChain: String = {
     s"""ns AS (
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
@@ -546,23 +645,7 @@ object QueriesPipeline {
        |        FROM pq)),
        |dom AS (
        |  SELECT doc_id, url_norm,
-       |    CASE
-       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", exceptions2)}
-       |        THEN $tail2
-       |      WHEN len(hp) >= 3 AND ${inList(s"($tail3)", exceptions3)}
-       |        THEN $tail3
-       |      WHEN (len(hp) >= 4 AND ${inList(s"($tail4)", suffixes4)})
-       |        OR (len(hp) >= 4 AND ${inList(s"($tail3)", wildcardBases3)}) THEN
-       |        (CASE WHEN len(hp) >= 5 THEN $tail5 ELSE host END)
-       |      WHEN (len(hp) >= 3 AND ${inList(s"($tail3)", suffixes3)})
-       |        OR (len(hp) >= 3 AND ${inList(s"($tail2)", wildcardBases2)}) THEN
-       |        (CASE WHEN len(hp) >= 4 THEN $tail4 ELSE host END)
-       |      WHEN ${inList("hp[-1]", wildcardTlds)} THEN
-       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
-       |      WHEN len(hp) >= 2 AND ${inList(s"($tail2)", suffixes2)} THEN
-       |        (CASE WHEN len(hp) >= 3 THEN $tail3 ELSE host END)
-       |      WHEN len(hp) >= 2 THEN $tail2
-       |      ELSE host END AS domain
+       |    $sqlDomainCase AS domain
        |  FROM (SELECT doc_id, url_norm, host,
        |          string_split(host, '.') AS hp FROM normurl))""".stripMargin
   }
@@ -2475,6 +2558,43 @@ object QueriesPipeline {
         "doc_id", col("__url"),
         blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)),
 
+    // Registered-domain derivation across EVERY PSL rule shape the
+    // matcher supports — 2-/3-/4-label rules, wildcards under 1-/2-/
+    // 3-label bases, both exception depths, private-section suffixes,
+    // the default rule, and single-label pass-through. The unit suite
+    // pins literal cases; this gate replays the full CASE ladder (rule
+    // lists interpolated from the same bundled snapshot) in DuckDB
+    // over the corpus. Pure per-row string work — zero shuffle.
+    "q_url_domains" -> ((s, dir) => {
+      val d = col("doc_id")
+      val host = when(d % 12 === 0,
+          concat(lit("www.example"), (d % 7).cast("string"), lit(".co.uk")))
+        .when(d % 12 === 1,
+          concat(lit("a.b.example"), (d % 5).cast("string"), lit(".com")))
+        .when(d % 12 === 2,
+          concat(lit("www.school"), (d % 7).cast("string"), lit(".k12.ca.us")))
+        .when(d % 12 === 3,
+          concat(lit("x.bucket"), (d % 3).cast("string"),
+            lit(".s3.eu-central-1.amazonaws.com")))
+        .when(d % 12 === 4,
+          concat(lit("a.b"), (d % 3).cast("string"), lit(".c.kobe.jp")))
+        .when(d % 12 === 5, lit("www.city.kobe.jp"))
+        .when(d % 12 === 6,
+          concat(lit("x.vm"), (d % 4).cast("string"),
+            lit(".us-east-1.compute.amazonaws.com")))
+        .when(d % 12 === 7,
+          concat(lit("a.foo"), (d % 3).cast("string"), lit(".anything.ck")))
+        .when(d % 12 === 8, lit("sub.www.ck"))
+        .when(d % 12 === 9,
+          concat(lit("deep.user"), (d % 9).cast("string"), lit(".github.io")))
+        .when(d % 12 === 10, lit("localhost"))
+        .otherwise(
+          concat(lit("deep.sub.example"), (d % 11).cast("string"), lit(".org")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("domain", Urls.registeredDomain(col("host")))
+    }),
+
     // The CLOSED LOOP over the same construction (the q_skew_join_auto
     // pattern): the cap is DERIVED from the corpus's own domain-size
     // distribution — sketch path in Spark (percentile_approx over the
@@ -2643,6 +2763,29 @@ object QueriesPipeline {
           floor((col("__cum") - col("n_tokens")) / lit(2048.0))
             .cast("long").as("pack_id"),
           col("final_text"))
+    }),
+
+    // The CONTINUOUS-INGESTION regime of the web flagship: the corpus
+    // arrives as two batches (doc_id parity); each batch runs the full
+    // v2 chain — hot-aware curation, native extraction, C4 lines, PII,
+    // token floor, packing — batch-scoped, while duplicate-SPAN state
+    // carries across batches through the SpanGramStore: batch 1's
+    // spans are excised against batch 0's committed grams (store
+    // seniority) plus its own within-batch firsts. This is the shape a
+    // production crawl pipeline actually runs — per-arrival processing
+    // with only the dedup store as cross-batch state — and the oracle
+    // replays the whole two-batch composition in one statement
+    // (batch-partitioned windows + the store-seniority seed rule).
+    "q_web_pipeline_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-webinc")
+      val store = root.resolve("grams").toString
+      // stage 0 must COMMIT before stage 1 builds (the probe/append run
+      // eagerly inside the incremental excise); outputs stay valid past
+      // the rmTree because every store read lands in checkpointed seeds
+      val b0 = webIncrementalStage(s, dir, 0, store)
+      val b1 = webIncrementalStage(s, dir, 1, store)
+      rmTree(root)
+      b0.unionByName(b1)
     }),
 
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
@@ -4534,6 +4677,33 @@ object QueriesPipeline {
             |  (domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10)
             |    AS keep
             |FROM rk""".stripMargin),
+
+      // every PSL rule shape: the same CASE ladder as the url-chain
+      // oracles, over the manufactured per-shape host column
+      "q_url_domains" ->
+        ("""WITH h AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 12
+           |      WHEN 0 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+           |      WHEN 1 THEN 'a.b.example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+           |      WHEN 2 THEN 'www.school' || CAST(doc_id % 7 AS VARCHAR) || '.k12.ca.us'
+           |      WHEN 3 THEN 'x.bucket' || CAST(doc_id % 3 AS VARCHAR)
+           |        || '.s3.eu-central-1.amazonaws.com'
+           |      WHEN 4 THEN 'a.b' || CAST(doc_id % 3 AS VARCHAR) || '.c.kobe.jp'
+           |      WHEN 5 THEN 'www.city.kobe.jp'
+           |      WHEN 6 THEN 'x.vm' || CAST(doc_id % 4 AS VARCHAR)
+           |        || '.us-east-1.compute.amazonaws.com'
+           |      WHEN 7 THEN 'a.foo' || CAST(doc_id % 3 AS VARCHAR) || '.anything.ck'
+           |      WHEN 8 THEN 'sub.www.ck'
+           |      WHEN 9 THEN 'deep.user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+           |      WHEN 10 THEN 'localhost'
+           |      ELSE 'deep.sub.example' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+           |    END AS host
+           |  FROM documents)
+           |SELECT doc_id, host,
+           |  """.stripMargin +
+          sqlDomainCase + " AS domain\n" +
+          "FROM (SELECT doc_id, host, string_split(host, '.') AS hp FROM h)"),
 
       // auto cap: exact-rank replay of the sketch derivation — the
       // domain-count at rank ceil(0.9 * n_domains), ascending

@@ -230,7 +230,11 @@ object Urls {
   def urlCurateAuto(df: DataFrame, idCol: String, urlCol: Column,
                     blocked: Seq[String], pct: Double = 0.9): DataFrame = {
     require(pct > 0 && pct <= 1, s"pct must be in (0,1], got $pct")
-    val row = withDomain(df, idCol, urlCol)
+    // two consumers of the normalized sliver (the cap derivation and
+    // the flag query) — materialize it once, the same compute-once
+    // move as [[urlCurateHot]], so the regex chain runs ONE corpus pass
+    val dom = withDomain(df, idCol, urlCol).localCheckpoint(true)
+    val row = dom
       .groupBy(col("domain")).agg(count(lit(1)).as("c"))
       .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
       .head()
@@ -238,6 +242,6 @@ object Urls {
     // distribution to derive a cap from, so default to 1 (every
     // first-of-domain row keeps; there are none) instead of NPE-ing
     val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
-    urlCurate(df, idCol, urlCol, blocked, math.max(cap, 1L).toInt)
+    curateFromDom(dom, idCol, blocked, math.max(cap, 1L).toInt)
   }
 }
