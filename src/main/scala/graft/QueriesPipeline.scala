@@ -501,25 +501,26 @@ object QueriesPipeline {
         concat(lit("https://shop.spamsite.com/buy"), d.cast("string")))
   }
 
-  /** One batch of the INCREMENTAL web flagship
-    * (q_web_pipeline_incremental): the q_web_pipeline_v2 chain scoped
-    * to the docs with `doc_id % 2 == b`, with the one-shot span
-    * excision swapped for the STORE-BACKED incremental regime — batch
-    * b's spans are judged against every batch committed before it
-    * (plus its own within-batch firsts), exactly the continuous-
-    * ingestion shape a production web pipeline runs. Curation cap,
-    * token floor, and packing are all batch-scoped (each arrival is
-    * curated and packed on its own); only the gram store carries
-    * state across batches. Same checkpoint discipline as v2: the
-    * batch base and the redacted sliver are materialized once. */
-  private def webIncrementalStage(s: SparkSession, dir: String, b: Int,
-                                  store: String): DataFrame = {
+  /** The web-flagship chain from a `(doc_id, source, lang, text)` base
+    * to the packed training set — ONE construction site shared by
+    * q_web_pipeline_v2 and q_web_pipeline_incremental so the flagship
+    * and its continuous-ingestion twin cannot drift: hot-aware URL
+    * curation (blocklist + per-domain cap) → deterministic markup →
+    * native HTML extraction → C4 line filter → PII redaction →
+    * duplicate-span excision (pluggable `excise`: the one-shot pass for
+    * the flagship, the store-backed incremental regime for the twin) →
+    * sketch token floor (oracle-exact accuracy) → per-(source, lang)
+    * 2048-token packing. Checkpoint discipline: callers pass an
+    * already-materialized base (it feeds curation, markup and the pack
+    * join — zero further scans); the redacted sliver is checkpointed
+    * here so the extraction lineage runs ONCE across the excise join's
+    * two consumers. `excise` receives that sliver — (doc_id, n_pii,
+    * redacted_text) — and must return the span-excise output shape
+    * (doc_id, …, n_dup_tokens, clean_text). */
+  private def webChain(base: DataFrame,
+                       excise: DataFrame => DataFrame): DataFrame = {
     val d = col("doc_id")
-    val base = t(s, dir, "documents")
-      .filter(d % 2 === b)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .localCheckpoint(true)
-    val cur = graft.operators.Urls.urlCurateHot(
+    val cur = Urls.urlCurateHot(
       base.select(col("doc_id"), gateUrl.as("__url")),
       "doc_id", col("__url"),
       blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
@@ -532,7 +533,7 @@ object QueriesPipeline {
       lit(" contact user"), d.cast("string"), lit("@example.com now</p><p>"),
       array_join(slice(w, 11, 1 << 20), " "),
       lit(" see <a href=\"/m\">details</a></p></body></html>"))
-    val ext = graft.operators.Html.extractTextNative(
+    val ext = Html.extractTextNative(
         srcKept.select(col("doc_id"), html.as("__h")), "doc_id", col("__h"))
       .select(col("doc_id"), col("clean_text"))
     val toks = split(trim(col("clean_text")), "\\s+")
@@ -546,14 +547,13 @@ object QueriesPipeline {
           .when((col("doc_id") + i) % 2 === 0, concat(chunk, lit(".")))
           .otherwise(chunk)
       })
-    val lf = graft.operators.TextAnalysis.lineFilterC4(
+    val lf = TextAnalysis.lineFilterC4(
         ext.select(col("doc_id"), lines.as("__lines")), "doc_id", col("__lines"))
       .select(col("doc_id"), col("cleaned_text"))
-    val red = graft.operators.TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
+    val red = TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
       .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
-      .localCheckpoint(true) // extraction lineage runs once, as in v2
-    val exc = graft.operators.Dedup.duplicateSpanExciseIncremental(
-        red, "doc_id", "redacted_text", k = 8, store, nBuckets = 8)
+      .localCheckpoint(true) // the redacted sliver — extraction runs once
+    val exc = excise(red)
       .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
     val fin = red.join(exc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_pii"),
@@ -561,7 +561,7 @@ object QueriesPipeline {
         coalesce(col("__ex"), col("redacted_text")).as("final_text"))
       .withColumn("n_tokens",
         size(split(trim(col("final_text")), "\\s+")).cast("long"))
-    val th = graft.operators.TextAnalysis.approxQuantileAgg(fin,
+    val th = TextAnalysis.approxQuantileAgg(fin,
       Seq((col("n_tokens"), 0.05, "tok_t")), accuracy = 1000000)
     val surv = fin.crossJoin(broadcast(th))
       .filter(col("n_tokens") >= col("tok_t")).drop("tok_t")
@@ -574,6 +574,40 @@ object QueriesPipeline {
           .cast("long").as("pack_id"),
         col("final_text"))
   }
+
+  /** One batch of the INCREMENTAL web flagship
+    * (q_web_pipeline_incremental): [[webChain]] scoped to the docs with
+    * `doc_id % 2 == b`, with the one-shot span excision swapped for the
+    * STORE-BACKED incremental regime — batch b's spans are judged
+    * against every batch committed before it (plus its own within-batch
+    * firsts), exactly the continuous-ingestion shape a production web
+    * pipeline runs. Curation cap, token floor, and packing are all
+    * batch-scoped (each arrival is curated and packed on its own); only
+    * the gram store carries state across batches.
+    *
+    * The incremental excise returns EVERY batch doc (rebuilding clean
+    * docs' text through the lowercase tokenizer); the one-shot pass
+    * returns affected docs only, so v2's untouched docs keep their
+    * redacted text verbatim. Filtering to `n_dup_tokens > 0` restores
+    * that contract here — webChain's left-join coalesce falls back to
+    * the redacted sliver for clean docs, and the two regimes apply the
+    * IDENTICAL text transformation doc-for-doc.
+    *
+    * `m` is the batch modulus (how many arrivals the corpus splits
+    * into); `compactAbove` rides through to the ingest's auto-fold
+    * trigger, so the continuous gate can force a fold BETWEEN a commit
+    * and a later batch's probe. */
+  private def webIncrementalStage(s: SparkSession, dir: String, b: Int,
+                                  store: String, m: Int = 2,
+                                  compactAbove: Int = 16): DataFrame =
+    webChain(
+      t(s, dir, "documents").filter(col("doc_id") % m === b)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .localCheckpoint(true),
+      red => Dedup.duplicateSpanExciseIncremental(
+          red, "doc_id", "redacted_text", k = 8, store, nBuckets = 8,
+          compactAbove = compactAbove)
+        .filter(col("n_dup_tokens") > 0))
 
   /** The URL normalization + registered-domain CTE chain of the
     * URL-curation oracles: expects a preceding `u(doc_id, url)` CTE and
@@ -689,6 +723,161 @@ object QueriesPipeline {
        |    END AS url
        |  FROM documents),
        |""".stripMargin + sqlUrlChain
+
+  /** The web-flagship oracle, replayed as ONE statement and
+    * parameterized by the BATCH MODULUS `m`: gateUrl construction + URL
+    * chain → blocklist/cap keep-set (cap rank batch-partitioned) →
+    * markup + block extraction (script/style/comment passes are
+    * identities on this construction, elided as in q_web_pipeline) →
+    * line construction + C4 filter → PII → span seeds + excise →
+    * exact-rank token floor (the sketch equals it at gate accuracy;
+    * rank within batch) → per-(source, lang, batch) running-sum
+    * packing.
+    *
+    * `m = 1` replays q_web_pipeline_v2: `doc_id % 1` is identically 0,
+    * every batch partition key degenerates to one global batch and the
+    * store disjunct in the seed rule is constant-false, so the rule
+    * reduces to plain within-set seniority (`rk > 1`, equivalent to the
+    * one-shot `c > 1 AND rk > 1`). `m = 2` replays
+    * q_web_pipeline_incremental: batch 1's seeds are its non-first
+    * within-batch grams PLUS any gram whose hash batch 0 committed —
+    * the store holds batch 0's FULL redacted-text grams (curation-kept
+    * docs, token floor notwithstanding), exactly what
+    * [[graft.operators.Dedup.duplicateSpanExciseIncremental]] appends.
+    * The seed rule generalizes to ANY m (q_web_pipeline_continuous runs
+    * m = 3): a gram is store-senior when some EARLIER batch committed
+    * its hash — `EXISTS (… e.doc_id % m < r.doc_id % m)` — which
+    * degenerates to the two cases above at m = 1 (no earlier batch) and
+    * m = 2 (earlier ⇔ batch 0). */
+  private def sqlWebPipelineOracle(m: Int): String = {
+    val b = s"doc_id % $m"
+        (sqlUrlDom + ",\n" +
+          s"""crk AS (
+             |  SELECT doc_id, domain,
+             |    row_number() OVER (PARTITION BY domain, $b ORDER BY doc_id) AS rk
+             |  FROM dom),
+             |ckeep AS (
+             |  SELECT doc_id FROM crk
+             |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10),
+             |tn AS (
+             |  SELECT d.doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+             |  FROM documents d JOIN ckeep USING (doc_id)),
+             |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM tn),
+             |eh AS (
+             |  SELECT doc_id,
+             |    '<html><body><p><a href="/h">Home</a> <a href="/s">Site '
+             |    || CAST(doc_id % 5 AS VARCHAR) || '</a></p><p>'
+             |    || array_to_string(w[1:10], ' ')
+             |    || ' contact user' || CAST(doc_id AS VARCHAR)
+             |    || '@example.com now</p><p>'
+             |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
+             |    || ' see <a href="/m">details</a></p></body></html>' AS html
+             |  FROM tw),
+             |ebl AS (
+             |  SELECT doc_id,
+             |    regexp_extract_all(html, '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
+             |  FROM eh),
+             |eblk AS (
+             |  SELECT doc_id, i AS ord, bs[i] AS b
+             |  FROM ebl, unnest(range(1, len(bs) + 1)) AS u(i)),
+             |escored AS (
+             |  ${sqlBlockScore("eblk")}),
+             |extagg AS (
+             |  SELECT doc_id,
+             |    COALESCE(string_agg(txt, ' ' ORDER BY ord)
+             |      FILTER (WHERE $sqlBlockKeep), '') AS clean_text
+             |  FROM escored GROUP BY doc_id),
+             |ext AS (
+             |  SELECT ebl.doc_id, COALESCE(extagg.clean_text, '') AS clean_text
+             |  FROM ebl LEFT JOIN extagg USING (doc_id)),
+             |lw AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS w2
+             |  FROM ext),
+             |elines AS (
+             |  SELECT doc_id, [
+             |    CASE WHEN (doc_id + i) % 5 = 3
+             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || ' accept our cookie policy.'
+             |         WHEN (doc_id + i) % 2 = 0
+             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || '.'
+             |         ELSE array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') END
+             |    for i in range(0, greatest(CAST(ceil(len(w2) / 10.0) AS BIGINT), 1))] AS ls
+             |  FROM lw),
+             |lf AS (
+             |  SELECT doc_id,
+             |    COALESCE(array_to_string(list_filter(ls, l ->
+             |      len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+             |      AND regexp_matches(l, '[.!?"]$$')
+             |      AND NOT regexp_matches(lower(l), 'javascript|cookie|lorem ipsum')),
+             |      chr(10)), '') AS cleaned
+             |  FROM elines),
+             |red AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(cleaned,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             |      AS n_pii,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(cleaned,
+             |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             |          '|||EMAIL|||', 'g'),
+             |        '\\b\\d{3}-\\d{4}\\b', '|||PHONE|||', 'g'),
+             |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '|||IP|||', 'g')
+             |      AS rt
+             |  FROM lf),
+             |redsrc AS (SELECT doc_id, rt AS text FROM red),
+             |""".stripMargin
+          + sqlGramCtes("redsrc", "d") + ",\n" +
+          s"""dranked AS (
+            |  SELECT doc_id, pos, h,
+            |    row_number() OVER (PARTITION BY h, $b ORDER BY doc_id, pos) AS rk
+            |  FROM dg),
+            |dseeds AS (
+            |  SELECT r.doc_id, r.pos FROM dranked r
+            |  WHERE r.rk > 1 OR EXISTS (
+            |    SELECT 1 FROM dg e
+            |    WHERE e.h = r.h AND e.doc_id % $m < r.doc_id % $m)),
+            |dcovset AS (
+            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
+            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM dseeds)
+            |  GROUP BY doc_id),
+            |exc AS (
+            |  SELECT dw.doc_id, CAST(len(cs) AS BIGINT) AS n_dup_tokens,
+            |    COALESCE(array_to_string(
+            |      [dw.w[i] for i in range(1, len(dw.w) + 1)
+            |              if NOT list_contains(cs, i - 1)], ' '), '') AS ex
+            |  FROM dw JOIN dcovset USING (doc_id)),
+            |fin AS (
+            |  SELECT red.doc_id, n_pii,
+            |    COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+            |    COALESCE(ex, rt) AS final_text
+            |  FROM red LEFT JOIN exc ON red.doc_id = exc.doc_id),
+            |sig AS (
+            |  SELECT doc_id, n_pii, n_dup_tokens, final_text,
+            |    CAST(len(regexp_split_to_array(trim(final_text), '\\s+')) AS BIGINT)
+            |      AS n_tokens
+            |  FROM fin),
+            |th AS (
+            |  SELECT b, n_tokens AS tok_t FROM
+            |    (SELECT $b AS b, n_tokens,
+            |       row_number() OVER (PARTITION BY $b ORDER BY n_tokens) AS rk,
+            |       count(*) OVER (PARTITION BY $b) AS n
+            |     FROM sig)
+            |  WHERE rk = CAST(ceil(0.05 * n) AS BIGINT)),
+            |surv AS (
+            |  SELECT sig.* FROM sig JOIN th ON sig.$b = th.b
+            |  WHERE sig.n_tokens >= th.tok_t),
+            |packed AS (
+            |  SELECT s.doc_id, d.source, d.lang, s.n_pii, s.n_dup_tokens,
+            |    s.n_tokens, s.final_text,
+            |    sum(s.n_tokens) OVER (PARTITION BY d.source, d.lang, s.$b
+            |      ORDER BY s.doc_id) AS cum
+            |  FROM surv s JOIN documents d USING (doc_id))
+            |SELECT doc_id, source, lang, n_pii, n_dup_tokens, n_tokens,
+            |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+            |  final_text
+            |FROM packed""".stripMargin)
+  }
+
 
   /** The cross-corpus contamination pair sweep (matches
     * `crossMinhashCandidates(docs, bench, …, md5Hex, 200)` with bench =
@@ -2700,70 +2889,18 @@ object QueriesPipeline {
     // is checkpointed so the extraction lineage runs ONCE across the
     // excise join's two consumers. Output = surviving docs only (the
     // training set), with their provenance counters and pack ids.
-    "q_web_pipeline_v2" -> ((s, dir) => {
-      val d = col("doc_id")
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .localCheckpoint(true)
-      // the HOT-AWARE cap: production web corpora are where mega-domains
-      // live, and the gate's own manufactured URLs plant several domains
-      // above the Misra–Gries guarantee line — the flagship exercises
-      // the two-regime topology while the flags (and so the oracle)
-      // stay identical to the plain cap by construction
-      val cur = Urls.urlCurateHot(
-        base.select(col("doc_id"), gateUrl.as("__url")),
-        "doc_id", col("__url"),
-        blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
-      val srcKept = base.join(cur.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-      val html = concat(
-        lit("<html><body><p><a href=\"/h\">Home</a> <a href=\"/s\">Site "),
-        (d % 5).cast("string"), lit("</a></p><p>"),
-        array_join(slice(w, 1, 10), " "),
-        lit(" contact user"), d.cast("string"), lit("@example.com now</p><p>"),
-        array_join(slice(w, 11, 1 << 20), " "),
-        lit(" see <a href=\"/m\">details</a></p></body></html>"))
-      val ext = Html.extractTextNative(
-          srcKept.select(col("doc_id"), html.as("__h")), "doc_id", col("__h"))
-        .select(col("doc_id"), col("clean_text"))
-      val toks = split(trim(col("clean_text")), "\\s+")
-      val lines = transform(
-        sequence(lit(0),
-          greatest(ceil(size(toks).cast("double") / 10).cast("int") - 1, lit(0))),
-        i => {
-          val chunk = array_join(slice(toks, i * 10 + 1, lit(10)), " ")
-          when((col("doc_id") + i) % 5 === 3,
-              concat(chunk, lit(" accept our cookie policy.")))
-            .when((col("doc_id") + i) % 2 === 0, concat(chunk, lit(".")))
-            .otherwise(chunk)
-        })
-      val lf = TextAnalysis.lineFilterC4(
-          ext.select(col("doc_id"), lines.as("__lines")), "doc_id", col("__lines"))
-        .select(col("doc_id"), col("cleaned_text"))
-      val red = TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
-        .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
-        .localCheckpoint(true) // the redacted sliver — extraction runs once
-      val exc = Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8)
-        .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
-      val fin = red.join(exc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_pii"),
-          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-          coalesce(col("__ex"), col("redacted_text")).as("final_text"))
-        .withColumn("n_tokens",
-          size(split(trim(col("final_text")), "\\s+")).cast("long"))
-      val th = TextAnalysis.approxQuantileAgg(fin,
-        Seq((col("n_tokens"), 0.05, "tok_t")), accuracy = 1000000)
-      val surv = fin.crossJoin(broadcast(th))
-        .filter(col("n_tokens") >= col("tok_t")).drop("tok_t")
-      val packW = Window.partitionBy("source", "lang").orderBy("doc_id")
-      surv.join(base.select("doc_id", "source", "lang"), Seq("doc_id"))
-        .withColumn("__cum", sum(col("n_tokens")).over(packW))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_pii"),
-          col("n_dup_tokens"), col("n_tokens"),
-          floor((col("__cum") - col("n_tokens")) / lit(2048.0))
-            .cast("long").as("pack_id"),
-          col("final_text"))
-    }),
+    "q_web_pipeline_v2" -> ((s, dir) =>
+      // the HOT-AWARE cap inside [[webChain]]: production web corpora
+      // are where mega-domains live, and the gate's own manufactured
+      // URLs plant several domains above the Misra–Gries guarantee line
+      // — the flagship exercises the two-regime topology while the flags
+      // (and so the oracle) stay identical to the plain cap by
+      // construction
+      webChain(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .localCheckpoint(true),
+        red => Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8))),
 
     // The CONTINUOUS-INGESTION regime of the web flagship: the corpus
     // arrives as two batches (doc_id parity); each batch runs the full
@@ -2786,6 +2923,24 @@ object QueriesPipeline {
       val b1 = webIncrementalStage(s, dir, 1, store)
       rmTree(root)
       b0.unionByName(b1)
+    }),
+
+    // The LONG-HAUL variant of the incremental flagship: THREE arrivals
+    // through the same store with the auto-fold forced between probes
+    // (compactAbove = 1 — batch 1's ingest folds the store, so batch
+    // 2's probe plans against a COMPACTED manifest, the state every
+    // long-running crawl pipeline actually probes). Each ingest leaves
+    // ≤ 2 live segments — the bounded-manifest operating rule exercised
+    // inside a gated query, not just the growth-rung harness. The
+    // oracle is the SAME statement at batch modulus 3 (the store-
+    // seniority EXISTS rule spans all earlier batches).
+    "q_web_pipeline_continuous" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-webcont")
+      val store = root.resolve("grams").toString
+      val parts = (0 until 3).map(b =>
+        webIncrementalStage(s, dir, b, store, m = 3, compactAbove = 1))
+      rmTree(root)
+      parts.reduce(_.unionByName(_))
     }),
 
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
@@ -4870,126 +5025,20 @@ object QueriesPipeline {
             |  final_text
             |FROM fin""".stripMargin),
 
-      // the full web flagship, replayed as ONE statement: gateUrl
-      // construction + URL chain → blocklist/cap keep-set → markup +
-      // block extraction (script/style/comment passes are identities on
-      // this construction, elided as in q_web_pipeline) → line
-      // construction + C4 filter → PII → d-prefixed span seeds + excise
-      // → exact-rank token floor (the sketch equals it at gate
-      // accuracy) → per-(source, lang) running-sum packing
-      "q_web_pipeline_v2" ->
-        (sqlUrlDom + ",\n" +
-          s"""crk AS (
-             |  SELECT doc_id, domain,
-             |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-             |  FROM dom),
-             |ckeep AS (
-             |  SELECT doc_id FROM crk
-             |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10),
-             |tn AS (
-             |  SELECT d.doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-             |  FROM documents d JOIN ckeep USING (doc_id)),
-             |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM tn),
-             |eh AS (
-             |  SELECT doc_id,
-             |    '<html><body><p><a href="/h">Home</a> <a href="/s">Site '
-             |    || CAST(doc_id % 5 AS VARCHAR) || '</a></p><p>'
-             |    || array_to_string(w[1:10], ' ')
-             |    || ' contact user' || CAST(doc_id AS VARCHAR)
-             |    || '@example.com now</p><p>'
-             |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
-             |    || ' see <a href="/m">details</a></p></body></html>' AS html
-             |  FROM tw),
-             |ebl AS (
-             |  SELECT doc_id,
-             |    regexp_extract_all(html, '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
-             |  FROM eh),
-             |eblk AS (
-             |  SELECT doc_id, i AS ord, bs[i] AS b
-             |  FROM ebl, unnest(range(1, len(bs) + 1)) AS u(i)),
-             |escored AS (
-             |  ${sqlBlockScore("eblk")}),
-             |extagg AS (
-             |  SELECT doc_id,
-             |    COALESCE(string_agg(txt, ' ' ORDER BY ord)
-             |      FILTER (WHERE $sqlBlockKeep), '') AS clean_text
-             |  FROM escored GROUP BY doc_id),
-             |ext AS (
-             |  SELECT ebl.doc_id, COALESCE(extagg.clean_text, '') AS clean_text
-             |  FROM ebl LEFT JOIN extagg USING (doc_id)),
-             |lw AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS w2
-             |  FROM ext),
-             |elines AS (
-             |  SELECT doc_id, [
-             |    CASE WHEN (doc_id + i) % 5 = 3
-             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || ' accept our cookie policy.'
-             |         WHEN (doc_id + i) % 2 = 0
-             |           THEN array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') || '.'
-             |         ELSE array_to_string(w2[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') END
-             |    for i in range(0, greatest(CAST(ceil(len(w2) / 10.0) AS BIGINT), 1))] AS ls
-             |  FROM lw),
-             |lf AS (
-             |  SELECT doc_id,
-             |    COALESCE(array_to_string(list_filter(ls, l ->
-             |      len(regexp_split_to_array(trim(l), '\\s+')) >= 5
-             |      AND regexp_matches(l, '[.!?"]$$')
-             |      AND NOT regexp_matches(lower(l), 'javascript|cookie|lorem ipsum')),
-             |      chr(10)), '') AS cleaned
-             |  FROM elines),
-             |red AS (
-             |  SELECT doc_id,
-             |    CAST(len(regexp_extract_all(cleaned,
-             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-             |      AS n_pii,
-             |    regexp_replace(
-             |      regexp_replace(
-             |        regexp_replace(cleaned,
-             |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-             |          '|||EMAIL|||', 'g'),
-             |        '\\b\\d{3}-\\d{4}\\b', '|||PHONE|||', 'g'),
-             |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '|||IP|||', 'g')
-             |      AS rt
-             |  FROM lf),
-             |redsrc AS (SELECT doc_id, rt AS text FROM red),
-             |""".stripMargin
-          + sqlDupSeedCtes("redsrc", "d") + ",\n" +
-          """dcovset AS (
-            |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
-            |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM dseeds)
-            |  GROUP BY doc_id),
-            |exc AS (
-            |  SELECT dw.doc_id, CAST(len(cs) AS BIGINT) AS n_dup_tokens,
-            |    COALESCE(array_to_string(
-            |      [dw.w[i] for i in range(1, len(dw.w) + 1)
-            |              if NOT list_contains(cs, i - 1)], ' '), '') AS ex
-            |  FROM dw JOIN dcovset USING (doc_id)),
-            |fin AS (
-            |  SELECT red.doc_id, n_pii,
-            |    COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
-            |    COALESCE(ex, rt) AS final_text
-            |  FROM red LEFT JOIN exc ON red.doc_id = exc.doc_id),
-            |sig AS (
-            |  SELECT doc_id, n_pii, n_dup_tokens, final_text,
-            |    CAST(len(regexp_split_to_array(trim(final_text), '\s+')) AS BIGINT)
-            |      AS n_tokens
-            |  FROM fin),
-            |th AS (
-            |  SELECT n_tokens AS tok_t FROM
-            |    (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rk FROM sig)
-            |  WHERE rk = CAST(ceil(0.05 * (SELECT count(*) FROM sig)) AS BIGINT)),
-            |surv AS (
-            |  SELECT * FROM sig WHERE n_tokens >= (SELECT tok_t FROM th)),
-            |packed AS (
-            |  SELECT s.doc_id, d.source, d.lang, s.n_pii, s.n_dup_tokens,
-            |    s.n_tokens, s.final_text,
-            |    sum(s.n_tokens) OVER (PARTITION BY d.source, d.lang
-            |      ORDER BY s.doc_id) AS cum
-            |  FROM surv s JOIN documents d USING (doc_id))
-            |SELECT doc_id, source, lang, n_pii, n_dup_tokens, n_tokens,
-            |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
-            |  final_text
-            |FROM packed""".stripMargin),
+      // the full web flagship, replayed as ONE statement
+      // ([[sqlWebPipelineOracle]] at batch modulus 1 — one global batch)
+      "q_web_pipeline_v2" -> sqlWebPipelineOracle(1),
+
+      // the continuous-ingestion twin: the SAME statement at batch
+      // modulus 2 — batch-partitioned cap/floor/pack windows, and the
+      // store-seniority seed rule (batch 1's seeds include every gram
+      // hash batch 0 committed)
+      "q_web_pipeline_incremental" -> sqlWebPipelineOracle(2),
+
+      // the three-arrival long-haul variant (auto-fold forced between
+      // probes on the Spark side; folds are contents-preserving, so the
+      // replay is just modulus 3)
+      "q_web_pipeline_continuous" -> sqlWebPipelineOracle(3),
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from
       // every doc; the planted per-source banner is prepended (window-

@@ -974,7 +974,22 @@ object Dedup {
     * commit (crash-safe; a crash between the two leaves a valid
     * uncompacted store the next trigger re-folds). `compactAbove <= 0`
     * disables the trigger for callers scheduling [[spanStoreCompact]]
-    * themselves. Returns the stats of the LAST commit this call made. */
+    * themselves. Returns the stats of the LAST commit this call made.
+    *
+    * CONCURRENT WRITERS: the manifest protocol arbitrates every commit
+    * (exactly one writer wins each version; a losing APPEND throws the
+    * replay IOException as always). The auto-fold, though, is
+    * maintenance riding on an ingest whose append already committed
+    * durably — so a fold that loses its version slot to a concurrent
+    * writer is swallowed (logged, append stats returned) rather than
+    * failing the call: the store stays valid and the NEXT
+    * threshold-crossing ingest re-folds. Durability note for external
+    * holders of UNcheckpointed probe frames: GC retains the segments of
+    * the two newest manifests, so a fold-triggering ingest (append +
+    * fold = TWO manifest versions in one call) consumes the whole
+    * documented one-later-commit probe-durability window at once —
+    * checkpoint probe results before any later ingest, as
+    * [[duplicateSpanExciseIncremental]] itself does. */
   def spanStoreAppend(df: DataFrame, idCol: String, textCol: String,
                       k: Int, storePath: String, nBuckets: Int,
                       compactAbove: Int = 16): graft.sinks.SpanGramStore.CommitStats = {
@@ -985,7 +1000,15 @@ object Dedup {
           col("__h"), col(idCol).as("doc_id"), col("__pos")),
       storePath, nBuckets)
     if (compactAbove > 0 && stats.nSegments > compactAbove)
-      graft.sinks.SpanGramStore.compact(df.sparkSession, storePath)
+      try graft.sinks.SpanGramStore.compact(df.sparkSession, storePath)
+      catch { case scala.util.control.NonFatal(e) =>
+        // the append above IS committed — a fold that lost its version
+        // slot to a concurrent writer must not fail the ingest; the next
+        // threshold-crossing call re-folds
+        System.err.println(s"[graft] span-store auto-fold skipped " +
+          s"(concurrent commit won the version slot): ${e.getMessage}")
+        stats
+      }
     else stats
   }
 
@@ -1051,6 +1074,8 @@ object Dedup {
         // MATERIALIZE before the append below (the probeCandidates
         // checkpoint-before-append rule). Segment immutability makes the
         // pruned probe re-readable across ONE later commit, but only one
+        // — and a FOLD-TRIGGERING ingest is two commits in one call, so
+        // that window can be consumed by a single later append
         // — the returned frame must stay valid however long the caller
         // holds it, through any number of later appends/compactions that
         // GC the segments this probe planned against.

@@ -167,13 +167,17 @@ object Urls {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
     require(hhK > 0, s"hhK must be positive, got $hhK")
     // the normalized sliver feeds FOUR consumers (MG diagnose, the
-    // candidate recount, the cold branch, the hot branch): materialize
-    // it once so the per-row regex chain runs ONE pass over the corpus
-    // and every branch reads the same rows — correctness no longer
-    // rests on the branches' identical subplans sharing a
-    // ReusedExchange (the compute-once-sliver discipline of the
-    // gate-signal family)
-    val dom = withDomain(df, idCol, urlCol).localCheckpoint(true)
+    // candidate recount, the cold branch, the hot branch): cache it so
+    // the per-row regex chain runs ONE pass over the corpus (the
+    // diagnose head() below materializes every block). persist, NOT
+    // localCheckpoint: cached blocks keep their lineage, so an executor
+    // loss (or memory-pressure eviction — MEMORY_AND_DISK spills rather
+    // than pinning executor memory at the 100 TB operating point)
+    // RECOMPUTES instead of failing the query. Correctness never rests
+    // on the cache: the deterministic __salt below makes every branch
+    // row-identical under recompute by construction.
+    val dom = withDomain(df, idCol, urlCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = dom.agg(count(lit(1)).as("n"),
         call_function("graft_misra_gries", col("domain"), lit(hhK)).as("cands"))
       .head() // one row, ≤ hhK short strings — metadata
@@ -231,9 +235,11 @@ object Urls {
                     blocked: Seq[String], pct: Double = 0.9): DataFrame = {
     require(pct > 0 && pct <= 1, s"pct must be in (0,1], got $pct")
     // two consumers of the normalized sliver (the cap derivation and
-    // the flag query) — materialize it once, the same compute-once
-    // move as [[urlCurateHot]], so the regex chain runs ONE corpus pass
-    val dom = withDomain(df, idCol, urlCol).localCheckpoint(true)
+    // the flag query) — cache it, the same fault-tolerant compute-once
+    // move as [[urlCurateHot]] (persist keeps lineage; the head() below
+    // materializes), so the regex chain runs ONE corpus pass
+    val dom = withDomain(df, idCol, urlCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val row = dom
       .groupBy(col("domain")).agg(count(lit(1)).as("c"))
       .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))

@@ -291,8 +291,9 @@ class PlanSpec extends AnyFunSuite {
   test("q_url_cap_hot: the mega-domain never funnels through one rank partition") {
     val q = SparkEntry.queries("q_url_cap_hot")(spark, dir)
     val p = q.queryExecution.executedPlan.toString
-    // stage 1 slices the hot domain by (domain, input partition id) —
-    // the exchange that caps any single task's share of a mega-domain
+    // stage 1 slices the hot domain by (domain, __salt) where __salt is
+    // the deterministic pmod(xxhash64(id), nSlices) row function — the
+    // exchange that caps any single task's share of a mega-domain
     assert(p.contains("hashpartitioning(domain") && p.contains("__salt"),
       "expected the (domain, __salt) sliced stage-1 window")
     // both regimes' windows are partitioned — never a global window

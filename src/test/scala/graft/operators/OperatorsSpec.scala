@@ -972,6 +972,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rs.exceptions3 == Seq("city.kawasaki.jp"))
   }
 
+  test("PublicSuffixes.parse: a verbatim upstream-format list drop (section markers, " +
+      "punycode, exotic shapes) is provably safe — every skip enumerable") {
+    // The refresh discipline (SCALE.md): the matcher consumes every
+    // upstream rule shape, so the bundled snapshot is the only drift
+    // surface. This fixture replays the verbatim upstream FILE FORMAT —
+    // the MPL header, ICANN/PRIVATE section markers, per-TLD comment
+    // banners, punycode (xn--) rules at every supported depth — and pins
+    // that (a) the parser consumes the framing as comments, (b) every
+    // rule lands in its shape bucket, and (c) `ignoredRules` counts
+    // EXACTLY the genuinely unsupported deep rules, so a future verbatim
+    // publicsuffix.org drop reports its coverage honestly: green here +
+    // ignoredRules == 0 on the new bundle ⇒ the swap is safe.
+    val rs = PublicSuffixes.parse(Iterator(
+      "// This Source Code Form is subject to the terms of the Mozilla Public",
+      "// License, v. 2.0. If a copy of the MPL was not distributed with this",
+      "// file, You can obtain one at https://mozilla.org/MPL/2.0/.",
+      "",
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "// ac : https://en.wikipedia.org/wiki/.ac",
+      "ac",
+      "com.ac",
+      "// jp : https://en.wikipedia.org/wiki/.jp",
+      "jp",
+      "kobe.jp",
+      "*.kobe.jp",
+      "!city.kobe.jp",
+      "// xn--p1ai : https://en.wikipedia.org/wiki/.xn--p1ai (рф, Russia)",
+      "xn--p1ai",
+      "// us : https://en.wikipedia.org/wiki/.us",
+      "k12.ca.us",
+      "// ck : https://en.wikipedia.org/wiki/.ck",
+      "*.ck",
+      "!www.ck",
+      "",
+      "// ===END ICANN DOMAINS===",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "",
+      "// Amazon : https://www.amazon.com",
+      "s3.amazonaws.com",
+      "s3.eu-central-1.amazonaws.com",
+      "*.compute.amazonaws.com",
+      "// punycode private entry",
+      "xn--55qx5d.cn",
+      "// a hypothetical 5-label rule the matcher cannot honor",
+      "a.b.c.d.example",
+      "",
+      "// ===END PRIVATE DOMAINS==="))
+    // section markers / banners / blanks consumed as comments: every
+    // non-comment line is accounted for below, nothing leaks
+    assert(rs.defaultTldRules == 3)                 // ac, jp, xn--p1ai
+    assert(rs.suffixes2.toSet == Set("com.ac", "kobe.jp", "xn--55qx5d.cn"))
+    assert(rs.suffixes3 == Seq("k12.ca.us", "s3.amazonaws.com"))
+    assert(rs.suffixes4 == Seq("s3.eu-central-1.amazonaws.com"))
+    assert(rs.wildcardTlds == Seq("ck"))
+    assert(rs.wildcardBases2 == Seq("kobe.jp"))
+    assert(rs.wildcardBases3 == Seq("compute.amazonaws.com"))
+    assert(rs.exceptions2 == Seq("www.ck"))
+    assert(rs.exceptions3 == Seq("city.kobe.jp"))
+    assert(rs.ignoredRules == 1)                    // ONLY the 5-label rule
+    // and the bundled snapshot itself stays fully consumed (the refresh
+    // gate: a drop that regresses this is rejected, not silently narrowed)
+    assert(PublicSuffixes.ignoredRules == 0)
+  }
+
   test("urlCurate: blocklist and per-domain cap flag, deterministic rank by id") {
     val s = spark
     import s.implicits._

@@ -217,4 +217,55 @@ class SpanGramStoreSpec extends AnyFunSuite {
     assert(out.count() == 1)
     assert(SpanGramStore.segmentCount(spark, store) == 1)
   }
+
+  test("auto-fold losing its version slot to a concurrent commit does NOT fail the ingest") {
+    // Two concurrent ingests can both cross compactAbove: the manifest
+    // protocol arbitrates every commit, so one writer's FOLD can lose
+    // its version slot to the other's commit. The losing fold must be
+    // swallowed — the loser's APPEND already committed durably, and
+    // failing the call would tell the caller to replay a batch that is
+    // already in. Simulated deterministically: the fold's target
+    // version slot is pre-occupied on disk (publishExclusive treats any
+    // existing file as the winner — a valid concurrent manifest and a
+    // crashed writer's torn one look identical to the loser).
+    val root = tmp("span-foldrace")
+    val store = root.resolve("grams").toString
+    (1 to 3).foreach { i =>
+      Dedup.spanStoreAppend(docs(i.toLong -> s"a$i b$i c$i d$i e$i"),
+        "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 0)
+    }
+    assert(SpanGramStore.segmentCount(spark, store) == 3) // manifest v3
+    // occupy the fold's slot: append will commit v4, its auto-fold v5
+    val planted = root.resolve("grams").resolve("_span_manifest_v000000005.json")
+    Files.writeString(planted, "torn-or-concurrent garbage")
+    val st = Dedup.spanStoreAppend(docs(4L -> "f4 g4 h4 i4 j4"),
+      "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 3)
+    // the call survived; the returned stats are the committed APPEND's
+    // (4 accreted segments), not a fold's
+    assert(st.nSegments == 4, "append committed, lost fold swallowed")
+    assert(SpanGramStore.segmentCount(spark, store) == 4)
+    val rows = SpanGramStore.rowCount(spark, store)
+    assert(rows > 0)
+    // the slot-owner resolves (here: the torn debris is cleared); the
+    // NEXT threshold-crossing ingest re-folds — maintenance deferred,
+    // never lost
+    Files.delete(planted)
+    Dedup.spanStoreAppend(docs(5L -> "k5 l5 m5 n5 o5"),
+      "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 3)
+    assert(SpanGramStore.segmentCount(spark, store) == 1, "deferred fold landed")
+    assert(SpanGramStore.rowCount(spark, store) > rows, "batch 5's rows are in")
+    // an explicit maintenance compact still fails LOUDLY on a lost slot
+    // (strict callers schedule it themselves and want the error)
+    (6 to 8).foreach { i =>
+      Dedup.spanStoreAppend(docs(i.toLong -> s"p$i q$i r$i s$i t$i"),
+        "doc_id", "text", k = 3, store, nBuckets = 4, compactAbove = 0)
+    }
+    val v = SpanGramStore.currentManifest(spark, store).get.version
+    val planted2 = root.resolve("grams")
+      .resolve(f"_span_manifest_v${v + 1}%09d.json")
+    Files.writeString(planted2, "occupied")
+    intercept[java.io.IOException] {
+      SpanGramStore.compact(spark, store)
+    }
+  }
 }
