@@ -597,9 +597,9 @@ object QueriesPipeline {
     * into); `compactAbove` rides through to the ingest's auto-fold
     * trigger, so the continuous gate can force a fold BETWEEN a commit
     * and a later batch's probe. */
-  private def webIncrementalStage(s: SparkSession, dir: String, b: Int,
-                                  store: String, m: Int = 2,
-                                  compactAbove: Int = 16): DataFrame =
+  private[graft] def webIncrementalStage(s: SparkSession, dir: String, b: Int,
+                                         store: String, m: Int = 2,
+                                         compactAbove: Int = 16): DataFrame =
     webChain(
       t(s, dir, "documents").filter(col("doc_id") % m === b)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))

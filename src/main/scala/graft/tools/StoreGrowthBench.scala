@@ -100,6 +100,31 @@ object StoreGrowthBench {
           f"storeRowsAfter=${graft.sinks.BucketedMergeTarget.rowCount(s, byId).getOrElse(-1L)}%d")
       }
     }
+
+    if (mode == "web") {
+      // the END-TO-END continuous regime: each arrival runs the WHOLE
+      // web flagship chain (curation → extraction → C4 → PII → store-
+      // backed span excision → token floor → packing), not just the
+      // store ops — per-arrival wall cost must stay flat as the gram
+      // store accumulates all earlier arrivals (auto-folds billed
+      // inside their triggering arrival, the q_web_pipeline_continuous
+      // operating rule at ladder depth)
+      import graft.sinks.SpanGramStore
+      val store = java.nio.file.Files.createTempDirectory("graft-growth-web")
+        .resolve("grams").toString
+      val compactAbove = args.lift(3).map(_.toInt).getOrElse(4)
+      (0 until n).foreach { b =>
+        val t0 = System.nanoTime()
+        val out = graft.QueriesPipeline.webIncrementalStage(
+          s, dir, b, store, m = n, compactAbove = compactAbove)
+        val rows = out.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"webgrowth batch=$b%d secs=$secs%.2f packedRows=$rows%d " +
+          f"storeRowsAfter=${SpanGramStore.rowCount(s, store)}%d " +
+          f"segments=${SpanGramStore.segmentCount(s, store)}%d " +
+          f"files=${SpanGramStore.fileCount(s, store)}%d")
+      }
+    }
     s.stop()
   }
 }
