@@ -516,14 +516,20 @@ object QueriesPipeline {
     * here so the extraction lineage runs ONCE across the excise join's
     * two consumers. `excise` receives that sliver — (doc_id, n_pii,
     * redacted_text) — and must return the span-excise output shape
-    * (doc_id, …, n_dup_tokens, clean_text). */
+    * (doc_id, …, n_dup_tokens, clean_text). `curate` receives the
+    * manufactured (doc_id, __url) sliver and must return a frame with a
+    * `keep` flag — the hot-aware FIXED cap for v2/incremental (the
+    * two-regime topology under the planted flood domains), the
+    * distribution-DERIVED cap for v3 (the regime whose downstream doc
+    * count scales with the corpus). */
   private def webChain(base: DataFrame,
-                       excise: DataFrame => DataFrame): DataFrame = {
+                       excise: DataFrame => DataFrame,
+                       curate: DataFrame => DataFrame = urls =>
+                         Urls.urlCurateHot(urls, "doc_id", col("__url"),
+                           blocked = Seq("spamsite.com", "tracker1.co.uk"),
+                           maxPerDomain = 10)): DataFrame = {
     val d = col("doc_id")
-    val cur = Urls.urlCurateHot(
-      base.select(col("doc_id"), gateUrl.as("__url")),
-      "doc_id", col("__url"),
-      blocked = Seq("spamsite.com", "tracker1.co.uk"), maxPerDomain = 10)
+    val cur = curate(base.select(col("doc_id"), gateUrl.as("__url")))
     val srcKept = base.join(cur.filter(col("keep")).select("doc_id"), Seq("doc_id"))
     val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
     val html = concat(
@@ -748,18 +754,45 @@ object QueriesPipeline {
     * m = 3): a gram is store-senior when some EARLIER batch committed
     * its hash — `EXISTS (… e.doc_id % m < r.doc_id % m)` — which
     * degenerates to the two cases above at m = 1 (no earlier batch) and
-    * m = 2 (earlier ⇔ batch 0). */
-  private def sqlWebPipelineOracle(m: Int): String = {
+    * m = 2 (earlier ⇔ batch 0).
+    *
+    * `autoCap` (q_web_pipeline_v3) swaps the fixed `rk <= 10` cap for
+    * the DERIVED one — the per-batch domain size at exact rank
+    * ceil(0.9·n_domains) ascending, floored at 1 — the
+    * [[graft.operators.Urls.urlCurateAuto]] replay (the sketch equals
+    * this exact rank at gate accuracy, the q_url_cap_auto-pinned
+    * property). */
+  private def sqlWebPipelineOracle(m: Int, autoCap: Boolean = false): String = {
     val b = s"doc_id % $m"
-        (sqlUrlDom + ",\n" +
+    val capCtes =
+      if (!autoCap) ""
+      else s"""ccnt AS (SELECT $b AS cb, domain, count(*) AS c
+              |  FROM dom GROUP BY 1, 2),
+              |ccap AS (
+              |  SELECT cb, greatest(c, 1) AS cap FROM (
+              |    SELECT cb, c, row_number() OVER (PARTITION BY cb ORDER BY c) AS rk,
+              |           count(*) OVER (PARTITION BY cb) AS nd
+              |    FROM ccnt)
+              |  WHERE rk = CAST(ceil(0.9 * nd) AS BIGINT)),
+              |""".stripMargin
+    val ckeep =
+      if (!autoCap)
+        s"""ckeep AS (
+           |  SELECT doc_id FROM crk
+           |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10),"""
+          .stripMargin
+      else
+        s"""ckeep AS (
+           |  SELECT crk.doc_id FROM crk JOIN ccap ON ccap.cb = crk.$b
+           |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk')
+           |    AND rk <= ccap.cap),""".stripMargin
+        (sqlUrlDom + ",\n" + capCtes +
           s"""crk AS (
              |  SELECT doc_id, domain,
              |    row_number() OVER (PARTITION BY domain, $b ORDER BY doc_id) AS rk
              |  FROM dom),
-             |ckeep AS (
-             |  SELECT doc_id FROM crk
-             |  WHERE domain NOT IN ('spamsite.com', 'tracker1.co.uk') AND rk <= 10),
-             |tn AS (
+             |""".stripMargin + ckeep + "\n" +
+          s"""tn AS (
              |  SELECT d.doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
              |  FROM documents d JOIN ckeep USING (doc_id)),
              |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM tn),
@@ -2902,6 +2935,25 @@ object QueriesPipeline {
           .localCheckpoint(true),
         red => Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8))),
 
+    // The AT-SCALE regime of the web flagship: v2's FIXED per-domain cap
+    // bounds the downstream doc count at ANY corpus size (the gate URLs
+    // spread over ~29 domains, so cap 10 passes ≤ ~290 docs to
+    // extraction/spans/packing however big the corpus — at 100× the v2
+    // cost is all curation). v3 swaps in the distribution-DERIVED cap
+    // (urlCurateAuto: cap = the domain size at rank ceil(0.9·n_domains)
+    // — Dolma's "trim outsized domains to a typical large domain"), so
+    // the cap GROWS with the corpus and every downstream stage processes
+    // O(corpus) docs. This is the query whose 100× number measures the
+    // whole chain at scale, not a fixed-size tail.
+    "q_web_pipeline_v3" -> ((s, dir) =>
+      webChain(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .localCheckpoint(true),
+        red => Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8),
+        urls => Urls.urlCurateAuto(urls, "doc_id", col("__url"),
+          blocked = Seq("spamsite.com", "tracker1.co.uk"), pct = 0.9))),
+
     // The CONTINUOUS-INGESTION regime of the web flagship: the corpus
     // arrives as two batches (doc_id parity); each batch runs the full
     // v2 chain — hot-aware curation, native extraction, C4 lines, PII,
@@ -5028,6 +5080,10 @@ object QueriesPipeline {
       // the full web flagship, replayed as ONE statement
       // ([[sqlWebPipelineOracle]] at batch modulus 1 — one global batch)
       "q_web_pipeline_v2" -> sqlWebPipelineOracle(1),
+
+      // the at-scale regime: same statement, cap DERIVED from the
+      // domain-size distribution (exact-rank replay of the sketch)
+      "q_web_pipeline_v3" -> sqlWebPipelineOracle(1, autoCap = true),
 
       // the continuous-ingestion twin: the SAME statement at batch
       // modulus 2 — batch-partitioned cap/floor/pack windows, and the
