@@ -606,9 +606,20 @@ object QueriesPipeline {
   private[graft] def webIncrementalStage(s: SparkSession, dir: String, b: Int,
                                          store: String, m: Int = 2,
                                          compactAbove: Int = 16): DataFrame =
+    webStoreStage(t(s, dir, "documents").filter(col("doc_id") % m === b),
+      store, compactAbove)
+
+  /** One ARRIVAL of the store-backed web flagship, decoupled from how
+    * the arrival was produced: [[webChain]] over a caller-supplied base
+    * frame with the incremental span excise probing/committing `store`.
+    * [[webIncrementalStage]] slices arrivals out of the documents table
+    * (the batch gates); the streaming gate feeds micro-batches from a
+    * file source through the SAME function — one construction site for
+    * every continuous regime. */
+  private[graft] def webStoreStage(base: DataFrame, store: String,
+                                   compactAbove: Int = 16): DataFrame =
     webChain(
-      t(s, dir, "documents").filter(col("doc_id") % m === b)
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      base.select(col("doc_id"), col("source"), col("lang"), col("text"))
         .localCheckpoint(true),
       red => Dedup.duplicateSpanExciseIncremental(
           red, "doc_id", "redacted_text", k = 8, store, nBuckets = 8,
@@ -2995,6 +3006,62 @@ object QueriesPipeline {
       parts.reduce(_.unionByName(_))
     }),
 
+    // The web flagship as an ACTUAL Structured Streaming job — the
+    // production deployment shape of q_web_pipeline_continuous, not a
+    // loop over webIncrementalStage calls. Arrivals are FILES: each
+    // doc_id % 3 slice lands as one parquet file with strictly
+    // increasing mtimes, a file-source stream admits one file per
+    // trigger (oldest-first — the default latestFirst=false order), and
+    // foreachBatch runs the SAME webStoreStage per micro-batch: batch-
+    // scoped curation/extraction/C4/PII/floor/packing, duplicate-span
+    // state carried across triggers by the span gram store (the
+    // engine's own durable state, not Spark's state store — a crawl
+    // pipeline restart resumes from the store + source offsets, and the
+    // store is shared with every BATCH consumer of the same corpus).
+    // foreachBatch micro-batches execute strictly sequentially, so the
+    // commit-before-probe ordering the incremental excise needs holds
+    // by construction. The oracle is the SAME m = 3 statement as the
+    // continuous gate: trigger boundaries are exactly the doc_id % 3
+    // slices, so streamed vs batch composition is result-identical
+    // (also spec-pinned row-for-row at sf0.001).
+    "q_web_pipeline_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-webstream")
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val store = root.resolve("grams").toString
+      val out = root.resolve("out").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { b =>
+        val tmp = root.resolve(s"tmp$b")
+        docs.filter(col("doc_id") % 3 === b)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = in.resolve(s"arrival$b.parquet").toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // mtime IS the admission order; space the arrivals far past any
+        // filesystem timestamp granularity
+        dst.setLastModified(t0 + b * 60000L)
+        rmTree(tmp)
+      }
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          webStoreStage(batch, store, compactAbove = 1)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(out)
+        .localCheckpoint(true) // materialize before the scratch root goes
+      rmTree(root)
+      res
+    }),
+
     // CCNet/RefinedWeb line-level BOILERPLATE strip — the frequency twin
     // of chunk-dedup: an 8-token chunk present in ≥ 20 distinct docs is
     // dropped from EVERY doc (dedup keeps one copy; a cookie banner
@@ -5095,6 +5162,12 @@ object QueriesPipeline {
       // probes on the Spark side; folds are contents-preserving, so the
       // replay is just modulus 3)
       "q_web_pipeline_continuous" -> sqlWebPipelineOracle(3),
+
+      // the Structured Streaming deployment of the same composition:
+      // trigger boundaries are exactly the doc_id % 3 file slices, so
+      // the modulus-3 replay is unchanged — streamed vs batch is
+      // result-identical by construction
+      "q_web_pipeline_stream" -> sqlWebPipelineOracle(3),
 
       // boilerplate strip: chunks in >= 12 distinct docs dropped from
       // every doc; the planted per-source banner is prepended (window-
