@@ -382,6 +382,20 @@ object QueriesPipeline {
     base.unionAll(planted)
   }
 
+  /** [[scaledDupEmbeddings]] plus a second plant for the incremental
+    * gate: ×0.5 copies at +30000. Under the gate's vec_id % 3 batching
+    * the ×2 copy lands one batch AFTER its original (10000 % 3 = 1; the
+    * store-seniority path) and the ×0.5 copy in the SAME batch
+    * (30000 % 3 = 0; the within-batch path). 0.5 is a positive power of
+    * two: exact in IEEE754 and SRP-sign-preserving, like 2.0. */
+  private def plantedEmbeddings3(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    scaledDupEmbeddings(s, dir).unionAll(
+      e.select((col("vec_id") + 30000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(0.5))
+          .as("embedding")))
+  }
+
   /** Query vector: the stored embedding of vec_id = 0 (same row the
     * oracle reads via a scalar subquery). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -1419,6 +1433,78 @@ object QueriesPipeline {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** The three-plant embedding corpus CTE (matches
+    * [[plantedEmbeddings3]]). */
+  private val sqlEmbCorpus3 =
+    """ecorpus3 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 30000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** The q_semantic_dedup_incremental replay: the m arrivals unrolled
+    * as CTE layers. Layer b: `bb{b}` (the batch), `st{b}` (survivors of
+    * every earlier layer — the store), `act{b}` (buckets whose combined
+    * batch+stored population is under the cap), `d{b}` (drops: EXISTS a
+    * stored neighbor, or a lower-id batch-mate, at rounded cosine ≥ t),
+    * `s{b}` (the layer's survivors). Operand order in the cosine is
+    * (x, y) = (senior, junior) on both engines; dot and norm-product
+    * are commutative bit-for-bit so the order only has to be consistent,
+    * not meaningful. */
+  private def sqlSemanticIncOracle(m: Int): String = {
+    val cos = s"round(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6)"
+    val layers = (0 until m).map { b =>
+      val st =
+        if (b == 0) ""
+        else s"st$b AS (${(0 until b).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}),\n"
+      val act =
+        if (b == 0)
+          s"""act$b AS (SELECT bucket FROM bb$b GROUP BY bucket
+             |  HAVING count(*) <= 10000),""".stripMargin
+        else
+          s"""act$b AS (
+             |  SELECT p.bucket
+             |  FROM (SELECT bucket, count(*) AS na FROM bb$b GROUP BY bucket) p
+             |  LEFT JOIN (SELECT bucket, count(*) AS nb FROM st$b GROUP BY bucket) q
+             |    USING (bucket)
+             |  WHERE p.na + COALESCE(q.nb, 0) <= 10000),""".stripMargin
+      val crossRule =
+        if (b == 0) ""
+        else s"""EXISTS (SELECT 1 FROM st$b x
+                |        WHERE x.bucket = y.bucket AND $cos >= 0.99)
+                |      OR """.stripMargin
+      s"""bb$b AS (SELECT * FROM wb WHERE b = $b),
+         |$st$act
+         |d$b AS (
+         |  SELECT y.vec_id FROM bb$b y
+         |  WHERE y.bucket IN (SELECT bucket FROM act$b)
+         |    AND ($crossRule
+         |      EXISTS (SELECT 1 FROM bb$b x
+         |        WHERE x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |          AND $cos >= 0.99))),
+         |s$b AS (SELECT * FROM bb$b
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM d$b))""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until m)
+      .map(b => s"SELECT vec_id, CAST($b AS BIGINT) AS batch_id FROM s$b")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $sqlEmbCorpus3,
+       |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 8)} AS h
+       |         FROM (SELECT count(*) AS n FROM ecorpus3)),
+       |wb AS (SELECT vec_id, vec_id % $m AS b,
+       |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,
+       |  ${sqlNorm("embedding")} AS nrm, embedding
+       |FROM ecorpus3),
+       |$layers
+       |$out""".stripMargin
+  }
+
   // ---- lang-id / quality SQL fragments -------------------------------
 
   private def sqlWordCount(word: String): String =
@@ -2345,6 +2431,38 @@ object QueriesPipeline {
       corpus.join(pairs.select(col("id_b").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
         .select("vec_id")
+    }),
+
+    // SemDeDup as CONTINUOUS INGESTION: three embedding arrivals
+    // (vec_id % 3) cleaned against the accumulated SURVIVOR store — the
+    // embedding-space twin of q_dup_span_incremental (span store) and
+    // q_incremental_dedup (MinHash store). The plants force every drop
+    // rule: the ×2 copy at +10000 lands in the NEXT mod-3 batch
+    // (10000 % 3 = 1), so whichever of original/copy arrives first
+    // kills the other through the STORE; the ×0.5 copy at +30000 lands
+    // in the SAME batch (30000 % 3 = 0), so within-batch lower-id
+    // seniority kills it. Both scales are positive powers of two —
+    // IEEE-exact, SRP-sign-preserving, cosine exactly 1. The oracle
+    // unrolls the three arrivals as CTEs: survivors-so-far is the
+    // store, the combined-population cap gates each batch's buckets,
+    // and EXISTS replays cross (store) + within (lower-id) drops.
+    "q_semantic_dedup_incremental" -> ((s, dir) => {
+      val corpus = plantedEmbeddings3(s, dir)
+      // the store's h is sized once for the corpus it grows into — the
+      // same integer rule as pairwiseCosineCandidatesAuto
+      val n = corpus.count()
+      var h = 8; while (h < 20 && (256L << h) < n) h += 1
+      val root = java.nio.file.Files.createTempDirectory("graft-semdinc")
+      val store = root.resolve("vecs").toString
+      val p = graft.operators.IncrementalSemantic.SrpParams(
+        hPlanes = h, threshold = 0.99, portable = true, maxBucket = 10000)
+      val parts = (0 until 3).map(b =>
+        graft.operators.IncrementalSemantic.ingestBatch(
+          corpus.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+          store, b, p))
+      rmTree(root)
+      parts.reduce(_.unionByName(_)).filter(col("kept"))
+        .select(col("vec_id"), col("batch_id"))
     }),
 
     // Multimodal column plumbing: documents as opaque binary payloads +
@@ -5542,7 +5660,12 @@ object QueriesPipeline {
            |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |  WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.99)
            |SELECT vec_id FROM ecorpus
-           |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+           |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
+      // continuous-ingestion SemDeDup: three arrivals unrolled as CTE
+      // layers (survivors-so-far = the store; combined-population cap;
+      // cross + within EXISTS drops)
+      "q_semantic_dedup_incremental" -> sqlSemanticIncOracle(3)
     )
   }
 }
