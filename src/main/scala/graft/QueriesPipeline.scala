@@ -3126,10 +3126,12 @@ object QueriesPipeline {
 
     // The web flagship as an ACTUAL Structured Streaming job — the
     // production deployment shape of q_web_pipeline_continuous, not a
-    // loop over webIncrementalStage calls. Arrivals are FILES: each
-    // doc_id % 3 slice lands as one parquet file with strictly
-    // increasing mtimes, a file-source stream admits one file per
-    // trigger (oldest-first — the default latestFirst=false order), and
+    // loop over webIncrementalStage calls. Arrivals are FILE DUMPS:
+    // each doc_id % 3 slice lands as 8 parquet files sharing a
+    // strictly-increasing per-slice mtime, a file-source stream admits
+    // exactly one dump per trigger (8 oldest files first — the default
+    // latestFirst=false order; the slice boundary is safe because every
+    // older dump's files strictly precede the next dump's), and
     // foreachBatch runs the SAME webStoreStage per micro-batch: batch-
     // scoped curation/extraction/C4/PII/floor/packing, duplicate-span
     // state carried across triggers by the span gram store (the
@@ -3150,22 +3152,31 @@ object QueriesPipeline {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       val t0 = System.currentTimeMillis()
+      // an arrival is a DUMP OF FILES, not one file: 8 part files per
+      // slice (parallel write at any corpus size), admitted together by
+      // matching maxFilesPerTrigger below. The per-slice file count
+      // must be exact or trigger boundaries misalign — assert loudly.
+      val filesPerArrival = 8
       (0 until 3).foreach { b =>
         val tmp = root.resolve(s"tmp$b")
         docs.filter(col("doc_id") % 3 === b)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
+          .repartition(filesPerArrival).write.parquet(tmp.toString)
+        val parts = tmp.toFile.listFiles()
           .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dst = in.resolve(s"arrival$b.parquet").toFile
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // mtime IS the admission order; space the arrivals far past any
-        // filesystem timestamp granularity
-        dst.setLastModified(t0 + b * 60000L)
+            f.getName.endsWith(".parquet")).sortBy(_.getName)
+        assert(parts.length == filesPerArrival,
+          s"arrival $b wrote ${parts.length} files, need $filesPerArrival")
+        parts.zipWithIndex.foreach { case (part, i) =>
+          val dst = in.resolve(s"arrival$b-$i.parquet").toFile
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // mtime IS the admission order; space the arrivals far past
+          // any filesystem timestamp granularity
+          dst.setLastModified(t0 + b * 60000L)
+        }
         rmTree(tmp)
       }
       val q = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .option("maxFilesPerTrigger", filesPerArrival).parquet(in.toString)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           webStoreStage(batch, store, compactAbove = 1)
