@@ -173,6 +173,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectIntArg(ext, "graft_xxhash_minhash",
       classOf[XxMinHashExpr], (c, k) => XxMinHashExpr(c, k))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_dot(a, b): exactly two ARRAY<FLOAT|DOUBLE> arguments")
+        DotProductExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucketExpr].getName, "graft_srp_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "graft_srp_bucket(vec, h, dim): h and dim must be literals")
+        def intLit(e: Expression, what: String): Int = e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_srp_bucket: $what must be a numeric literal, got $other")
+        }
+        SrpBucketExpr(children.head, intLit(children(1), "h"),
+          intLit(children(2), "dim"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
       (children: Seq[Expression]) => {

@@ -96,6 +96,10 @@ object IncrementalSemantic {
                   storePath: String, batchId: Long, p: SrpParams,
                   nBuckets: Int = BucketedMergeTarget.DefaultBuckets): DataFrame = {
     val spark = batch.sparkSession
+    // not pre-partitioned: the verdict plan's three bucket-keyed reads
+    // of this cache share one exchange via ReusedExchange (the sides of
+    // the self-join and the store probe are identical subplans), so an
+    // upfront repartition would only add a fourth payload shuffle
     val sigs = batchVectors(batch, idCol, vecCol, p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

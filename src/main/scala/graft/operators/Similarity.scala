@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a Column expression over two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ over two float/double-array columns — the native codegen
+    * expression ([[graft.functions.DotProduct]]): one flat counted loop
+    * inside the whole-stage span instead of a per-element interpreted
+    * HOF dispatch. Fold order is bit-identical to [[dotHof]] (pinned),
+    * so every oracle replay is unchanged. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The declarative twin [[dot]] replaced — kept as the spec's
+    * reference side (and for sessions without GraftExtensions). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
 
@@ -110,23 +118,27 @@ object Similarity {
     * 5 digits of md5 per ROW is pure waste). Bit-identical to
     * [[planeComponentHex]] and to the oracle's SQL derivation. */
   private[operators] def planeComponentsHex(plane: Int, dim: Int): Array[Double] =
-    (0 until dim).map { i =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$plane:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val v = (1 to 5).map { j =>
-        val c = h.charAt(j - 1)
-        val dv = if (c <= '9') c - '0' else c - 'a' + 10
-        dv * math.pow(16, j - 1)
-      }.sum
-      v / 1048576.0 - 0.5
-    }.toArray
+    (0 until dim).map(i =>
+      graft.functions.SrpBucket.planeComponentHex(plane, i)).toArray
 
   /** Sign-random-projection bucket id for a vector: h sign bits packed
     * into a long. `portable=true` switches to the md5-derived planes the
-    * SQL oracle can reproduce; pass `dim` when known to bake the plane
-    * matrix in as literals (same values, none of the per-row hashing). */
+    * SQL oracle can reproduce; pass `dim` when known to run the NATIVE
+    * all-planes pass (`graft_srp_bucket`, one flat loop in the codegen
+    * span — bit-identical to [[srpBucketHof]], spec-pinned). */
   def srpBucket(vec: Column, hPlanes: Int, portable: Boolean = false,
-                dim: Option[Int] = None): Column = {
+                dim: Option[Int] = None): Column = (portable, dim) match {
+    case (true, Some(d)) =>
+      call_function("graft_srp_bucket", vec, lit(hPlanes), lit(d))
+    case _ => srpBucketHof(vec, hPlanes, portable, dim)
+  }
+
+  /** The declarative twin [[srpBucket]] replaced for the portable
+    * known-dim case — kept as the spec's reference side and as the
+    * per-row-hash fallback when the dimension is unknown or the
+    * non-portable plane family is wanted. */
+  def srpBucketHof(vec: Column, hPlanes: Int, portable: Boolean = false,
+                   dim: Option[Int] = None): Column = {
     val bits = (0 until hPlanes).map { p =>
       val proj = (portable, dim) match {
         case (true, Some(d)) =>

@@ -2176,6 +2176,73 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dot (native) is bit-identical to the HOF twin, all input widths") {
+    val s = spark
+    import s.implicits._
+    // bit-equality is the contract: every cosine in the gated vector
+    // family rounds this value to 6 dp for oracle parity, so the native
+    // fold must produce the same doubles as the interpreted HOF (which
+    // is what the DuckDB list_reduce replays). Corpus embeddings (float)
+    // plus awkward synthetic values, in all four float/double pairings.
+    val f = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("b", reverse(col("a")))
+      .unionAll(Seq(
+        (9001L, Array(0.1f, -2.7e-3f, 3.4e8f, -1.1f),
+          Array(7.7f, 0.0f, -1.0e-8f, 2.5f))).toDF("vec_id", "a", "b"))
+    def both(df: org.apache.spark.sql.DataFrame) =
+      df.select(Similarity.dot(col("a"), col("b")).as("nat"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    val asD = (c: String) => transform(col(c), x => x.cast("double")).as(c)
+    Seq(
+      f,                                           // float  × float
+      f.select(col("vec_id"), asD("a"), col("b")), // double × float
+      f.select(col("vec_id"), col("a"), asD("b")), // float  × double
+      f.select(col("vec_id"), asD("a"), asD("b"))  // double × double
+    ).foreach { df =>
+      val rows = both(df)
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    }
+    // length mismatch fails loudly, not silently
+    intercept[Exception] {
+      f.select(Similarity.dot(col("a"), slice(col("b"), 1, 3))).collect()
+    }
+  }
+
+  test("graft_srp_bucket (native) is bit-identical to the literal-plane HOF twin") {
+    val s = spark
+    import s.implicits._
+    // corpus embeddings (float) and their double casts: identical
+    // bucket ids at several plane counts, including h where the planted
+    // ×2-scale sign-preservation matters downstream
+    val f = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val dim = f.select(size(col("v"))).head().getInt(0)
+    Seq(4, 11, 20).foreach { h =>
+      val rows = f.select(
+        Similarity.srpBucket(col("v"), h, portable = true, Some(dim)).as("nat"),
+        Similarity.srpBucketHof(col("v"), h, portable = true, Some(dim)).as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"h=$h"))
+    }
+    val d = f.select(transform(col("v"), x => x.cast("double")).as("v"))
+    val rowsD = d.select(
+      Similarity.srpBucket(col("v"), 11, portable = true, Some(dim)).as("nat"),
+      Similarity.srpBucketHof(col("v"), 11, portable = true, Some(dim)).as("hof"))
+      .collect()
+    rowsD.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // wrong dim fails loudly, not silently
+    intercept[Exception] {
+      f.select(Similarity.srpBucket(col("v"), 4, portable = true,
+        Some(dim + 1))).collect()
+    }
+  }
+
   test("ivfSq8TopK: probes prune rows, int8 ranking keeps the in-cell order") {
     val s = spark
     import s.implicits._
