@@ -2212,6 +2212,34 @@ object QueriesPipeline {
       Similarity.lshBucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), 20, hPlanes = 3, portable = true)),
 
+    // ANN top-20 served FROM THE SURVIVOR STORE: the corpus is ingested
+    // in two arrivals with the drop threshold above 1 (rounded cosine
+    // can never reach it — the pure vector-INDEX regime of the
+    // incremental-semantic store, every vector kept), then the query's
+    // bucket + Hamming-≤1 probe set are derived on the driver and the
+    // top-k reads ONLY the store buckets those probes hash into
+    // (readMatchingLocal: no probe-planning job, I/O ∝ probed buckets).
+    // The oracle replays membership as the same 4-plane Hamming-≤1
+    // predicate over the corpus — store pruning is result-invisible by
+    // construction, which is exactly the property worth gating.
+    "q_ann_store" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-annstore")
+      val store = root.resolve("vecs").toString
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val p = graft.operators.IncrementalSemantic.SrpParams(
+        hPlanes = 4, threshold = 1.1, portable = true)
+      (0 until 2).foreach(b =>
+        graft.operators.IncrementalSemantic.ingestBatch(
+          base.filter(col("vec_id") % 2 === b), "vec_id", "embedding",
+          store, b, p))
+      val out = graft.operators.IncrementalSemantic.storeTopK(
+          s, store, queryVec(s, dir), k = 20, p, radius = 1)
+        .localCheckpoint(true) // materialize before the scratch store goes
+      rmTree(root)
+      out
+    }),
+
     // The index-TUNING number: recall@20 of the SRP-LSH bucket scan vs
     // the exact ranking, per query (vec_ids 0..9), with the bucket
     // candidate count — the recall/cost trade the (hPlanes, probeRadius)
@@ -4319,6 +4347,19 @@ object QueriesPipeline {
            |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
            |FROM embeddings
            |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+      // store-served ANN: membership = the same 4-plane Hamming-<=1
+      // probe predicate over the corpus (threshold > 1 keeps every
+      // vector, so store contents == corpus; the pruned store read is
+      // plan physics, invisible in the result)
+      "q_ann_store" ->
+        s"""SELECT vec_id,
+           | round(${sqlDot("embedding", sqlQueryVec)}
+           |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
+           |FROM embeddings
+           |WHERE bit_count(xor(${sqlSrpBucket("embedding", 4)},
+           |                    ${sqlSrpBucket(sqlQueryVec, 4)})) <= 1
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
       // recall@20 replay: both rankings (exact cross-scan and bucketed)

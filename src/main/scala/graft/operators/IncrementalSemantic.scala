@@ -150,4 +150,51 @@ object IncrementalSemantic {
       } finally { stored.unpersist(); () }
     } finally { sigs.unpersist(); () }
   }
+
+  /** The query vector's SRP bucket, computed ON THE DRIVER with the
+    * same plane matrix and fold order as `graft_srp_bucket` — one
+    * vector needs no Spark job. */
+  def queryBucket(queryVec: Array[Float], p: SrpParams): Long = {
+    val dim = queryVec.length
+    val planes = graft.functions.SrpBucket.planesHex(p.hPlanes, dim)
+    var b = 0L
+    var pl = 0
+    while (pl < p.hPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += queryVec(i).toDouble * planes(pl * dim + i); i += 1 }
+      if (acc >= 0) b |= 1L << pl
+      pl += 1
+    }
+    b
+  }
+
+  /** ANN top-k SERVED FROM THE STORE — the survivor store doubles as a
+    * bucket-pruned vector index. The query's bucket and its
+    * Hamming-≤radius multi-probe set are derived on the driver
+    * (matching the ingest's plane family bit-for-bit), then
+    * [[BucketedMergeTarget.readMatchingLocal]] reads ONLY the store
+    * buckets those probe ids hash into — one narrow pruned scan, no
+    * Spark job to plan the probe — and the candidates rank by the
+    * 6-rounded cosine with the id tiebreak (stored `nrm` reused; the
+    * query norm is the same driver-side fold the oracle's SQL norm
+    * replays). At scale this is the point-lookup shape: a top-k costs
+    * I/O ∝ the probed buckets' files, never the corpus. */
+  def storeTopK(spark: SparkSession, storePath: String,
+                queryVec: Array[Float], k: Int, p: SrpParams,
+                radius: Int = 1): DataFrame = {
+    val probes = Similarity.probeBuckets(queryBucket(queryVec, p),
+      p.hPlanes, radius)
+    val cand = BucketedMergeTarget.readMatchingLocal(spark, storePath,
+      "bucket", probes, org.apache.spark.sql.types.LongType)
+    var qn = 0.0
+    queryVec.foreach(x => qn += x.toDouble * x.toDouble)
+    qn = math.sqrt(qn)
+    val qLit = array(queryVec.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+    cand.select(col("vec_id"),
+        round(Similarity.dot(col("v"), qLit) / (col("nrm") * lit(qn)), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

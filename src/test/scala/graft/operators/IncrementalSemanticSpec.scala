@@ -81,6 +81,25 @@ class IncrementalSemanticSpec extends AnyFunSuite {
     assert(kept(v2) === Set(30L))
   }
 
+  test("driver-side queryBucket matches the executor expression bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val vecs = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pp = IncrementalSemantic.SrpParams(hPlanes = 7, threshold = 0.99)
+    val dim = vecs.head._2.length
+    val fromExpr = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+      .select(col("vec_id"),
+        Similarity.srpBucket(col("v"), pp.hPlanes, portable = true,
+          Some(dim)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(IncrementalSemantic.queryBucket(v, pp) === fromExpr(id), s"vec $id")
+    }
+  }
+
   test("over-cap buckets are inert for the batch") {
     val tight = p.copy(maxBucket = 3)
     val st = store()
