@@ -307,6 +307,50 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // ---- registry-order-stable JIT warmup (untimed) -------------------
+    // Round-13's recording failed self-certification on four queries
+    // whose first pass was 3-15x their rerun floor with ZERO
+    // stall/contention/external-CPU evidence — fresh-JVM JIT (C2 on the
+    // shared Spark machinery, Janino compile paths, stream/store setup)
+    // billed to whichever queries the alphabetical order put first after
+    // five insertions reshuffled it. Running EVERY registered query once
+    // at the smallest available sibling scale factor exercises each
+    // operator's full code path at negligible data cost, so the measured
+    // first pass carries operator work, not the JVM's compile bill — and
+    // suite insertions stop moving that bill across neighbors. Warmup
+    // failures are ignored here (the measured phase will report them
+    // loudly); the total warmup time is itemized as `warmup_sec`.
+    // SPARK_GRAFT_WARMUP_DIR overrides the sibling lookup — the 100×
+    // rung's fixture lives outside the sf* tree, so the rung protocol
+    // passes the small fixture explicitly
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
+      val p = new java.io.File(sfDir).getCanonicalFile
+      Seq("sf0.001", "sf0.01")
+        .map(n => new java.io.File(p.getParentFile, n))
+        .find(d => d.isDirectory && d.getCanonicalFile != p)
+        .map(_.getPath)
+    }
+    val warmupSec = warmupDir match {
+      case Some(wd) =>
+        System.err.println(s"[bench] JIT warmup: ${selected.size} queries at $wd (untimed)")
+        val w0 = System.nanoTime()
+        selected.foreach { case (name, fn) =>
+          try fn(spark, wd).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
+          }
+        }
+        clearSessionState(spark)
+        val s = (System.nanoTime() - w0) / 1e9
+        System.err.println(f"[bench] JIT warmup done in $s%.1f s")
+        s
+      case None =>
+        System.err.println("[bench] no smaller sf sibling next to " +
+          s"$sfDir — JIT warmup skipped; first-pass numbers include " +
+          "fresh-JVM compile cost")
+        0.0
+    }
+
     // ---- main phase: every query from a clean slate -------------------
     // The LSH family shares one banded-signature memo by design; under
     // per-query isolation each member used to re-pay the whole fill (plus
@@ -372,7 +416,13 @@ object Bench {
     // spread observed), so the floor must always be recorded — they used
     // to land in the top-10 only by accident, and cross-round
     // comparisons needed manual archaeology whenever they fell out.
-    val pinnedProbe = Seq("q_stream_sink", "q_stream_source", "q_stream_tombstone")
+    // Round-13 verdict #4 extends the pin to the three queries whose
+    // first pass is fixture/JIT-heavy (q_curation_pipeline_v3 106 s
+    // first / 15.5 s floor in the r13 recording; q_jaccard 14.8 / 0.75;
+    // q_leakfree_split 9.9 / 0.94): their floors must always be
+    // recorded, not only when they happen to land in the top-10.
+    val pinnedProbe = Seq("q_stream_sink", "q_stream_source", "q_stream_tombstone",
+      "q_curation_pipeline_v3", "q_jaccard", "q_leakfree_split")
     val byCost = results
       .collect { case (n, q) if q.sec.isDefined => (n, q.sec.get, q.extShare) }
       .sortBy(-_._2)
@@ -465,6 +515,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warm":$warmJs,"fixture_sec":$fixJs,""" +
+        s""""warmup_sec":${num(warmupSec, 1)},""" +
         s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
         s""""cpu_stall":$cpuStallJs,"io_stall":$ioStallJs,""" +

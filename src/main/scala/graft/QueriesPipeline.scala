@@ -28,6 +28,32 @@ object QueriesPipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fault-tolerant compute-once for flagship slivers: `persist` keeps
+    * lineage — an executor loss (or cache eviction) RECOMPUTES the
+    * sliver instead of failing the query, where `localCheckpoint(true)`
+    * pins lineage-FREE blocks that die with their executor — and the
+    * eager count materializes the cache so every downstream consumer
+    * shares one pass. Entries are tracked in a bounded FIFO: past 8
+    * live slivers the oldest is unpersisted, so repeated gate calls in
+    * one session never accumulate unbounded MEMORY_AND_DISK state (an
+    * unpersisted-but-still-referenced sliver just recomputes from
+    * lineage — correctness never rests on the cache). Scratch-lifetime
+    * checkpoints (results materialized before a temp store is deleted)
+    * and the span-store seed checkpoints (probe-durability contract,
+    * [[graft.operators.Dedup]]) must NOT route through this — their
+    * lineage is invalid after the side effect. */
+  private val liveSlivers = new java.util.ArrayDeque[DataFrame]
+  private def computeOnce(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val _ = p.count()
+    liveSlivers.synchronized {
+      liveSlivers.addLast(p)
+      while (liveSlivers.size > 8)
+        liveSlivers.removeFirst().unpersist(blocking = false)
+    }
+    p
+  }
+
   /** Recursively delete a scratch dir (best-effort — a failed delete
     * leaves garbage, never fails the query). */
   private def rmTree(root: java.nio.file.Path): Unit =
@@ -376,8 +402,17 @@ object QueriesPipeline {
     * lands in its original's bucket with cosine ≈ 1. */
   private def scaledDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val planted = e.select((col("vec_id") + 10000).as("vec_id"),
+    // the +10000/+30000 plant offsets assume the source ids stay below
+    // 10000 (true for every shipped fixture; a colliding id would make
+    // the survivor store silently upsert by PK while the oracle keeps
+    // both rows) — enforce per-row inside the plan, not with an extra
+    // driver-side count job
+    val checked = when(col("vec_id") < 10000, col("vec_id"))
+      .otherwise(raise_error(format_string(
+        "plant offset collision: vec_id %s >= 10000", col("vec_id"))).cast("long"))
+    val base = e.select(checked.as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.select((checked + 10000).as("vec_id"),
       transform(col("embedding"), x => x.cast("double") * lit(2.0)).as("embedding"))
     base.unionAll(planted)
   }
@@ -435,12 +470,18 @@ object QueriesPipeline {
     * point = the same integer). The gate corpora are ASCII by
     * construction; replaying a non-ASCII corpus requires folding over
     * `encode()` bytes here instead. */
+  /** Word + k-gram-hash CTEs over `src`. Both `${p}w` and `${p}g` are
+    * MATERIALIZED: the per-gram rolling hash (a HUGEINT fold over every
+    * character) is the most expensive scalar in any oracle, and several
+    * consumers reference these CTEs more than once — DuckDB would
+    * otherwise re-expand (and so re-hash) the whole chain per
+    * reference. */
   private def sqlGramCtes(src: String, p: String, k: Int = 8): String =
     s"""${p}n AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM $src),
-       |${p}w AS (SELECT doc_id, string_split(t, ' ') AS w FROM ${p}n),
-       |${p}g AS (
+       |${p}w AS MATERIALIZED (SELECT doc_id, string_split(t, ' ') AS w FROM ${p}n),
+       |${p}g AS MATERIALIZED (
        |  SELECT doc_id, p - 1 AS pos,
        |    (SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
        |                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
@@ -570,9 +611,10 @@ object QueriesPipeline {
     val lf = TextAnalysis.lineFilterC4(
         ext.select(col("doc_id"), lines.as("__lines")), "doc_id", col("__lines"))
       .select(col("doc_id"), col("cleaned_text"))
-    val red = TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
-      .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text"))
-      .localCheckpoint(true) // the redacted sliver — extraction runs once
+    val red = computeOnce( // the redacted sliver — extraction runs once,
+      // and survives a lost executor (lineage kept; see [[computeOnce]])
+      TextAnalysis.piiRedact(lf, "doc_id", col("cleaned_text"))
+        .select(col("doc_id"), col("n_email").as("n_pii"), col("redacted_text")))
     val exc = excise(red)
       .select(col("doc_id"), col("n_dup_tokens"), col("clean_text").as("__ex"))
     val fin = red.join(exc, Seq("doc_id"), "left")
@@ -633,8 +675,8 @@ object QueriesPipeline {
   private[graft] def webStoreStage(base: DataFrame, store: String,
                                    compactAbove: Int = 16): DataFrame =
     webChain(
-      base.select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .localCheckpoint(true),
+      computeOnce( // fault-tolerant compute-once, not a pinned checkpoint
+        base.select(col("doc_id"), col("source"), col("lang"), col("text"))),
       red => Dedup.duplicateSpanExciseIncremental(
           red, "doc_id", "redacted_text", k = 8, store, nBuckets = 8,
           compactAbove = compactAbove)
@@ -708,7 +750,7 @@ object QueriesPipeline {
        |             if len(p) > 0 AND NOT regexp_matches(p,
        |               '^(utm_[a-zA-Z]+|fbclid|gclid|ref)=')] AS ps
        |        FROM pq)),
-       |dom AS (
+       |dom AS MATERIALIZED (
        |  SELECT doc_id, url_norm,
        |    $sqlDomainCase AS domain
        |  FROM (SELECT doc_id, url_norm, host,
@@ -777,8 +819,15 @@ object QueriesPipeline {
     * [[graft.operators.Dedup.duplicateSpanExciseIncremental]] appends.
     * The seed rule generalizes to ANY m (q_web_pipeline_continuous runs
     * m = 3): a gram is store-senior when some EARLIER batch committed
-    * its hash — `EXISTS (… e.doc_id % m < r.doc_id % m)` — which
-    * degenerates to the two cases above at m = 1 (no earlier batch) and
+    * its hash — ∃ e with e.h = r.h and e.batch < r.batch, expressed as
+    * a join against the pre-aggregated FIRST-OCCURRENCE batch per hash
+    * (`dmin`: min(doc_id % m) grouped by h; "some earlier batch
+    * committed h" ⇔ that minimum is below r's batch). The naive
+    * correlated-EXISTS phrasing is semantically identical but cost the
+    * driver's DuckDB compare ~14 CPU-minutes at m = 2 (the whole
+    * extraction chain re-expanded as the probe side); the aggregate
+    * form is one hash-agg + one hash-join. Degenerates to the two
+    * cases above at m = 1 (mb < 0 is vacuous — no earlier batch) and
     * m = 2 (earlier ⇔ batch 0).
     *
     * `autoCap` (q_web_pipeline_v3) swaps the fixed `rk <= 10` cap for
@@ -831,7 +880,7 @@ object QueriesPipeline {
              |    || COALESCE(array_to_string(w[11:len(w)], ' '), '')
              |    || ' see <a href="/m">details</a></p></body></html>' AS html
              |  FROM tw),
-             |ebl AS (
+             |ebl AS MATERIALIZED (
              |  SELECT doc_id,
              |    regexp_extract_all(html, '(?i)<p[^>]*>([\\s\\S]*?)</p>', 1) AS bs
              |  FROM eh),
@@ -868,7 +917,7 @@ object QueriesPipeline {
              |      AND NOT regexp_matches(lower(l), 'javascript|cookie|lorem ipsum')),
              |      chr(10)), '') AS cleaned
              |  FROM elines),
-             |red AS (
+             |red AS MATERIALIZED (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(cleaned,
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
@@ -889,11 +938,10 @@ object QueriesPipeline {
             |  SELECT doc_id, pos, h,
             |    row_number() OVER (PARTITION BY h, $b ORDER BY doc_id, pos) AS rk
             |  FROM dg),
+            |dmin AS (SELECT h, min(doc_id % $m) AS mb FROM dg GROUP BY h),
             |dseeds AS (
-            |  SELECT r.doc_id, r.pos FROM dranked r
-            |  WHERE r.rk > 1 OR EXISTS (
-            |    SELECT 1 FROM dg e
-            |    WHERE e.h = r.h AND e.doc_id % $m < r.doc_id % $m)),
+            |  SELECT r.doc_id, r.pos FROM dranked r JOIN dmin USING (h)
+            |  WHERE r.rk > 1 OR dmin.mb < r.doc_id % $m),
             |dcovset AS (
             |  SELECT doc_id, list(DISTINCT ci ORDER BY ci) AS cs
             |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM dseeds)
@@ -909,7 +957,7 @@ object QueriesPipeline {
             |    COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
             |    COALESCE(ex, rt) AS final_text
             |  FROM red LEFT JOIN exc ON red.doc_id = exc.doc_id),
-            |sig AS (
+            |sig AS MATERIALIZED (
             |  SELECT doc_id, n_pii, n_dup_tokens, final_text,
             |    CAST(len(regexp_split_to_array(trim(final_text), '\\s+')) AS BIGINT)
             |      AS n_tokens
@@ -1459,16 +1507,20 @@ object QueriesPipeline {
     * not meaningful. */
   private def sqlSemanticIncOracle(m: Int): String = {
     val cos = s"round(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6)"
+    // every layer CTE is MATERIALIZED: DuckDB would otherwise re-expand
+    // s0's full drop computation inside st1, st2, … (and wb's 20-plane
+    // md5 bucket fold once per bb slice) — the compare-side cost that
+    // emptied the round-13 driver artifact
     val layers = (0 until m).map { b =>
       val st =
         if (b == 0) ""
-        else s"st$b AS (${(0 until b).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}),\n"
+        else s"st$b AS MATERIALIZED (${(0 until b).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}),\n"
       val act =
         if (b == 0)
-          s"""act$b AS (SELECT bucket FROM bb$b GROUP BY bucket
+          s"""act$b AS MATERIALIZED (SELECT bucket FROM bb$b GROUP BY bucket
              |  HAVING count(*) <= 10000),""".stripMargin
         else
-          s"""act$b AS (
+          s"""act$b AS MATERIALIZED (
              |  SELECT p.bucket
              |  FROM (SELECT bucket, count(*) AS na FROM bb$b GROUP BY bucket) p
              |  LEFT JOIN (SELECT bucket, count(*) AS nb FROM st$b GROUP BY bucket) q
@@ -1479,16 +1531,16 @@ object QueriesPipeline {
         else s"""EXISTS (SELECT 1 FROM st$b x
                 |        WHERE x.bucket = y.bucket AND $cos >= 0.99)
                 |      OR """.stripMargin
-      s"""bb$b AS (SELECT * FROM wb WHERE b = $b),
+      s"""bb$b AS MATERIALIZED (SELECT * FROM wb WHERE b = $b),
          |$st$act
-         |d$b AS (
+         |d$b AS MATERIALIZED (
          |  SELECT y.vec_id FROM bb$b y
          |  WHERE y.bucket IN (SELECT bucket FROM act$b)
          |    AND ($crossRule
          |      EXISTS (SELECT 1 FROM bb$b x
          |        WHERE x.bucket = y.bucket AND x.vec_id < y.vec_id
          |          AND $cos >= 0.99))),
-         |s$b AS (SELECT * FROM bb$b
+         |s$b AS MATERIALIZED (SELECT * FROM bb$b
          |  WHERE vec_id NOT IN (SELECT vec_id FROM d$b))""".stripMargin
     }.mkString(",\n")
     val out = (0 until m)
@@ -1497,7 +1549,7 @@ object QueriesPipeline {
     s"""WITH $sqlEmbCorpus3,
        |hsel AS (SELECT ${sqlAutoPlanes("n", 256, 8)} AS h
        |         FROM (SELECT count(*) AS n FROM ecorpus3)),
-       |wb AS (SELECT vec_id, vec_id % $m AS b,
+       |wb AS MATERIALIZED (SELECT vec_id, vec_id % $m AS b,
        |  ${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")} AS bucket,
        |  ${sqlNorm("embedding")} AS nrm, embedding
        |FROM ecorpus3),
@@ -2219,25 +2271,33 @@ object QueriesPipeline {
     // bucket + Hamming-≤1 probe set are derived on the driver and the
     // top-k reads ONLY the store buckets those probes hash into
     // (readMatchingLocal: no probe-planning job, I/O ∝ probed buckets).
-    // The oracle replays membership as the same 4-plane Hamming-≤1
-    // predicate over the corpus — store pruning is result-invisible by
-    // construction, which is exactly the property worth gating.
+    // The index is sized by the same auto-h integer rule as the
+    // semantic-inc store (smallest h in [8, 20] with 256·2^h ≥ n), so
+    // per-bucket population stays ~flat as the corpus grows — a
+    // hardcoded h went quadratic inside buckets at 100×. The oracle
+    // replays membership as the same h-plane Hamming-≤1 predicate over
+    // the corpus (h re-derived from count(*) in SQL) — store pruning is
+    // result-invisible by construction, which is exactly the property
+    // worth gating.
     "q_ann_store" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-annstore")
-      val store = root.resolve("vecs").toString
-      val base = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val p = graft.operators.IncrementalSemantic.SrpParams(
-        hPlanes = 4, threshold = 1.1, portable = true)
-      (0 until 2).foreach(b =>
-        graft.operators.IncrementalSemantic.ingestBatch(
-          base.filter(col("vec_id") % 2 === b), "vec_id", "embedding",
-          store, b, p))
-      val out = graft.operators.IncrementalSemantic.storeTopK(
-          s, store, queryVec(s, dir), k = 20, p, radius = 1)
-        .localCheckpoint(true) // materialize before the scratch store goes
-      rmTree(root)
-      out
+      try {
+        val store = root.resolve("vecs").toString
+        val base = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val n = base.count()
+        var h = 8; while (h < 20 && (256L << h) < n) h += 1
+        val dim = base.select(size(col("embedding"))).head.getInt(0)
+        val p = graft.operators.IncrementalSemantic.SrpParams(
+          hPlanes = h, threshold = 1.1, portable = true, dim = Some(dim))
+        (0 until 2).foreach(b =>
+          graft.operators.IncrementalSemantic.ingestBatch(
+            base.filter(col("vec_id") % 2 === b), "vec_id", "embedding",
+            store, b, p))
+        graft.operators.IncrementalSemantic.storeTopK(
+            s, store, queryVec(s, dir), k = 20, p, radius = 1)
+          .localCheckpoint(true) // materialize before the scratch store goes
+      } finally rmTree(root)
     }),
 
     // The index-TUNING number: recall@20 of the SRP-LSH bucket scan vs
@@ -2480,10 +2540,12 @@ object QueriesPipeline {
       // same integer rule as pairwiseCosineCandidatesAuto
       val n = corpus.count()
       var h = 8; while (h < 20 && (256L << h) < n) h += 1
+      val dim = corpus.select(size(col("embedding"))).head.getInt(0)
       val root = java.nio.file.Files.createTempDirectory("graft-semdinc")
       val store = root.resolve("vecs").toString
       val p = graft.operators.IncrementalSemantic.SrpParams(
-        hPlanes = h, threshold = 0.99, portable = true, maxBucket = 10000)
+        hPlanes = h, threshold = 0.99, portable = true, maxBucket = 10000,
+        dim = Some(dim))
       val parts = (0 until 3).map(b =>
         graft.operators.IncrementalSemantic.ingestBatch(
           corpus.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
@@ -3074,10 +3136,11 @@ object QueriesPipeline {
     // SKETCH-derived token floor (percentile_approx at oracle-exact
     // accuracy) → sequence packing into 2048-token bins per
     // (source, lang) shard. One-scan discipline: the documents base is
-    // checkpointed once and feeds curation, markup and the pack join
-    // (plan-pinned: zero further documents scans); the redacted sliver
-    // is checkpointed so the extraction lineage runs ONCE across the
-    // excise join's two consumers. Output = surviving docs only (the
+    // cached once ([[computeOnce]]: persist + count, lineage kept for
+    // executor-loss recompute) and feeds curation, markup and the pack
+    // join (plan-pinned: zero further documents scans); the redacted
+    // sliver is cached the same way so the extraction lineage runs ONCE
+    // across the excise join's two consumers. Output = surviving docs only (the
     // training set), with their provenance counters and pack ids.
     "q_web_pipeline_v2" -> ((s, dir) =>
       // the HOT-AWARE cap inside [[webChain]]: production web corpora
@@ -3087,9 +3150,8 @@ object QueriesPipeline {
       // (and so the oracle) stay identical to the plain cap by
       // construction
       webChain(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("lang"), col("text"))
-          .localCheckpoint(true),
+        computeOnce(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))),
         red => Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8))),
 
     // The AT-SCALE regime of the web flagship: v2's FIXED per-domain cap
@@ -3104,9 +3166,8 @@ object QueriesPipeline {
     // whole chain at scale, not a fixed-size tail.
     "q_web_pipeline_v3" -> ((s, dir) =>
       webChain(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("lang"), col("text"))
-          .localCheckpoint(true),
+        computeOnce(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))),
         red => Dedup.duplicateSpanExcise(red, "doc_id", "redacted_text", k = 8),
         urls => Urls.urlCurateAuto(urls, "doc_id", col("__url"),
           blocked = Seq("spamsite.com", "tracker1.co.uk"), pct = 0.9))),
@@ -3198,8 +3259,11 @@ object QueriesPipeline {
           val dst = in.resolve(s"arrival$b-$i.parquet").toFile
           java.nio.file.Files.move(part.toPath, dst.toPath)
           // mtime IS the admission order; space the arrivals far past
-          // any filesystem timestamp granularity
-          dst.setLastModified(t0 + b * 60000L)
+          // any filesystem timestamp granularity — and fail loudly if
+          // the filesystem refuses, or the only symptom is a
+          // downstream oracle mismatch
+          assert(dst.setLastModified(t0 + b * 60000L),
+            s"setLastModified failed for $dst — arrival order would break")
         }
         rmTree(tmp)
       }
@@ -4349,17 +4413,21 @@ object QueriesPipeline {
            |WHERE ${sqlSrpBucket("embedding", 3)} = ${sqlSrpBucket(sqlQueryVec, 3)}
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
-      // store-served ANN: membership = the same 4-plane Hamming-<=1
+      // store-served ANN: membership = the same auto-h-plane Hamming-<=1
       // probe predicate over the corpus (threshold > 1 keeps every
       // vector, so store contents == corpus; the pruned store read is
-      // plan physics, invisible in the result)
+      // plan physics, invisible in the result). h is re-derived from
+      // count(*) with the gate's integer ladder; plane p is independent
+      // of h, so bucket-at-h = 20-plane bucket mod 2^h.
       "q_ann_store" ->
-        s"""SELECT vec_id,
+        s"""WITH hsel AS (SELECT ${sqlAutoPlanes("n", 256, 8)} AS h
+           |  FROM (SELECT count(*) AS n FROM embeddings))
+           |SELECT vec_id,
            | round(${sqlDot("embedding", sqlQueryVec)}
            |   / (${sqlNorm("embedding")} * ${sqlNorm(sqlQueryVec)}), 6) AS cos_sim
            |FROM embeddings
-           |WHERE bit_count(xor(${sqlSrpBucket("embedding", 4)},
-           |                    ${sqlSrpBucket(sqlQueryVec, 4)})) <= 1
+           |WHERE bit_count(xor(${sqlAutoBucket("embedding", "(SELECT h FROM hsel)")},
+           |                    ${sqlAutoBucket(sqlQueryVec, "(SELECT h FROM hsel)")})) <= 1
            |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
       // recall@20 replay: both rankings (exact cross-scan and bucketed)

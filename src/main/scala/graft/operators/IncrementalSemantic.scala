@@ -68,9 +68,16 @@ object IncrementalSemantic {
   val VecBucketCols: Seq[String] = Seq("bucket")
 
   /** SRP/threshold scheme of a store — identical for every batch
-    * appended to it (bucket ids are h-bit; the store cannot check). */
+    * appended to it (bucket ids are h-bit; the store cannot check).
+    * `dim` is the vector dimensionality, fixed per store like
+    * `hPlanes`: when set, bucketing runs the native all-planes pass
+    * with the plane matrix as literals; when None, [[batchVectors]]
+    * probes the first row per batch (a tiny extra Spark job, and an
+    * empty batch silently falls back to the slower per-row-hash HOF
+    * path — prefer setting it). */
   final case class SrpParams(hPlanes: Int, threshold: Double,
-                             portable: Boolean = true, maxBucket: Int = 10000)
+                             portable: Boolean = true, maxBucket: Int = 10000,
+                             dim: Option[Int] = None)
 
   private def emptyLike(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -78,7 +85,8 @@ object IncrementalSemantic {
   /** Batch vectors in store row shape (without `batch_id`). */
   def batchVectors(batch: DataFrame, idCol: String, vecCol: String,
                    p: SrpParams): DataFrame = {
-    val dim = batch.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+    val dim = p.dim.orElse(
+      batch.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)))
     batch.select(
       Similarity.srpBucket(col(vecCol), p.hPlanes, p.portable, dim).as("bucket"),
       col(idCol).as("vec_id"),
@@ -103,6 +111,23 @@ object IncrementalSemantic {
     val sigs = batchVectors(batch, idCol, vecCol, p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Pure-INDEX regime: the 6-rounded cosine is capped at 1.0, so a
+      // threshold above 1 makes every drop rule unsatisfiable BY
+      // CONSTRUCTION — skip the store probe and both pair joins
+      // entirely (computing O(bucket²) dot products to prove an empty
+      // set is the q_ann_store 100× failure mode) and append the whole
+      // batch as survivors.
+      if (p.threshold > 1.0) {
+        val verdict = sigs
+          .select(col("vec_id"), lit(batchId).as("batch_id"),
+            lit(true).as("kept"))
+          .localCheckpoint(true)
+        val keeps = sigs.select(col("bucket"), col("vec_id"), col("nrm"),
+          col("v"), lit(batchId).as("batch_id"))
+        val _: MergeStats = BucketedMergeTarget.merge(keeps, storePath,
+          VecPk, "batch_id", nBuckets, VecBucketCols)
+        return verdict
+      }
       val stored =
         if (BucketedMergeTarget.exists(spark, storePath))
           BucketedMergeTarget.readMatching(sigs, storePath, VecBucketCols)

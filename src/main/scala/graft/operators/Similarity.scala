@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   *
   * Dot products use `zip_with` + `aggregate` (pure Catalyst expressions,
   * codegen'd — no UDF). Norms are computed once per vector, not per pair.
+  *
+  * ==Session requirement==
+  * Like every graft operator family (Dedup, TextAnalysis, Html, …),
+  * the hot paths here resolve NATIVE codegen functions — `graft_dot`,
+  * `graft_srp_bucket` — registered by
+  * [[graft.core.GraftExtensions]]. Build sessions through
+  * [[graft.core.GraftSession]] (or add the extension via
+  * `spark.sql.extensions`); a plain `SparkSession` fails analysis with
+  * "Undefined function graft_dot". The pure-Column twins ([[dotHof]],
+  * [[srpBucketHof]]) remain public for extension-free sessions and as
+  * the spec-pinned reference fold.
   */
 object Similarity {
 

@@ -178,6 +178,7 @@ object Urls {
     // row-identical under recompute by construction.
     val dom = withDomain(df, idCol, urlCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val head = dom.agg(count(lit(1)).as("n"),
         call_function("graft_misra_gries", col("domain"), lit(hhK)).as("cands"))
       .head() // one row, ≤ hhK short strings — metadata
@@ -217,6 +218,11 @@ object Urls {
     val hotDropped = sliced.filter(col("__r1") > maxPerDomain)
       .select(outCols :+ lit(false).as("keep"): _*)
     cold.unionByName(hotRanked).unionByName(hotDropped)
+    // async unpersist after the last in-function consumer: repeated
+    // curation calls in one session must not accumulate cache entries.
+    // A caller that materializes late just recomputes from lineage —
+    // correctness never rested on the cache (deterministic __salt).
+    } finally { dom.unpersist(blocking = false); () }
   }
 
   /** [[urlCurate]] with the cap DERIVED from the corpus's own
@@ -240,14 +246,18 @@ object Urls {
     // materializes), so the regex chain runs ONE corpus pass
     val dom = withDomain(df, idCol, urlCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val row = dom
-      .groupBy(col("domain")).agg(count(lit(1)).as("c"))
-      .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
-      .head()
-    // an empty corpus aggregates to one NULL row — there is no
-    // distribution to derive a cap from, so default to 1 (every
-    // first-of-domain row keeps; there are none) instead of NPE-ing
-    val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
-    curateFromDom(dom, idCol, blocked, math.max(cap, 1L).toInt)
+    try {
+      val row = dom
+        .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+        .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
+        .head()
+      // an empty corpus aggregates to one NULL row — there is no
+      // distribution to derive a cap from, so default to 1 (every
+      // first-of-domain row keeps; there are none) instead of NPE-ing
+      val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
+      curateFromDom(dom, idCol, blocked, math.max(cap, 1L).toInt)
+      // async unpersist, as in [[urlCurateHot]]: no accumulating cache
+      // entries across calls; a late consumer recomputes from lineage
+    } finally { dom.unpersist(blocking = false); () }
   }
 }
