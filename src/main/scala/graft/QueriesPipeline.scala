@@ -28,31 +28,16 @@ object QueriesPipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Fault-tolerant compute-once for flagship slivers: `persist` keeps
-    * lineage — an executor loss (or cache eviction) RECOMPUTES the
-    * sliver instead of failing the query, where `localCheckpoint(true)`
-    * pins lineage-FREE blocks that die with their executor — and the
-    * eager count materializes the cache so every downstream consumer
-    * shares one pass. Entries are tracked in a bounded FIFO: past 8
-    * live slivers the oldest is unpersisted, so repeated gate calls in
-    * one session never accumulate unbounded MEMORY_AND_DISK state (an
-    * unpersisted-but-still-referenced sliver just recomputes from
-    * lineage — correctness never rests on the cache). Scratch-lifetime
-    * checkpoints (results materialized before a temp store is deleted)
-    * and the span-store seed checkpoints (probe-durability contract,
+  /** Fault-tolerant compute-once for flagship slivers — see
+    * [[graft.core.SliverCache]] (persist keeps lineage for
+    * executor-loss recompute; a bounded FIFO caps session-wide cache
+    * accumulation). Scratch-lifetime checkpoints (results materialized
+    * before a temp store is deleted) and the span-store seed
+    * checkpoints (probe-durability contract,
     * [[graft.operators.Dedup]]) must NOT route through this — their
     * lineage is invalid after the side effect. */
-  private val liveSlivers = new java.util.ArrayDeque[DataFrame]
-  private def computeOnce(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val _ = p.count()
-    liveSlivers.synchronized {
-      liveSlivers.addLast(p)
-      while (liveSlivers.size > 8)
-        liveSlivers.removeFirst().unpersist(blocking = false)
-    }
-    p
-  }
+  private def computeOnce(df: DataFrame): DataFrame =
+    graft.core.SliverCache.computeOnce(df)
 
   /** Recursively delete a scratch dir (best-effort — a failed delete
     * leaves garbage, never fails the query). */

@@ -175,10 +175,15 @@ object Urls {
     // than pinning executor memory at the 100 TB operating point)
     // RECOMPUTES instead of failing the query. Correctness never rests
     // on the cache: the deterministic __salt below makes every branch
-    // row-identical under recompute by construction.
-    val dom = withDomain(df, idCol, urlCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // row-identical under recompute by construction. Registered in the
+    // bounded [[graft.core.SliverCache]] FIFO — NOT unpersisted at
+    // return: this sliver is the ROOT of the returned flag query's
+    // lineage (and of every flagship stage composed on top of it), and
+    // an exit-time unpersist made each downstream stage re-derive the
+    // regex chain (measured 10x on q_web_pipeline_v2). The FIFO caps
+    // session-wide accumulation instead.
+    val dom = graft.core.SliverCache.persistBounded(
+      withDomain(df, idCol, urlCol))
     val head = dom.agg(count(lit(1)).as("n"),
         call_function("graft_misra_gries", col("domain"), lit(hhK)).as("cands"))
       .head() // one row, ≤ hhK short strings — metadata
@@ -218,11 +223,6 @@ object Urls {
     val hotDropped = sliced.filter(col("__r1") > maxPerDomain)
       .select(outCols :+ lit(false).as("keep"): _*)
     cold.unionByName(hotRanked).unionByName(hotDropped)
-    // async unpersist after the last in-function consumer: repeated
-    // curation calls in one session must not accumulate cache entries.
-    // A caller that materializes late just recomputes from lineage —
-    // correctness never rested on the cache (deterministic __salt).
-    } finally { dom.unpersist(blocking = false); () }
   }
 
   /** [[urlCurate]] with the cap DERIVED from the corpus's own
@@ -243,21 +243,18 @@ object Urls {
     // two consumers of the normalized sliver (the cap derivation and
     // the flag query) — cache it, the same fault-tolerant compute-once
     // move as [[urlCurateHot]] (persist keeps lineage; the head() below
-    // materializes), so the regex chain runs ONE corpus pass
-    val dom = withDomain(df, idCol, urlCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val row = dom
-        .groupBy(col("domain")).agg(count(lit(1)).as("c"))
-        .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
-        .head()
-      // an empty corpus aggregates to one NULL row — there is no
-      // distribution to derive a cap from, so default to 1 (every
-      // first-of-domain row keeps; there are none) instead of NPE-ing
-      val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
-      curateFromDom(dom, idCol, blocked, math.max(cap, 1L).toInt)
-      // async unpersist, as in [[urlCurateHot]]: no accumulating cache
-      // entries across calls; a late consumer recomputes from lineage
-    } finally { dom.unpersist(blocking = false); () }
+    // materializes), so the regex chain runs ONE corpus pass. Same
+    // bounded-FIFO registration, same no-exit-unpersist rationale.
+    val dom = graft.core.SliverCache.persistBounded(
+      withDomain(df, idCol, urlCol))
+    val row = dom
+      .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .agg(percentile_approx(col("c"), lit(pct), lit(1000000)).as("cap"))
+      .head()
+    // an empty corpus aggregates to one NULL row — there is no
+    // distribution to derive a cap from, so default to 1 (every
+    // first-of-domain row keeps; there are none) instead of NPE-ing
+    val cap = if (row.isNullAt(0)) 1L else row.getLong(0)
+    curateFromDom(dom, idCol, blocked, math.max(cap, 1L).toInt)
   }
 }
