@@ -339,8 +339,14 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
           }
+          // per-query isolation here too: gates persist slivers
+          // (SliverCache) and write/read temp stores, and every store
+          // write makes CacheManager.recacheByPlan walk EVERY live cache
+          // entry with sameResult over plans thousands of nodes deep —
+          // 145 un-cleared warmup queries measured as a multi-minute
+          // analyzer stall on the driver thread
+          clearSessionState(spark)
         }
-        clearSessionState(spark)
         val s = (System.nanoTime() - w0) / 1e9
         System.err.println(f"[bench] JIT warmup done in $s%.1f s")
         s
