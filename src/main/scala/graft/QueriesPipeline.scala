@@ -382,36 +382,48 @@ object QueriesPipeline {
   }
 
   /** embeddings (as double vectors) ∪ exactly-×2-scaled copies
-    * (id+10000) — scaling by a power of two is exact in IEEE754, and a
+    * (id+D, D = [[plantOffset]]) — scaling by a power of two is exact
+    * in IEEE754, and a
     * positive scale preserves every SRP sign bit, so each planted copy
     * lands in its original's bucket with cosine ≈ 1. */
+  /** Plant offset D for the embedding dup fixtures: the smallest id
+    * strictly above every source vec_id with D % 3 == 1. Derived from
+    * the corpus (one max() job — gate construction, not a hot path), so
+    * the planted ranges [0, D), [D, 2D) (×2 copies) and [3D, 4D)
+    * (×0.5 copies) are disjoint BY CONSTRUCTION at any corpus scale —
+    * a fixed +10000 offset hard-failed on the 100× fixture's striped
+    * ids (vec_ids up to ~97 M). D ≡ 1 (mod 3) keeps the incremental
+    * gate's batching semantics: the ×2 copy at +D lands one mod-3
+    * batch AFTER its original (store-seniority path) and the ×0.5 copy
+    * at +3D (≡ 0 mod 3) lands in the SAME batch (within-batch path).
+    * The oracle re-derives the same D from its own max(vec_id) —
+    * integer arithmetic, exact on both engines. */
+  private def plantOffset(e: DataFrame): Long = {
+    val m = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    m + (((1 - m % 3) % 3) + 3) % 3
+  }
+
   private def scaledDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // the +10000/+30000 plant offsets assume the source ids stay below
-    // 10000 (true for every shipped fixture; a colliding id would make
-    // the survivor store silently upsert by PK while the oracle keeps
-    // both rows) — enforce per-row inside the plan, not with an extra
-    // driver-side count job
-    val checked = when(col("vec_id") < 10000, col("vec_id"))
-      .otherwise(raise_error(format_string(
-        "plant offset collision: vec_id %s >= 10000", col("vec_id"))).cast("long"))
-    val base = e.select(checked.as("vec_id"),
+    val d = plantOffset(e)
+    val base = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    val planted = e.select((checked + 10000).as("vec_id"),
+    val planted = e.select((col("vec_id") + d).as("vec_id"),
       transform(col("embedding"), x => x.cast("double") * lit(2.0)).as("embedding"))
     base.unionAll(planted)
   }
 
   /** [[scaledDupEmbeddings]] plus a second plant for the incremental
-    * gate: ×0.5 copies at +30000. Under the gate's vec_id % 3 batching
-    * the ×2 copy lands one batch AFTER its original (10000 % 3 = 1; the
+    * gate: ×0.5 copies at +3D. Under the gate's vec_id % 3 batching
+    * the ×2 copy lands one batch AFTER its original (D ≡ 1 mod 3; the
     * store-seniority path) and the ×0.5 copy in the SAME batch
-    * (30000 % 3 = 0; the within-batch path). 0.5 is a positive power of
+    * (3D ≡ 0 mod 3; the within-batch path). 0.5 is a positive power of
     * two: exact in IEEE754 and SRP-sign-preserving, like 2.0. */
   private def plantedEmbeddings3(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val d = plantOffset(e)
     scaledDupEmbeddings(s, dir).unionAll(
-      e.select((col("vec_id") + 30000).as("vec_id"),
+      e.select((col("vec_id") + 3 * d).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * lit(0.5))
           .as("embedding")))
   }
@@ -1456,12 +1468,23 @@ object QueriesPipeline {
        |FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)""".stripMargin
   }
 
+  /** The derived plant offset CTE — the SQL replay of [[plantOffset]]:
+    * smallest D > max(vec_id) with D ≡ 1 (mod 3). Pure integer
+    * arithmetic (DuckDB's % matches the JVM's truncated semantics for
+    * these operand signs), so both engines land on the same D at any
+    * corpus scale. */
+  private val sqlPlantOff =
+    """poff AS (SELECT m + (((1 - m % 3) % 3) + 3) % 3 AS d
+      |  FROM (SELECT CAST(max(vec_id) AS BIGINT) + 1 AS m FROM embeddings))"""
+      .stripMargin
+
   /** The scaled-dup embedding corpus CTE (matches [[scaledDupEmbeddings]]). */
   private val sqlEmbCorpus =
+    sqlPlantOff + ",\n" +
     """ecorpus AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 10000 AS vec_id,
+      |  SELECT vec_id + (SELECT d FROM poff) AS vec_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
       |  FROM embeddings
       |)""".stripMargin
@@ -1469,14 +1492,15 @@ object QueriesPipeline {
   /** The three-plant embedding corpus CTE (matches
     * [[plantedEmbeddings3]]). */
   private val sqlEmbCorpus3 =
+    sqlPlantOff + ",\n" +
     """ecorpus3 AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 10000 AS vec_id,
+      |  SELECT vec_id + (SELECT d FROM poff) AS vec_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
       |  FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 30000 AS vec_id,
+      |  SELECT vec_id + 3 * (SELECT d FROM poff) AS vec_id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS embedding
       |  FROM embeddings
       |)""".stripMargin
@@ -2510,10 +2534,10 @@ object QueriesPipeline {
     // (vec_id % 3) cleaned against the accumulated SURVIVOR store — the
     // embedding-space twin of q_dup_span_incremental (span store) and
     // q_incremental_dedup (MinHash store). The plants force every drop
-    // rule: the ×2 copy at +10000 lands in the NEXT mod-3 batch
-    // (10000 % 3 = 1), so whichever of original/copy arrives first
-    // kills the other through the STORE; the ×0.5 copy at +30000 lands
-    // in the SAME batch (30000 % 3 = 0), so within-batch lower-id
+    // rule: the ×2 copy at +D (D ≡ 1 mod 3, corpus-derived) lands in
+    // the NEXT mod-3 batch, so whichever of original/copy arrives first
+    // kills the other through the STORE; the ×0.5 copy at +3D lands
+    // in the SAME batch (3D ≡ 0 mod 3), so within-batch lower-id
     // seniority kills it. Both scales are positive powers of two —
     // IEEE-exact, SRP-sign-preserving, cosine exactly 1. The oracle
     // unrolls the three arrivals as CTEs: survivors-so-far is the
