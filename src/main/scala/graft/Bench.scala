@@ -322,10 +322,15 @@ object Bench {
     // loudly); the total warmup time is itemized as `warmup_sec`.
     // SPARK_GRAFT_WARMUP_DIR overrides the sibling lookup — the 100×
     // rung's fixture lives outside the sf* tree, so the rung protocol
-    // passes the small fixture explicitly
+    // passes the small fixture explicitly. sf0.01 is PREFERRED over
+    // sf0.001: warmup must push every hot loop past the C2/OSR compile
+    // threshold (~10 k iterations), and sf0.001's ~6 k lineitem rows
+    // left q1_agg's decimal-sum loop interpreted — its first measured
+    // pass at the 100× rung then ran the 60 M-row aggregation
+    // uncompiled (296 s first vs a 21 s compiled floor).
     val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
       val p = new java.io.File(sfDir).getCanonicalFile
-      Seq("sf0.001", "sf0.01")
+      Seq("sf0.01", "sf0.001")
         .map(n => new java.io.File(p.getParentFile, n))
         .find(d => d.isDirectory && d.getCanonicalFile != p)
         .map(_.getPath)
