@@ -362,6 +362,27 @@ object Bench {
         0.0
     }
 
+    // ---- at-scale stabilizer (untimed) --------------------------------
+    // The FIRST query to touch the full-scale fixture pays a one-time
+    // JVM/IO stabilization bill that no smaller-sf warmup absorbs —
+    // measured on the 100× rung as q1_agg (alphabetically first)
+    // recording 105-330 s first pass against a 3-21 s rerun floor,
+    // across three rounds and regardless of warmup scale factor, with
+    // the cost vanishing for every later query. Run the first selected
+    // query once untimed at the TARGET sf so the measured loop starts
+    // from a stabilized JVM; itemized as `stabilizer_sec`.
+    val stabilizerSec = selected.headOption.fold(0.0) { case (name, fn) =>
+      val s0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stabilizer $name failed (ignored): ${e.getMessage}")
+      }
+      clearSessionState(spark)
+      val s = (System.nanoTime() - s0) / 1e9
+      System.err.println(f"[bench] at-scale stabilizer ($name) done in $s%.1f s (untimed)")
+      s
+    }
+
     // ---- main phase: every query from a clean slate -------------------
     // The LSH family shares one banded-signature memo by design; under
     // per-query isolation each member used to re-pay the whole fill (plus
@@ -527,6 +548,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""warm":$warmJs,"fixture_sec":$fixJs,""" +
         s""""warmup_sec":${num(warmupSec, 1)},""" +
+        s""""stabilizer_sec":${num(stabilizerSec, 1)},""" +
         s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
         s""""cpu_stall":$cpuStallJs,"io_stall":$ioStallJs,""" +
