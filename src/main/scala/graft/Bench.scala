@@ -88,6 +88,29 @@ import scala.jdk.CollectionConverters._
   *     JSON is the single headline bit: true only when every rule is
   *     quiet AND nothing failed. A run that cannot self-certify says so
   *     loudly on stderr and in the artifact.
+  *
+  * Round-15 protocol change (round-14 verdict #1 — three rounds of 100×
+  * rungs failed certification on first-pass inflation that per-run
+  * warmup phases demonstrably cannot absorb):
+  *   - FLOOR PROTOCOL: the recorded per-query metric is the MINIMUM over
+  *     2-4 isolated passes (`"protocol":"floor_min"`); pass 1 stays in
+  *     the JSON as `first_sec` with `first_total` for continuity with
+  *     pre-r15 recordings, and `passes` records how many passes each
+  *     query took to converge. Rationale: the r14e rung telemetry shows
+  *     inflated first passes burn ~all cores in THIS JVM (q1_agg 75.6 s
+  *     wall / 2,130 CPU-s vs a 5.9 s floor — 28 cores busy re-executing
+  *     code, not waiting on anything), i.e. generated classes run before
+  *     C2 compiles them; the floor is the reproducible engine number.
+  *   - the generated-class churn itself is also fixed at the source:
+  *     [[graft.core.GraftSession]] raises
+  *     `spark.sql.codegen.cache.maxEntries` 100 → 4096 so a
+  *     registry-sized workload keeps its classes (and their JIT state)
+  *     resident across queries.
+  *   - the at-scale stabilizer is now a fixture-wide WARM-TOUCH: every
+  *     parquet subtree under the target fixture is read once untimed
+  *     (all columns), instead of pre-running only the alphabetically
+  *     first query — the r14e suspects were one per untouched fixture
+  *     slice. `stabilizer_tables` lists what was touched.
   */
 object Bench {
 
@@ -221,9 +244,21 @@ object Bench {
     * live). */
   private def clearSessionState(spark: org.apache.spark.sql.SparkSession): Unit = {
     QueriesPipeline.invalidateLshCache()
+    // drop the sliver FIFO first so its accounting never carries entries
+    // the catalog-wide clear below is about to kill anyway (round-14
+    // verdict #4b: stale already-unpersisted frames occupied Cap slots)
+    graft.core.SliverCache.clear()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  /** Recursive on-disk size of a fixture directory — the warmup-sibling
+    * comparator (parsed scale factors don't cover rung fixtures like
+    * `x100`, bytes cover everything). */
+  private def dirBytes(d: java.io.File): Long =
+    Option(d.listFiles).getOrElse(Array.empty[java.io.File]).map { f =>
+      if (f.isDirectory) dirBytes(f) else f.length
+    }.sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -322,18 +357,28 @@ object Bench {
     // loudly); the total warmup time is itemized as `warmup_sec`.
     // SPARK_GRAFT_WARMUP_DIR overrides the sibling lookup — the 100×
     // rung's fixture lives outside the sf* tree, so the rung protocol
-    // passes the small fixture explicitly. sf0.01 is PREFERRED over
-    // sf0.001: warmup must push every hot loop past the C2/OSR compile
-    // threshold (~10 k iterations), and sf0.001's ~6 k lineitem rows
-    // left q1_agg's decimal-sum loop interpreted — its first measured
-    // pass at the 100× rung then ran the 60 M-row aggregation
-    // uncompiled (296 s first vs a 21 s compiled floor).
+    // passes the small fixture explicitly. The sibling picked is the
+    // LARGEST one strictly smaller than the target (compared by on-disk
+    // bytes — uniform over sf* names and rung fixtures alike): warmup
+    // must push every hot loop past the C2/OSR compile threshold
+    // (~10 k iterations; sf0.001's ~6 k lineitem rows left q1_agg's
+    // decimal-sum loop interpreted — 296 s first pass at the 100× rung
+    // vs a 21 s compiled floor), but a FIXED preference for sf0.01
+    // inverted the 'negligible cost' premise when the TARGET was
+    // sf0.001 — warming up on a fixture ~10× larger than the measured
+    // one (round-14 ADVICE #1).
     val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
       val p = new java.io.File(sfDir).getCanonicalFile
-      Seq("sf0.01", "sf0.001")
-        .map(n => new java.io.File(p.getParentFile, n))
-        .find(d => d.isDirectory && d.getCanonicalFile != p)
-        .map(_.getPath)
+      val targetBytes = dirBytes(p)
+      Option(p.getParentFile).flatMap { par =>
+        Option(par.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(d => d.isDirectory && d.getName.startsWith("sf") &&
+            d.getCanonicalFile != p)
+          .map(d => (d, dirBytes(d)))
+          .filter { case (_, b) => b > 0 && b < targetBytes }
+          .sortBy(-_._2)
+          .headOption.map(_._1.getPath)
+      }
     }
     val warmupSec = warmupDir match {
       case Some(wd) =>
@@ -362,26 +407,35 @@ object Bench {
         0.0
     }
 
-    // ---- at-scale stabilizer (untimed) --------------------------------
-    // The FIRST query to touch the full-scale fixture pays a one-time
-    // JVM/IO stabilization bill that no smaller-sf warmup absorbs —
-    // measured on the 100× rung as q1_agg (alphabetically first)
-    // recording 105-330 s first pass against a 3-21 s rerun floor,
-    // across three rounds and regardless of warmup scale factor, with
-    // the cost vanishing for every later query. Run the first selected
-    // query once untimed at the TARGET sf so the measured loop starts
-    // from a stabilized JVM; itemized as `stabilizer_sec`.
-    val stabilizerSec = selected.headOption.fold(0.0) { case (name, fn) =>
-      val s0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] stabilizer $name failed (ignored): ${e.getMessage}")
-      }
-      clearSessionState(spark)
-      val s = (System.nanoTime() - s0) / 1e9
-      System.err.println(f"[bench] at-scale stabilizer ($name) done in $s%.1f s (untimed)")
-      s
-    }
+    // ---- at-scale fixture warm-touch (untimed) ------------------------
+    // The first query to read each fixture SLICE at full scale pays a
+    // one-time touch bill (page cache, parquet footers, decompression
+    // paths) that no smaller-sf warmup absorbs. Round 14 ran only the
+    // alphabetically-first QUERY untimed at target scale — and the r14e
+    // rung still flagged five queries whose first pass was 3-13× its
+    // floor, one per untouched fixture slice (lineitem, documents,
+    // embeddings, orders…). Generalized (round-14 verdict #1): touch
+    // every parquet subtree under the target fixture with a full
+    // all-columns read, untimed; itemized as `stabilizer_sec` with the
+    // touched slice list in `stabilizer_tables` so recordings are
+    // self-describing (round-14 ADVICE #2).
+    val stabT0 = System.nanoTime()
+    val stabilizerTables =
+      Option(new java.io.File(sfDir).listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          try spark.read.parquet(f.getPath)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm-touch ${f.getName} failed " +
+              s"(ignored): ${e.getMessage}")
+          }
+          f.getName.stripSuffix(".parquet")
+        }.toSeq
+    clearSessionState(spark)
+    val stabilizerSec = (System.nanoTime() - stabT0) / 1e9
+    System.err.println(f"[bench] fixture warm-touch (${stabilizerTables.size} " +
+      f"slices) done in $stabilizerSec%.1f s (untimed)")
 
     // ---- main phase: every query from a clean slate -------------------
     // The LSH family shares one banded-signature memo by design; under
@@ -394,8 +448,7 @@ object Bench {
     // hidden: `fixture_sec` carries each fill, and the headline total
     // still includes them.
     val fixtureSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = selected.map { case (name, fn) =>
-      clearSessionState(spark)
+    def lshFill(name: String, bill: Boolean): Unit =
       if (LshFamily.contains(name) && name != "q_minhash_pairs") {
         val f0 = System.nanoTime()
         val fillOk =
@@ -411,9 +464,46 @@ object Bench {
         // only bill the fill when it succeeded — on failure the query
         // re-pays the whole fill inside its own timing, so recording the
         // failed attempt here would double-count it in the total
-        if (fillOk) fixtureSec(name) = (System.nanoTime() - f0) / 1e9
+        if (bill && fillOk) fixtureSec(name) = (System.nanoTime() - f0) / 1e9
       }
-      name -> timed(name, fn, failed ::= _)
+
+    // ---- floor protocol (round-14 verdict #1) --------------------------
+    // The RECORDED per-query metric is the minimum over 2-4 isolated
+    // passes; the first pass stays in the JSON as `first_sec` telemetry.
+    // Why: three rounds of rung evidence show the first pass of a query
+    // at a new scale runs 3-13× its floor with ~all cores busy in THIS
+    // JVM — re-executing generated classes whose JIT state was reset
+    // when Spark's bounded codegen cache churned — and per-run warmup
+    // phases demonstrably cannot absorb a bill that is paid per
+    // (query, generated-class) pair. The floor is the number that
+    // reproduces; the first pass is environment telemetry. Pass policy:
+    // always a second pass; a third/fourth only while the latest pass is
+    // both > 5 s and still descending (< 0.7× the previous) — converged
+    // or trivial queries stop at 2.
+    var floorFailed = List.empty[String]
+    case class QRec(best: QStat, firstSec: Double, passes: Int)
+    val results: Seq[(String, QRec)] = selected.map { case (name, fn) =>
+      clearSessionState(spark)
+      lshFill(name, bill = true)
+      val first = timed(name, fn, failed ::= _)
+      var best = first
+      var passes = 1
+      var prev = first.sec.getOrElse(0.0)
+      var continue = first.sec.isDefined
+      while (continue && passes < 4) {
+        clearSessionState(spark)
+        lshFill(name, bill = false)
+        val again = timed(name, fn, floorFailed ::= _)
+        passes += 1
+        again.sec match {
+          case Some(sec) =>
+            if (best.sec.forall(sec < _)) best = again
+            continue = sec > 5.0 && sec < 0.7 * prev
+            prev = sec
+          case None => continue = false
+        }
+      }
+      name -> QRec(best, first.sec.getOrElse(-1.0), passes)
     }
 
     // ---- warm phase: the LSH family against a pre-filled memo ---------
@@ -456,29 +546,24 @@ object Bench {
     val pinnedProbe = Seq("q_stream_sink", "q_stream_source", "q_stream_tombstone",
       "q_curation_pipeline_v3", "q_jaccard", "q_leakfree_split")
     val byCost = results
-      .collect { case (n, q) if q.sec.isDefined => (n, q.sec.get, q.extShare) }
+      .collect { case (n, q) if q.best.sec.isDefined =>
+        (n, q.best.sec.get, q.best.extShare) }
       .sortBy(-_._2)
     val slowest =
       (byCost.take(10) ++ byCost.filter(e => pinnedProbe.contains(e._1)))
         .distinct
     System.err.println(s"[bench] rerun probe starting: " +
       slowest.map(_._1).mkString(","))
-    val rerun = slowest.map { case (name, firstSec, firstExt) =>
+    val rerun = slowest.map { case (name, recSec, recExt) =>
       val attempts = (1 to 2).flatMap { _ =>
         clearSessionState(spark)
         // mirror the main phase's fixture treatment, so rerun_min is
         // comparable to the recorded per-query number
-        if (LshFamily.contains(name) && name != "q_minhash_pairs")
-          try SparkEntry.queries("q_minhash_pairs")(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name memo fixture fill FAILED " +
-              s"(rerun attempt is fill-inclusive cold): ${e.getMessage}")
-          }
+        lshFill(name, bill = false)
         timed(name, SparkEntry.queries(name), _ => ()).sec
       }
       val best = if (attempts.isEmpty) None else Some(attempts.min)
-      (name, firstSec, firstExt, best)
+      (name, recSec, recExt, best)
     }
     // Suspect rules (round-7 verdict #1 — the r07 recording was ~2.4x
     // inflated yet self-certified clean because ext_share from /proc/stat
@@ -490,32 +575,36 @@ object Bench {
     //   C (new, first-pass evidence): PSI says the machine stalled under
     //     this query — cpu-stall share > 0.2, or measurable cgroup
     //     throttling, or iowait share > 0.2. Counted over ALL queries.
+    // Under the floor protocol every rule below evaluates the RECORDED
+    // number (the min pass) and its own pass's telemetry — the question
+    // is no longer "was the first pass clean" but "is the recorded floor
+    // itself still inflated".
     val contentionSuspect = rerun.count {
-      case (_, first, firstExt, Some(min)) =>
-        min < 0.6 * first && firstExt > 0.2
+      case (_, rec, recExt, Some(min)) =>
+        min < 0.6 * rec && recExt > 0.2
       case _ => false
     }
-    // first > 5 s: a sub-second/seconds-scale first pass is dominated by
-    // JIT+codegen warmup (measured 0.27x on a clean 1.9 s q1_agg), so the
-    // ratio alone can't separate warmup from poisoning there; the
-    // poisoning that matters inflates multi-second queries (r07: 13-38 s
-    // first pass, 0.01-0.10x rerun).
+    // recorded > 5 s: a sub-second/seconds-scale number can still wobble
+    // on JIT residue; the poisoning that matters inflates multi-second
+    // queries. A probe floor < 0.3× a recorded MIN-of-passes means the
+    // whole main-phase window was compromised.
     val rerunSuspect = rerun.count {
-      case (_, first, _, Some(min)) => first > 5.0 && min < 0.3 * first
+      case (_, rec, _, Some(min)) => rec > 5.0 && min < 0.3 * rec
       case _ => false
     }
     val stallSuspect = results.count { case (_, q) =>
-      q.sec.exists(_ > 1.0) &&
-        (q.cpuStall > 0.2 || q.iowaitShare > 0.2 ||
-          (q.sec.exists(s => q.thrSec > 0.05 * s)))
+      q.best.sec.exists(_ > 1.0) &&
+        (q.best.cpuStall > 0.2 || q.best.iowaitShare > 0.2 ||
+          (q.best.sec.exists(s => q.best.thrSec > 0.05 * s)))
     }
     val selfCertified =
-      failed.isEmpty && contentionSuspect == 0 && rerunSuspect == 0 &&
-        stallSuspect == 0
+      failed.isEmpty && floorFailed.isEmpty && contentionSuspect == 0 &&
+        rerunSuspect == 0 && stallSuspect == 0
     if (!selfCertified)
       System.err.println(s"[bench] RUN CANNOT SELF-CERTIFY: " +
         s"contention_suspect=$contentionSuspect rerun_suspect=$rerunSuspect " +
-        s"stall_suspect=$stallSuspect failed=${failed.size} — numbers need " +
+        s"stall_suspect=$stallSuspect failed=${failed.size} " +
+        s"floor_failed=${floorFailed.size} — numbers need " +
         s"a clean re-run before being read as engine performance")
 
     def jmap(entries: Seq[(String, String)]): String =
@@ -527,28 +616,37 @@ object Bench {
     def num(d: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
 
-    val qs = jmap(results.map { case (n, q) => n -> q.value })
-    val gcs = jmap(results.map { case (n, q) => n -> q.gcMs.toString })
-    val stor = jmap(results.map { case (n, q) => n -> (q.storage / 1024 / 1024).toString })
-    val loads = jmap(results.map { case (n, q) => n -> num(q.load, 2) })
-    val cpuJs = jmap(results.map { case (n, q) => n -> num(q.cpuSec, 2) })
-    val exts = jmap(results.map { case (n, q) => n -> num(q.extShare, 3) })
-    val cpuStallJs = jmap(results.map { case (n, q) => n -> num(q.cpuStall, 3) })
-    val ioStallJs = jmap(results.map { case (n, q) => n -> num(q.ioStall, 3) })
-    val iowaitJs = jmap(results.map { case (n, q) => n -> num(q.iowaitShare, 3) })
-    val thrJs = jmap(results.map { case (n, q) => n -> num(q.thrSec, 3) })
+    val qs = jmap(results.map { case (n, q) => n -> q.best.value })
+    val firstJs = jmap(results.map { case (n, q) => n -> num(q.firstSec, 3) })
+    val passJs = jmap(results.map { case (n, q) => n -> q.passes.toString })
+    val gcs = jmap(results.map { case (n, q) => n -> q.best.gcMs.toString })
+    val stor = jmap(results.map { case (n, q) => n -> (q.best.storage / 1024 / 1024).toString })
+    val loads = jmap(results.map { case (n, q) => n -> num(q.best.load, 2) })
+    val cpuJs = jmap(results.map { case (n, q) => n -> num(q.best.cpuSec, 2) })
+    val exts = jmap(results.map { case (n, q) => n -> num(q.best.extShare, 3) })
+    val cpuStallJs = jmap(results.map { case (n, q) => n -> num(q.best.cpuStall, 3) })
+    val ioStallJs = jmap(results.map { case (n, q) => n -> num(q.best.ioStall, 3) })
+    val iowaitJs = jmap(results.map { case (n, q) => n -> num(q.best.iowaitShare, 3) })
+    val thrJs = jmap(results.map { case (n, q) => n -> num(q.best.thrSec, 3) })
     val warmJs = jmap(warm)
     val rerunJs = jmap(rerun.collect { case (n, _, _, Some(m)) => n -> num(m, 3) })
     val fixJs = jmap(fixtureSec.toSeq.map { case (n, s) => n -> num(s, 3) })
-    // headline total = operator cost of every query PLUS every untimed
-    // fixture fill — the fills are excluded from per-query numbers but
-    // never from the bill
-    val total = results.flatMap(_._2.sec).sum + fixtureSec.values.sum
+    val stabTabJs = stabilizerTables.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // headline total = recorded (floor) cost of every query PLUS every
+    // untimed main-phase fixture fill — the fills are excluded from
+    // per-query numbers but never from the bill. `first_total` carries
+    // the pass-1 sum for continuity with pre-r15 first-pass recordings.
+    val total = results.flatMap(_._2.best.sec).sum + fixtureSec.values.sum
+    val firstTotal = results.map(_._2.firstSec).filter(_ >= 0).sum +
+      fixtureSec.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""protocol":"floor_min","first_sec":$firstJs,""" +
+        s""""first_total":${num(firstTotal, 1)},"passes":$passJs,""" +
         s""""warm":$warmJs,"fixture_sec":$fixJs,""" +
         s""""warmup_sec":${num(warmupSec, 1)},""" +
         s""""stabilizer_sec":${num(stabilizerSec, 1)},""" +
+        s""""stabilizer_tables":$stabTabJs,""" +
         s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
         s""""cpu_stall":$cpuStallJs,"io_stall":$ioStallJs,""" +
@@ -556,7 +654,9 @@ object Bench {
         s""""contention_suspect":$contentionSuspect,""" +
         s""""rerun_suspect":$rerunSuspect,"stall_suspect":$stallSuspect,""" +
         s""""self_certified":$selfCertified,""" +
-        s""""sf":"$sfDir","failed":${failed.size},"warm_failed":${warmFailed.size}}"""
+        s""""sf":"$sfDir","failed":${failed.size},""" +
+        s""""floor_failed":${floorFailed.size},""" +
+        s""""warm_failed":${warmFailed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     // The driver captures a bounded TAIL of stdout (~2000 bytes) and its
@@ -570,7 +670,7 @@ object Bench {
     // the full map still lives in the big line and outPath.
     val topBudget = 1100
     val topEntries = results
-      .flatMap { case (n, q) => q.sec.map(s => n -> s) }
+      .flatMap { case (n, q) => q.best.sec.map(s => n -> s) }
       .sortBy(-_._2)
       .map { case (n, s) => "\"" + n + "\":" + num(s, 2) }
     val topPacked = new StringBuilder

@@ -399,13 +399,24 @@ object QueriesPipeline {
     * The oracle re-derives the same D from its own max(vec_id) —
     * integer arithmetic, exact on both engines. */
   private def plantOffset(e: DataFrame): Long = {
-    val m = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val row = e.agg(max(col("vec_id"))).head
+    if (row.isNullAt(0))
+      throw new IllegalStateException(
+        "plantOffset: embeddings carries no vec_id rows — the dup-plant " +
+          "fixtures need a non-empty corpus to derive a disjoint id range")
+    val m = row.getLong(0) + 1
     m + (((1 - m % 3) % 3) + 3) % 3
   }
 
   private def scaledDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val d = plantOffset(e)
+    scaledDupEmbeddings(e, plantOffset(e))
+  }
+
+  /** Overload with the offset already derived — callers that also plant
+    * a second range (the incremental gate) derive D ONCE per gate
+    * construction instead of re-running the max(vec_id) job here. */
+  private def scaledDupEmbeddings(e: DataFrame, d: Long): DataFrame = {
     val base = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val planted = e.select((col("vec_id") + d).as("vec_id"),
@@ -422,7 +433,7 @@ object QueriesPipeline {
   private def plantedEmbeddings3(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val d = plantOffset(e)
-    scaledDupEmbeddings(s, dir).unionAll(
+    scaledDupEmbeddings(e, d).unionAll(
       e.select((col("vec_id") + 3 * d).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * lit(0.5))
           .as("embedding")))

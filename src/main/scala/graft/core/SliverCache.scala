@@ -38,13 +38,48 @@ object SliverCache {
 
   private val live = new java.util.ArrayDeque[DataFrame]
 
+  /** Drop entries something OUTSIDE this registry already unpersisted
+    * (a bench harness's `catalog.clearCache()`, an explicit caller
+    * unpersist): their slots are dead weight and the FIFO's occupancy
+    * must reflect what is actually cached, or [[Cap]] stops meaning
+    * anything. Caller holds the monitor. */
+  private def pruneDead(): Unit = {
+    val it = live.iterator()
+    while (it.hasNext)
+      if (it.next().storageLevel == StorageLevel.NONE) it.remove()
+  }
+
   private def register(p: DataFrame): DataFrame = {
     live.synchronized {
+      pruneDead()
+      // Spark's CacheManager dedupes by plan: persisting the same
+      // logical plan twice shares ONE cache entry, so holding two FIFO
+      // slots for it means evicting the older slot silently uncaches
+      // the newer registration early. Same-plan re-registration instead
+      // MOVES the entry to the back (freshest position).
+      val plan = p.queryExecution.analyzed
+      val it = live.iterator()
+      while (it.hasNext)
+        if (it.next().queryExecution.analyzed.sameResult(plan)) it.remove()
       live.addLast(p)
       while (live.size > Cap)
         live.removeFirst().unpersist(blocking = false)
     }
     p
+  }
+
+  /** Live-slot count after pruning externally-uncached entries —
+    * accounting introspection for specs and harnesses. */
+  def liveCount: Int = live.synchronized { pruneDead(); live.size }
+
+  /** Forget everything: unpersist whatever is still cached (no-op for
+    * entries a session-wide clear already dropped) and empty the FIFO.
+    * For harness isolation points (a bench's per-query reset) — NOT for
+    * operator code, which relies on slivers staying hot across calls. */
+  def clear(): Unit = live.synchronized {
+    val it = live.iterator()
+    while (it.hasNext) it.next().unpersist(blocking = false)
+    live.clear()
   }
 
   /** Persist + register, WITHOUT materializing — for slivers whose

@@ -25,19 +25,49 @@ import org.apache.spark.sql.functions._
   * `graft_srp_bucket` — registered by
   * [[graft.core.GraftExtensions]]. Build sessions through
   * [[graft.core.GraftSession]] (or add the extension via
-  * `spark.sql.extensions`); a plain `SparkSession` fails analysis with
-  * "Undefined function graft_dot". The pure-Column twins ([[dotHof]],
-  * [[srpBucketHof]]) remain public for extension-free sessions and as
-  * the spec-pinned reference fold.
+  * `spark.sql.extensions`). On a plain `SparkSession` the entry points
+  * below PROBE the active session's function registry and fall back to
+  * the bit-identical pure-Column twins ([[dotHof]], [[srpBucketHof]])
+  * with a one-time warning — same results, interpreted-HOF speed —
+  * instead of failing analysis with "Undefined function graft_dot".
   */
 object Similarity {
+
+  /** One-time fallback warning latch (the probe runs per call — a map
+    * lookup — but nobody wants 10⁶ identical warnings per query). */
+  private val warnedNoNative = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** True when `name` resolves in the ACTIVE session's function
+    * registry. No active session (Column construction outside any
+    * session scope) reads as true: the native expression is the right
+    * default, and sessions built through [[graft.core.GraftSession]]
+    * always carry it. */
+  private def nativeAvailable(name: String): Boolean = {
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    sess.forall { s =>
+      val ok = s.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      if (!ok && warnedNoNative.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft native function '$name' is not registered on this " +
+            "SparkSession — falling back to the interpreted HOF twin " +
+            "(identical results, slower hot loop). Register " +
+            "graft.core.GraftExtensions (GraftSession.builder does) for " +
+            "the codegen path.")
+      ok
+    }
+  }
 
   /** Σ aᵢ·bᵢ over two float/double-array columns — the native codegen
     * expression ([[graft.functions.DotProduct]]): one flat counted loop
     * inside the whole-stage span instead of a per-element interpreted
     * HOF dispatch. Fold order is bit-identical to [[dotHof]] (pinned),
-    * so every oracle replay is unchanged. */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    * so every oracle replay is unchanged. Falls back to [[dotHof]] on
+    * sessions without [[graft.core.GraftExtensions]]. */
+  def dot(a: Column, b: Column): Column =
+    if (nativeAvailable("graft_dot")) call_function("graft_dot", a, b)
+    else dotHof(a, b)
 
   /** The declarative twin [[dot]] replaced — kept as the spec's
     * reference side (and for sessions without GraftExtensions). */
@@ -139,7 +169,7 @@ object Similarity {
     * span — bit-identical to [[srpBucketHof]], spec-pinned). */
   def srpBucket(vec: Column, hPlanes: Int, portable: Boolean = false,
                 dim: Option[Int] = None): Column = (portable, dim) match {
-    case (true, Some(d)) =>
+    case (true, Some(d)) if nativeAvailable("graft_srp_bucket") =>
       call_function("graft_srp_bucket", vec, lit(hPlanes), lit(d))
     case _ => srpBucketHof(vec, hPlanes, portable, dim)
   }
