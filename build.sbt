@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A registry-sized workload (145 queries x several generated classes,
+  // all JIT-compiled) fills the JDK's default 240 MB code cache: measured
+  // mid-bench, the C2 segment ('non-profiled nmethods') sat at
+  // 118,875/118,880 KB with the sweeper evicting hot compiled code —
+  // late-run queries then re-ran partially interpreted (2-15x their
+  // compiled floor). 1 GiB keeps every query's compiled code resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
