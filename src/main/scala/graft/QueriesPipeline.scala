@@ -256,8 +256,7 @@ object QueriesPipeline {
     * thresholds). The bigram LM trains on the full corpus. */
   private def gopherSignals(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0).count()
+    val nTokens = TextAnalysis.corpusTokenCount(docs, col("text"))
     (TextAnalysis.repeatedNgramCoverage(docs, "doc_id", col("text"), Seq(3))
        .select(col("doc_id"), col("cov3")),
      TextAnalysis.charEntropy(docs, "doc_id", col("text"))
@@ -281,8 +280,7 @@ object QueriesPipeline {
                                     autoThresholds: Boolean): DataFrame = {
     val base = curationBase(s, dir).persist()
     val d = base.select("doc_id", "text")
-    val nTokens = d.select(explode(Dedup.tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0).count()
+    val nTokens = TextAnalysis.corpusTokenCount(d, col("text"))
     val cov = TextAnalysis.repeatedNgramCoverage(d, "doc_id", col("text"), Seq(3))
       .select(col("doc_id"), col("cov3"))
     val ent = TextAnalysis.charEntropy(d, "doc_id", col("text"))
@@ -2729,8 +2727,7 @@ object QueriesPipeline {
     // boilerplate — the standard both-tails curation filter.
     "q_unigram_surprise" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
+      val nTokens = TextAnalysis.corpusTokenCount(docs, col("text"))
       TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
     }),
 
@@ -2738,8 +2735,7 @@ object QueriesPipeline {
     // surprise — flags common-word salad the unigram LM scores as fine.
     "q_bigram_surprise" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
+      val nTokens = TextAnalysis.corpusTokenCount(docs, col("text"))
       TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens)
     }),
 
@@ -2753,8 +2749,7 @@ object QueriesPipeline {
     // composition.
     "q_quality_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
+      val nTokens = TextAnalysis.corpusTokenCount(docs, col("text"))
       val surprise = TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
         .select(col("doc_id"), col("mean_surprise"))
       val base = docs.select(col("doc_id"),
@@ -3332,8 +3327,7 @@ object QueriesPipeline {
     "q_ccnet_buckets" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val docs = d.select("doc_id", "text")
-      val nTokens = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0).count()
+      val nTokens = TextAnalysis.corpusTokenCount(docs, col("text"))
       val sig = TextAnalysis.unigramSurprise(docs, "doc_id", col("text"), nTokens)
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("mean_surprise"))

@@ -156,6 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowFpsExpr(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
       }))
+    injectIntArg(ext, "graft_repetition_stats",
+      classOf[RepetitionStatsExpr], (c, n) => RepetitionStatsExpr(c, n))
     injectIntArg(ext, "graft_ngram_coverage",
       classOf[NgramCoverageExpr], (c, n) => NgramCoverageExpr(c, n))
     injectIntArg(ext, "graft_word_ngram_hash_set",
@@ -193,6 +195,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SrpBucketExpr(children.head, intLit(children(1), "h"),
           intLit(children(2), "dim"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality_stats"),
+      new ExpressionInfo(classOf[QualityStatsExpr].getName, "graft_quality_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_quality_stats(text): exactly one STRING argument")
+        QualityStatsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),

@@ -72,24 +72,88 @@ object TextAnalysis {
       .map(l => l -> langScore(lowered, l)).toMap)
   }
 
+  /** One-time-warn flag for the native-function fallback (same pattern
+    * as [[Similarity]]'s). */
+  private val warnedNoNative = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Whether `graft_quality_stats` is registered on the active session
+    * — true for every [[graft.core.GraftSession]]; plain sessions fall
+    * back to the composed regex columns (identical results, ~10 text
+    * passes per document instead of two byte walks). */
+  private def nativeStatsAvailable: Boolean = nativeFnAvailable("graft_quality_stats")
+
+  private def nativeFnAvailable(name: String): Boolean = {
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    sess.forall { s =>
+      val ok = s.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      if (!ok && warnedNoNative.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft native function '$name' is not registered " +
+            "on this SparkSession — falling back to the composed regex " +
+            "columns (identical results, slower scan). Register " +
+            "graft.functions.GraftExtensions (GraftSession.builder does) " +
+            "for the single-pass path.")
+      ok
+    }
+  }
+
+  /** The `graft_quality_stats(text)` struct (n_chars, n_tokens, n_punct,
+    * n_stop, n_words — see [[graft.functions.QualityStats]]), or its
+    * composed regex twin on sessions without GraftExtensions. Consumers
+    * read fields off one shared subtree; projection-level common
+    * subexpression elimination computes it once per row. */
+  def qualityStats(text: Column): Column =
+    if (nativeStatsAvailable) call_function("graft_quality_stats", text)
+    else qualityStatsComposed(text)
+
+  /** Composed regex twin of [[qualityStats]] — the spec's reference side
+    * (field-by-field parity is QualityStatsSpec's contract) and the
+    * fallback for sessions without the native registry. */
+  def qualityStatsComposed(text: Column): Column = {
+    val lowered = lower(text)
+    struct(
+      length(text).as("n_chars"),
+      size(split(trim(text), "\\s+")).as("n_tokens"),
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .as("n_punct"),
+      Seq("the", "and", "of", "to", "a", "in", "is", "it")
+        .map(w => countMatches(lowered, w)).reduce(_ + _).as("n_stop"),
+      size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+        .as("n_words"))
+  }
+
   /** Whitespace token count: split on runs of whitespace. */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    if (nativeStatsAvailable) qualityStats(text).getField("n_tokens")
+    else size(split(trim(text), "\\s+"))
 
   /** BPE-ish token count: words, numbers, and single punctuation marks
     * each count as one token (a GPT-2-style pre-tokenizer regex). */
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Corpus nonempty-token total — the `nTokens` metadata job the
+    * surprise operators take as a literal. Equal to exploding
+    * [[graft.operators.Dedup.tokens]] and counting nonempty tokens
+    * (lowercasing never maps into or out of ASCII whitespace, so the
+    * lowered tokenization has the same word count — QualityStatsSpec
+    * pins the equality), but computed as a per-document integer sum in
+    * one scan: no explode, no 100×-token-count row stream. */
+  def corpusTokenCount(df: DataFrame, text: Column): Long =
+    df.select(coalesce(sum(qualityStats(text).getField("n_words").cast("long")),
+      lit(0L)).as("n")).head.getLong(0)
+
   /** Quality-score components (length, punctuation ratio, stopword ratio,
-    * mean word length) + a composite 0..1 score. */
+    * mean word length) + a composite 0..1 score. All five columns read
+    * fields of one [[qualityStats]] subtree (CSE: one compute per row). */
   def qualityComponents(text: Column): Seq[(String, Column)] = {
-    val nChars = length(text)
-    val tokens = tokenCountWs(text)
-    val nPunct = length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
-    val lowered = lower(text)
-    val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it")
-      .map(w => countMatches(lowered, w)).reduce(_ + _)
+    val qs = qualityStats(text)
+    val nChars = qs.getField("n_chars")
+    val tokens = qs.getField("n_tokens")
+    val nPunct = qs.getField("n_punct")
+    val stop = qs.getField("n_stop")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> tokens,
@@ -256,7 +320,26 @@ object TextAnalysis {
     * O(grams²) per document (fine for one row, 4.5 s vs 0.6 s over 5 k
     * docs at sf0.1). Returns (idCol, rep_ratio). */
   def repetitionRatios(df: org.apache.spark.sql.DataFrame, idCol: String,
-                       text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+                       text: Column, n: Int): org.apache.spark.sql.DataFrame =
+    if (nativeFnAvailable("graft_repetition_stats")) {
+      // doc-local: every gram of the normalized text is a byte span;
+      // graft_repetition_stats counts EXACT grams per row (byte-equality
+      // map — no hash-collision regime), so the two corpus-gram-sized
+      // shuffles of the frame-scale shape below vanish entirely
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      df.select(col(idCol),
+          call_function("graft_repetition_stats", norm, lit(n)).as("__rs"))
+        .select(col(idCol),
+          when(col("__rs.n_grams") === 0 || col("__rs").isNull, lit(0.0))
+            .otherwise(round(col("__rs.max_c").cast("double") /
+              col("__rs.n_grams"), 6)).as("rep_ratio"))
+    } else repetitionRatiosShuffled(df, idCol, text, n)
+
+  /** The frame-scale shuffled reference for [[repetitionRatios]] —
+    * explode grams, hash-aggregate (doc, gram) then (doc). Kept as the
+    * equivalence oracle for the spec and the no-extensions fallback. */
+  def repetitionRatiosShuffled(df: org.apache.spark.sql.DataFrame, idCol: String,
+                               text: Column, n: Int): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), Dedup.tokens(text).as("__t"))
     val grams = toks.select(col(idCol), explode(allNgrams(col("__t"), n)).as("__g"))
     val counts = grams.groupBy(col(idCol), col("__g"))
@@ -500,14 +583,23 @@ object TextAnalysis {
     require(nTokens > 0, s"nTokens must be positive, got $nTokens")
     val toks = df.select(col(idCol), explode(Dedup.tokens(text)).as("tok"))
       .filter(length(col("tok")) > 0)
-    val cost = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Pre-aggregate to (doc, tok, count) before anything shuffles: the
+    // raw token stream is ~3-5× the distinct per-doc vocabulary on
+    // natural text (map-side combine collapses within-doc repeats
+    // before the exchange), so the corpus-frequency agg, the cost
+    // join, and the per-doc sum all process (doc,tok) rows instead of
+    // every token occurrence. Integer-exact: Σ c·micro_nats over
+    // (doc,tok) groups ≡ Σ micro_nats over tokens.
+    val docTok = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val cost = docTok.groupBy(col("tok")).agg(sum(col("__c")).as("cnt"))
       .withColumn("micro_nats",
         round(lit(1e6) * log(lit(nTokens.toDouble) / col("cnt"))).cast("long"))
-    toks.join(cost.select(col("tok"), col("micro_nats")), Seq("tok"))
+    docTok.join(cost.select(col("tok"), col("micro_nats")), Seq("tok"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("micro_nats")).as("surprise_micro"))
+        sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("micro_nats")).as("surprise_micro"))
       .withColumn("mean_surprise",
         round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6))
   }
@@ -549,6 +641,12 @@ object TextAnalysis {
           element_at(col("__w"), i + 1).as("tok")))),
         x => x.isNotNull)).as("__bg"))
       .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.tok").as("tok"))
+    // NOTE: no (doc, prev, tok) pre-agg here, deliberately — unlike
+    // unigrams, bigrams rarely repeat within a document (measured at
+    // the 100× rung: the pre-agg variant of this operator added a full
+    // occurrence-sized shuffle with almost no row reduction and ran
+    // 1.5× slower), so the cost join consumes the occurrence stream
+    // directly as before.
     val biCost = bigrams.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("__c_bt"))
       .join(uni.select(col("tok").as("prev"), col("__c_t").as("__c_prev")), Seq("prev"))
