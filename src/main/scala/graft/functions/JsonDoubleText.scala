@@ -58,6 +58,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build(children.head, n)
       }))
 
+  /** Register a `(child, intLiteral, intLiteral)` expression builder. */
+  private def injectTwoIntArgs(ext: SparkSessionExtensions, name: String,
+                               cls: Class[_],
+                               build: (Expression, Int, Int) => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          s"$name(child, n, k): n and k must be literals")
+        def intLit(e: Expression, what: String): Int = e.eval() match {
+          case x: Number => x.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$name: $what must be a numeric literal, got $other")
+        }
+        build(children.head, intLit(children(1), "n"), intLit(children(2), "k"))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_json_double"),
@@ -174,6 +192,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",
       classOf[XxMinHashExpr], (c, k) => XxMinHashExpr(c, k))
+    injectTwoIntArgs(ext, "graft_md5_minhash_text",
+      classOf[Md5MinHashTextExpr], (c, n, k) => Md5MinHashTextExpr(c, n, k))
+    injectTwoIntArgs(ext, "graft_xxhash_minhash_text",
+      classOf[XxMinHashTextExpr], (c, n, k) => XxMinHashTextExpr(c, n, k))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),

@@ -127,6 +127,132 @@ object MinHashSig {
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
+  // ---- text-direct variants ------------------------------------------
+  //
+  // The gram-ARRAY forms above still pay the declarative gram
+  // construction upstream: split + per-gram slice/array_join/
+  // array_distinct allocate every token and gram string before the
+  // digest ever runs — measured at the 100× rung as ~¾ of the warm
+  // banded-signature stage (and the dominant janino/JIT compile unit).
+  // These variants take the RAW text and walk it once: Spark-parity
+  // normalization (UTF8String.trim == `trim`, space-only;
+  // UTF8String.toLowerCase == `lower` — both pinned by spec), word
+  // spans over the bytes with the same boundary-empty semantics as
+  // `split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")`, and
+  // per-gram digests fed word-span + single-space pieces directly (a
+  // gram joined by single spaces is byte-identical to the normalized
+  // slice, because every whitespace run collapses to one 0x20).
+  // `array_distinct` upstream is dropped deliberately: duplicate grams
+  // cannot change a MINIMUM, so the minima are bit-identical
+  // (spec-pinned against the gram-array forms).
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Word spans of the normalized text: (starts, ends, count) with the
+    * split-boundary empty words included. */
+  private def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val len = bytes.length
+    // upper bound on words: runs + 2 boundary empties
+    val starts = new Array[Int](len / 2 + 3)
+    val ends = new Array[Int](len / 2 + 3)
+    var w = 0
+    if (len == 0) {
+      starts(0) = 0; ends(0) = 0
+      return (starts, ends, 1)
+    }
+    var i = 0
+    if (isWsByte(bytes(0))) { starts(w) = 0; ends(w) = 0; w += 1 } // leading empty
+    while (i < len) {
+      if (!isWsByte(bytes(i))) {
+        val s0 = i
+        while (i < len && !isWsByte(bytes(i))) i += 1
+        starts(w) = s0; ends(w) = i; w += 1
+      } else i += 1
+    }
+    if (isWsByte(bytes(len - 1))) { starts(w) = len; ends(w) = len; w += 1 } // trailing empty
+    (starts, ends, w)
+  }
+
+  /** k md5 minhash minima over the word n-grams of RAW `text` — equal to
+    * `md5Minima(ngramsOfTokens(tokens(text), n), k)` (spec-pinned). */
+  def md5MinimaText(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.trim().toLowerCase().getBytes
+    val (starts, ends, words) = wordSpans(bytes)
+    val m = words - n + 1
+    if (m <= 0) return null
+    val pre = prefixes(k)
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    val cur = new Array[Byte](16)
+    val space = Array(' '.toByte)
+    var g = 0
+    while (g < m) {
+      var s = 0
+      while (s < k) {
+        md.reset()
+        md.update(pre(s))
+        var w = g
+        while (w < g + n) {
+          md.update(bytes, starts(w), ends(w) - starts(w))
+          if (w < g + n - 1) md.update(space)
+          w += 1
+        }
+        md.digest(cur, 0, 16)
+        if (mins(s) == null) mins(s) = cur.clone()
+        else if (less(cur, mins(s))) System.arraycopy(cur, 0, mins(s), 0, 16)
+        s += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(mins.map(d => hex(d): Any))
+  }
+
+  /** k xxhash64 minhash minima over the word n-grams of RAW `text` —
+    * equal to `xxMinima(ngramsOfTokens(tokens(text), n), k)`. */
+  def xxMinimaText(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.trim().toLowerCase().getBytes
+    val (starts, ends, words) = wordSpans(bytes)
+    val m = words - n + 1
+    if (m <= 0) return null
+    val pre = prefixes(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var buf = new Array[Byte](64)
+    var g = 0
+    while (g < m) {
+      // assemble the gram once per (gram, seed) after the seed prefix —
+      // gram bytes themselves are shared across seeds, so stage them at
+      // a fixed offset once per gram and only rewrite the prefix
+      var gramLen = n - 1 // single-space separators
+      var w0 = g
+      while (w0 < g + n) { gramLen += ends(w0) - starts(w0); w0 += 1 }
+      val maxPre = pre(k - 1).length
+      if (buf.length < maxPre + gramLen)
+        buf = new Array[Byte](math.max(maxPre + gramLen, buf.length * 2))
+      // stage gram at offset maxPre
+      var off = maxPre
+      var w = g
+      while (w < g + n) {
+        System.arraycopy(bytes, starts(w), buf, off, ends(w) - starts(w))
+        off += ends(w) - starts(w)
+        if (w < g + n - 1) { buf(off) = ' '; off += 1 }
+        w += 1
+      }
+      var s = 0
+      while (s < k) {
+        val plen = pre(s).length
+        val start = maxPre - plen
+        System.arraycopy(pre(s), 0, buf, start, plen)
+        val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET + start,
+          plen + gramLen, 42L)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
 }
 
 /** `graft_md5_minhash(grams, k)` — see [[MinHashSig.md5Minima]]. */
@@ -178,5 +304,63 @@ case class XxMinHashExpr(child: Expression, k: Int) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): XxMinHashExpr =
+    copy(child = newChild)
+}
+
+/** `graft_md5_minhash_text(text, n, k)` — see [[MinHashSig.md5MinimaText]]:
+  * the gram-array form fused with its own gram construction (one byte
+  * walk from RAW text, no token/gram allocation). */
+case class Md5MinHashTextExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // fewer than n words → null signature
+  override def prettyName: String = "graft_md5_minhash_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1 && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_minhash_text expects (STRING, n >= 1, k >= 1), " +
+        s"got (${child.dataType.sql}, $n, $k)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.md5MinimaText(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.md5MinimaText($c, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashTextExpr =
+    copy(child = newChild)
+}
+
+/** `graft_xxhash_minhash_text(text, n, k)` — see [[MinHashSig.xxMinimaText]]. */
+case class XxMinHashTextExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // fewer than n words → null signature
+  override def prettyName: String = "graft_xxhash_minhash_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1 && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_xxhash_minhash_text expects (STRING, n >= 1, k >= 1), " +
+        s"got (${child.dataType.sql}, $n, $k)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.xxMinimaText(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.xxMinimaText($c, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): XxMinHashTextExpr =
     copy(child = newChild)
 }

@@ -142,9 +142,19 @@ object Dedup {
     // hashFn falls back to the declarative aggregate form (same result;
     // a doc with duplicate ids gets one signature per row here vs one
     // merged signature there — ids are unique in every shipped caller).
+    // Round-15: the TEXT-DIRECT signature expressions fuse gram
+    // construction into the digest walk (word spans over the bytes; a
+    // gram joined by single spaces is byte-identical to the normalized
+    // slice) — the declarative split + per-gram slice/array_join/
+    // array_distinct chain they replace was measured at the 100× rung
+    // as ~¾ of the warm banded stage, all allocation. Bit-parity with
+    // the gram-array forms is spec-pinned (dropping array_distinct is
+    // sound: duplicate grams cannot change a minimum).
     val sigNative: Option[Column] =
-      if (hashFn eq md5Hex) Some(call_function("graft_md5_minhash", col("__g"), lit(k)))
-      else if (hashFn eq xxhash) Some(call_function("graft_xxhash_minhash", col("__g"), lit(k)))
+      if (hashFn eq md5Hex)
+        Some(call_function("graft_md5_minhash_text", text, lit(ngramN), lit(k)))
+      else if (hashFn eq xxhash)
+        Some(call_function("graft_xxhash_minhash_text", text, lit(ngramN), lit(k)))
       else None
     val sig = sigNative match {
       case Some(sc) =>
@@ -153,9 +163,7 @@ object Dedup {
         // re-derives the tokenize tree per element); the band array below
         // is null for them, and posexplode of null emits nothing — the
         // same "doc never reaches the groupBy" semantics as the fallback
-        df.select(col(idCol).as("id"), tokens(text).as("__t"))
-          .select(col("id"), ngramsOfTokens(col("__t"), ngramN).as("__g"))
-          .select(col("id"), sc.as("sig"))
+        df.select(col(idCol).as("id"), sc.as("sig"))
       case None =>
         df.select(col(idCol).as("id"), tokens(text).as("__t"))
           .select(col("id"), explode(ngramsOfTokens(col("__t"), ngramN)).as("__g"))
@@ -623,9 +631,22 @@ object Dedup {
   def minhashEstimatorError(df: DataFrame, idCol: String, text: Column,
                             candidates: DataFrame, ngramN: Int = 3, k: Int = 12,
                             hashFn: Column => Column = xxhash): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
-      .select(col("id"), ngramsOfTokens(col("__t"), ngramN).as("g"))
-    val sigs = grams.select(col("id"), minhashSignature(col("g"), k, hashFn).as("sig"))
+    // the shipped hash regimes take the text-direct native signature
+    // (bit-parity with the declarative form is spec-pinned; the k-lambda
+    // transform tree it replaces was the estimator's dominant cost —
+    // k per-gram concat allocations on top of the gram-array build)
+    val sigs =
+      if (hashFn eq md5Hex)
+        df.select(col(idCol).as("id"),
+          call_function("graft_md5_minhash_text", text, lit(ngramN), lit(k)).as("sig"))
+      else if (hashFn eq xxhash)
+        df.select(col(idCol).as("id"),
+          call_function("graft_xxhash_minhash_text", text, lit(ngramN), lit(k)).as("sig"))
+      else {
+        val grams = df.select(col(idCol).as("id"), tokens(text).as("__t"))
+          .select(col("id"), ngramsOfTokens(col("__t"), ngramN).as("g"))
+        grams.select(col("id"), minhashSignature(col("g"), k, hashFn).as("sig"))
+      }
     val est = candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))

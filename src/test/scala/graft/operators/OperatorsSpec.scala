@@ -53,7 +53,14 @@ class OperatorsSpec extends AnyFunSuite {
       2L -> "pack my box with five dozen liquor jugs for the long trip",
       3L -> "the quick brown fox jumps over the lazy dog again and again",
       4L -> "tiny", // fewer than 3 tokens → no grams → no signature rows
-      5L -> "sphinx of black quartz judge my vow said the old sage")
+      5L -> "sphinx of black quartz judge my vow said the old sage",
+      // boundary-empty word semantics: non-space whitespace at the edges
+      // survives Spark's space-only trim and becomes an EMPTY first/last
+      // token after the collapse — the text-direct walk must reproduce it
+      6L -> "\tleading tab word salad here\n",
+      7L -> "  spaces trim clean but   runs\t\ncollapse inside  ",
+      8L -> "CASE Folding És Straße İstanbul MiXeD case GRAMS here",
+      9L -> "dup dup dup dup dup dup") // heavy duplicate grams (distinct dropped)
     def rows(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       Dedup.bandedSignatures(corpus, "doc_id", col("text"), 3, 4, 3, hashFn)
         .orderBy("id", "band").collect().map(_.toSeq).toSeq
