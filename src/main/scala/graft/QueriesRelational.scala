@@ -181,9 +181,14 @@ object QueriesRelational {
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
       s.sql("DROP TABLE IF EXISTS graft_co_orders")
       s.sql("DROP TABLE IF EXISTS graft_co_lineitem")
-      graft.operators.Colocate.writeBucketed(o, "graft_co_orders", 8,
+      // 32 buckets = the session's core count: the whole point of the
+      // bucketed layout is that the join runs WITHOUT an exchange, so
+      // its parallelism IS the bucket count — 8 buckets left 3/4 of the
+      // cores idle for the join stage at the 100× fixture (and a real
+      // deployment sizes buckets to cluster parallelism, not fixtures)
+      graft.operators.Colocate.writeBucketed(o, "graft_co_orders", 32,
         Seq("o_orderkey"))
-      graft.operators.Colocate.writeBucketed(l, "graft_co_lineitem", 8,
+      graft.operators.Colocate.writeBucketed(l, "graft_co_lineitem", 32,
         Seq("o_orderkey"))
       val out = s.table("graft_co_orders")
         .join(s.table("graft_co_lineitem"), "o_orderkey")

@@ -192,6 +192,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[Md5MinHashExpr], (c, k) => Md5MinHashExpr(c, k))
     injectIntArg(ext, "graft_xxhash_minhash",
       classOf[XxMinHashExpr], (c, k) => XxMinHashExpr(c, k))
+    injectIntArg(ext, "graft_word_ngrams",
+      classOf[WordNgramsExpr], (c, n) => WordNgramsExpr(c, n))
     injectTwoIntArgs(ext, "graft_md5_minhash_text",
       classOf[Md5MinHashTextExpr], (c, n, k) => Md5MinHashTextExpr(c, n, k))
     injectTwoIntArgs(ext, "graft_xxhash_minhash_text",

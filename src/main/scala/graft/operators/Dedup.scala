@@ -225,10 +225,18 @@ object Dedup {
     * the DuckDB oracle replays the sweep exactly. */
   def ngramContamination(corpus: DataFrame, idCol: String, text: Column,
                          bench: DataFrame, benchText: Column, n: Int): DataFrame = {
-    val bg = bench.select(tokens(benchText).as("__t"))
-      .select(explode(ngramsOfTokens(col("__t"), n)).as("g")).distinct()
-    corpus.select(col(idCol).as("id"), tokens(text).as("__t"))
-      .select(col("id"), explode(ngramsOfTokens(col("__t"), n)).as("g"))
+    // Round-15: the native distinct-gram expression replaces the
+    // declarative split/slice/array_join/array_distinct chain on BOTH
+    // sides (one byte walk, one allocation per distinct gram — the
+    // chain was measured as the dominant cost of every exact-gram
+    // query at the 100× rung). Join keys stay gram STRINGS, so the
+    // oracle's gram-text join replays unchanged.
+    val bg = bench
+      .select(explode(call_function("graft_word_ngrams", benchText, lit(n))).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"),
+        explode(call_function("graft_word_ngrams", text, lit(n))).as("g"))
       .join(broadcast(bg), Seq("g"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_hit_grams"))
   }

@@ -128,6 +128,36 @@ class QualityStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_ngrams equals array_distinct over the declarative gram chain") {
+    val rep = Seq(
+      (200L, "spam spam spam spam spam"),
+      (201L, "a b a b a b a b c"),
+      (202L, "dup gram dup gram dup gram tail"),
+      (203L, "\tboundary empties lead\n"),
+      (204L, "x"),
+      (205L, "one two"),
+      (206L, "UPPER Case Mixed grams İstanbul Straße here we go")
+    )
+    val d = (corpus ++ rep).toDF("id", "text")
+    Seq(2, 3, 8).foreach { n =>
+      val nat = d.select(col("id"),
+          call_function("graft_word_ngrams", col("text"), lit(n)).as("g"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+      val ref = d.select(col("id"),
+          Dedup.ngramsOfTokens(Dedup.tokens(col("text")), n).as("g"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+      nat.keys.toSeq.sorted.foreach { id =>
+        val expect = ref(id) match {
+          case l: List[_] if l.isEmpty => null // native: <n words → null (explode-equal)
+          case l => l
+        }
+        assert(nat(id) === expect, s"n=$n doc $id")
+      }
+    }
+  }
+
   test("falls back to the composed twin on a session without the native fn") {
     val bare = spark.newSession()
     bare.sessionState.functionRegistry.dropFunction(
