@@ -49,6 +49,29 @@ object QueriesPipeline {
           .forEach(p => { Files.deleteIfExists(p); () })
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Scratch-store bucket count derived from the INPUT fixture's on-disk
+    * size: a [[graft.sinks.BucketedMergeTarget]] commit repartitions by
+    * bucket before its partitioned write, so the commit's compute and
+    * write parallelism IS the bucket count — but each commit also pays a
+    * fixed per-bucket-file cost (footer read, manifest row, task), so a
+    * fixture-sized store must not fan out to cluster width. One bucket
+    * per ~4 MiB of source bytes, floored at 8 (the historical fixture
+    * sizing every recording used), capped at session parallelism:
+    * sf0.1's 2 MB events table stays at 8 (measured: 32 buckets there
+    * was 4.6 → 7.7 s — pure per-file overhead), the 100× rung's ~200 MB
+    * reaches the cap and stops idling ¾ of the cores across every
+    * commit. Bucketing is result-invisible by construction, so the
+    * oracle never sees the choice. */
+  private def scratchBuckets(s: SparkSession, dir: String, table: String): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(bytes).sum
+      else f.length
+    val b = bytes(new java.io.File(s"$dir/$table.parquet"))
+    math.max(8, math.min(s.sparkContext.defaultParallelism,
+      (b / (4L << 20)).toInt))
+  }
+
   // ---- shared fixture builders (Spark side) --------------------------
 
   /** documents ∪ near-dup copies (id+100000, two extra tokens), filtered
@@ -2003,7 +2026,11 @@ object QueriesPipeline {
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream.format("graft-store")
         .option("pk", "event_id").option("cursor", "ver")
-        .option("buckets", "8")
+        // size-derived bucket count (was a fixed 8): see [[scratchBuckets]]
+        // — at the 100× rung the 4 micro-batch merges ran at 8-way
+        // parallelism on 32 cores; at sf0.1 the fixed-8 sizing is optimal
+        // and is exactly what the rule yields there.
+        .option("buckets", scratchBuckets(s, dir, "events").toString)
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start(store)
       try q.processAllAvailable() finally q.stop()
