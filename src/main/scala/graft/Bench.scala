@@ -437,6 +437,35 @@ object Bench {
     System.err.println(f"[bench] fixture warm-touch (${stabilizerTables.size} " +
       f"slices) done in $stabilizerSec%.1f s (untimed)")
 
+    // ---- JIT quiesce (untimed) ----------------------------------------
+    // The registry-wide warmup enqueues thousands of generated methods
+    // for C2; on a slow host epoch that backlog drains minutes into the
+    // MAIN phase, and whichever query runs first (q1_agg, alphabetically)
+    // executes interpreted at full fan-out — the r15c rung's single
+    // suspect (169.1 s recorded, 3.37 s end-of-run probe, cpu 2,466 s).
+    // Wait for the JVM's cumulative JIT compilation time to go quiet
+    // before timing anything: poll CompilationMXBean until it advances
+    // < 200 ms over a 5 s window (cap 600 s), itemized as `quiesce_sec`.
+    // A warm epoch exits on the first poll; the measured phases start
+    // with the compiler idle either way.
+    val quiesce0 = System.nanoTime()
+    val quiesceSec = {
+      val cmx = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (cmx == null || !cmx.isCompilationTimeMonitoringSupported) 0.0
+      else {
+        var prev = cmx.getTotalCompilationTime
+        var quiet = false
+        while (!quiet && (System.nanoTime() - quiesce0) < 600L * 1000000000L) {
+          Thread.sleep(5000)
+          val now = cmx.getTotalCompilationTime
+          quiet = now - prev < 200
+          prev = now
+        }
+        (System.nanoTime() - quiesce0) / 1e9
+      }
+    }
+    System.err.println(f"[bench] JIT quiesce done in $quiesceSec%.1f s (untimed)")
+
     // ---- main phase: every query from a clean slate -------------------
     // The LSH family shares one banded-signature memo by design; under
     // per-query isolation each member used to re-pay the whole fill (plus
@@ -647,6 +676,7 @@ object Bench {
         s""""warmup_sec":${num(warmupSec, 1)},""" +
         s""""stabilizer_sec":${num(stabilizerSec, 1)},""" +
         s""""stabilizer_tables":$stabTabJs,""" +
+        s""""quiesce_sec":${num(quiesceSec, 1)},""" +
         s""""gc_ms":$gcs,"storage_mb":$stor,"load":$loads,""" +
         s""""cpu_sec":$cpuJs,"ext_share":$exts,"rerun_min":$rerunJs,""" +
         s""""cpu_stall":$cpuStallJs,"io_stall":$ioStallJs,""" +
