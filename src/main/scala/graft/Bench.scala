@@ -135,6 +135,20 @@ object Bench {
       // operator cost
       "q_incremental_cluster", "q_leakfree_split")
 
+  /** Queries that share the session-scoped ANN exact-ground-truth memo
+    * (round-16: the 7-member recall family each derived the SAME
+    * brute-force exact top-k — one corpus × queries scan per harness;
+    * the ground truth is an algorithmic obligation, the 7× redundant
+    * derivation was not). Same accounting as [[LshFamily]]: the fill is
+    * untimed and itemized in `fixture_sec` for every member EXCEPT the
+    * family's baseline harness, which keeps measuring it cold —
+    * q_ann_recall for the cosine ground truth, q_ann_recall_pq for the
+    * L2 one. The headline total still includes every fill. */
+  private val AnnCosineFamily =
+    Seq("q_ann_recall_probe", "q_ann_recall_target", "q_ann_recall_ivf",
+      "q_ann_recall_sq8")
+  private val AnnL2Family = Seq("q_ann_recall_ivfpq")
+
   private def gcMillis: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
@@ -244,6 +258,7 @@ object Bench {
     * live). */
   private def clearSessionState(spark: org.apache.spark.sql.SparkSession): Unit = {
     QueriesPipeline.invalidateLshCache()
+    QueriesPipeline.invalidateAnnExactCache()
     // drop the sliver FIFO first so its accounting never carries entries
     // the catalog-wide clear below is about to kill anyway (round-14
     // verdict #4b: stale already-unpersisted frames occupied Cap slots)
@@ -453,14 +468,24 @@ object Bench {
       val cmx = java.lang.management.ManagementFactory.getCompilationMXBean
       if (cmx == null || !cmx.isCompilationTimeMonitoringSupported) 0.0
       else {
+        // short first probe (ADVICE r15 #2): a warm epoch pays ~1 s here
+        // instead of an unconditional 5 s window per run; only a busy
+        // compiler escalates to the full 5 s/200 ms windows below
         var prev = cmx.getTotalCompilationTime
-        var quiet = false
+        Thread.sleep(1000)
+        var now = cmx.getTotalCompilationTime
+        var quiet = now - prev < 50
+        prev = now
         while (!quiet && (System.nanoTime() - quiesce0) < 600L * 1000000000L) {
           Thread.sleep(5000)
-          val now = cmx.getTotalCompilationTime
+          now = cmx.getTotalCompilationTime
           quiet = now - prev < 200
           prev = now
         }
+        if (!quiet)
+          System.err.println("[bench] JIT quiesce hit the 600 s cap with the " +
+            "compiler still busy — a pathological epoch; numbers may carry " +
+            "compile noise")
         (System.nanoTime() - quiesce0) / 1e9
       }
     }
@@ -495,6 +520,36 @@ object Bench {
         // failed attempt here would double-count it in the total
         if (bill && fillOk) fixtureSec(name) = (System.nanoTime() - f0) / 1e9
       }
+    // ANN recall family: pre-fill the shared exact-ground-truth memo
+    // (untimed, billed into fixture_sec exactly like the LSH fill) so the
+    // per-query number reads as harness cost — the baseline member of
+    // each metric family is NOT pre-filled and keeps measuring the
+    // ground-truth build cold, the q_minhash_pairs discipline.
+    def annFill(name: String, bill: Boolean): Unit = {
+      val metric =
+        if (AnnCosineFamily.contains(name)) Some("cosine")
+        else if (AnnL2Family.contains(name)) Some("l2")
+        else None
+      metric.foreach { m =>
+        val f0 = System.nanoTime()
+        val fillOk =
+          try {
+            QueriesPipeline.annExactTopK(spark, sfDir, m)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name ann-exact fixture fill FAILED " +
+              s"(its number below is fill-inclusive cold): ${e.getMessage}")
+            false
+          }
+        if (bill && fillOk)
+          fixtureSec(name) = fixtureSec.getOrElse(name, 0.0) +
+            (System.nanoTime() - f0) / 1e9
+      }
+    }
+    def fixtureFill(name: String, bill: Boolean): Unit = {
+      lshFill(name, bill); annFill(name, bill)
+    }
 
     // ---- floor protocol (round-14 verdict #1) --------------------------
     // The RECORDED per-query metric is the minimum over 2-4 isolated
@@ -513,7 +568,7 @@ object Bench {
     case class QRec(best: QStat, firstSec: Double, passes: Int)
     val results: Seq[(String, QRec)] = selected.map { case (name, fn) =>
       clearSessionState(spark)
-      lshFill(name, bill = true)
+      fixtureFill(name, bill = true)
       val first = timed(name, fn, failed ::= _)
       var best = first
       var passes = 1
@@ -521,7 +576,7 @@ object Bench {
       var continue = first.sec.isDefined
       while (continue && passes < 4) {
         clearSessionState(spark)
-        lshFill(name, bill = false)
+        fixtureFill(name, bill = false)
         val again = timed(name, fn, floorFailed ::= _)
         passes += 1
         again.sec match {
@@ -588,7 +643,7 @@ object Bench {
         clearSessionState(spark)
         // mirror the main phase's fixture treatment, so rerun_min is
         // comparable to the recorded per-query number
-        lshFill(name, bill = false)
+        fixtureFill(name, bill = false)
         timed(name, SparkEntry.queries(name), _ => ()).sec
       }
       val best = if (attempts.isEmpty) None else Some(attempts.min)
@@ -720,9 +775,31 @@ object Bench {
     println(s"""{"metric":"top_queries","n_shown":$topN,""" +
       s""""n_total":${results.size},"queries":{$topPacked}}""")
     // the LAST stdout line stays a short self-contained summary so the
-    // tail parse always sees one complete JSON object
+    // tail parse always sees one complete JSON object — and since
+    // round 16 it carries a `queries` map again (round-15 verdict #5:
+    // the driver extracts per-query data from the line it parses, which
+    // is this one; the full 145-query map overflows the ~2000-byte tail
+    // window, so the summary carries the slowest N packed to a byte
+    // budget that keeps (summary + sbt epilogue) inside the window —
+    // `queries_shown` says how many made it, the FULL map still lives
+    // in the big line above and in `SPARK_GRAFT_BENCH_OUT`). Protocol
+    // and metric definitions are otherwise FROZEN at the round-15 floor
+    // protocol: this is an output-ordering/visibility change only.
+    val sumBudget = 1500
+    val sumPacked = new StringBuilder
+    var sumN = 0
+    val sumIt = topEntries.iterator
+    var sumFull = false
+    while (!sumFull && sumIt.hasNext) {
+      val e = sumIt.next()
+      if (sumPacked.length + e.length + 1 <= sumBudget) {
+        if (sumN > 0) sumPacked.append(',')
+        sumPacked.append(e); sumN += 1
+      } else sumFull = true
+    }
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""queries":{$sumPacked},"queries_shown":$sumN,""" +
         s""""sf":"$sfDir","failed":${failed.size},""" +
         s""""self_certified":$selfCertified}"""
     println(summary)

@@ -62,12 +62,21 @@ object QueriesPipeline {
     * reaches the cap and stops idling ¾ of the cores across every
     * commit. Bucketing is result-invisible by construction, so the
     * oracle never sees the choice. */
-  private def scratchBuckets(s: SparkSession, dir: String, table: String): Int = {
-    def bytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(bytes).sum
-      else f.length
-    val b = bytes(new java.io.File(s"$dir/$table.parquet"))
+  private[graft] def scratchBuckets(s: SparkSession, dir: String, table: String): Int = {
+    // Hadoop FS, not java.io.File (round-15 ADVICE #1): on a non-local
+    // filesystem the java.io path silently measured 0 bytes and fell
+    // back to the 8-bucket floor, quietly losing the at-scale
+    // parallelism win — same resolution mechanism as corpusFingerprint.
+    val b =
+      try {
+        import org.apache.hadoop.fs.Path
+        val p = new Path(s"$dir/$table.parquet")
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    if (b <= 0L)
+      System.err.println(s"[graft] scratchBuckets: could not size " +
+        s"$dir/$table.parquet — falling back to the 8-bucket floor")
     math.max(8, math.min(s.sparkContext.defaultParallelism,
       (b / (4L << 20)).toInt))
   }
@@ -106,9 +115,10 @@ object QueriesPipeline {
     * `dir`'s documents table as (name, length, mtime), digested. A
     * driver-side metadata listing — no data read, negligible next to the
     * candidate computation it guards. */
-  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+  private def corpusFingerprint(s: SparkSession, dir: String,
+                                table: String = "documents"): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}
-    val root = new Path(s"$dir/documents.parquet")
+    val root = new Path(s"$dir/$table.parquet")
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     def walk(st: FileStatus): Seq[FileStatus] =
       if (st.isDirectory)
@@ -157,6 +167,82 @@ object QueriesPipeline {
         Dedup.minhashCandidatesManaged(nearDupCorpus(s, dir), "doc_id", col("text"),
           ngramN = 3, bands = 4, rowsPerBand = 3,
           hashFn = Dedup.md5Hex, maxBucket = 200))._1
+    }
+  }
+
+  /** One exact-ground-truth frame per (session, sfDir, embeddings
+    * identity, metric), shared by the ANN recall harness family
+    * (round-15 verdict next-round #5): all five cosine-metric harnesses
+    * (q_ann_recall/_probe/_target/_ivf/_sq8) rank the SAME exact
+    * brute-force top-20 — one corpus × queries scan each — and the two
+    * L2-metric harnesses (q_ann_recall_pq/_ivfpq) share theirs likewise.
+    * The ground truth is an algorithmic obligation; deriving it 7× was
+    * not. Entries are persisted (NOT localCheckpointed — an external
+    * clearCache must degrade to recompute, never to a dead handle),
+    * keyed by a fingerprint of the embeddings files so a rewritten
+    * fixture misses instead of serving stale truth. q_ann_recall_opq is
+    * deliberately NOT a consumer: its exact side ranks in ROTATED space
+    * over a different corpus frame (FP-identical only to its own
+    * rotated derivation). The bench bills the fill per consumer into
+    * `fixture_sec`, exactly like the LSH memo. */
+  private val annExactMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String, String), DataFrame]
+
+  /** Drop (and unpersist) the memoized ANN exact frames — every entry
+    * when `dir` is None. */
+  def invalidateAnnExactCache(dir: Option[String] = None): Unit =
+    annExactMemo.synchronized {
+      val doomed = annExactMemo
+        .filter { case ((_, d, _, _), _) => dir.forall(_ == d) }.keys.toSeq
+      doomed.foreach { k =>
+        try annExactMemo(k).unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+        annExactMemo.remove(k); ()
+      }
+    }
+
+  /** The shared exact ground truth for the recall family: per query
+    * (vec_id < 10), the exact top-20 corpus ids under `metric`
+    * ("cosine" | "l2") — 6-rounded score, id tiebreak, the exact frame
+    * every harness previously built inline (bit-identical: same
+    * expressions, [[Similarity.exactCosineTopK]]/[[Similarity.exactL2TopK]]
+    * are the extracted originals). Persisted; same session-hygiene rules
+    * as [[lshCandidates]]. */
+  private[graft] def annExactTopK(s: SparkSession, dir: String,
+                                  metric: String): DataFrame = {
+    val fp = corpusFingerprint(s, dir, "embeddings")
+    annExactMemo.synchronized {
+      annExactMemo.filterInPlace { case ((sess, _, _, _), _) =>
+        !sess.sparkContext.isStopped }
+      val stale = annExactMemo.keys
+        .filter { case (sess, d, f, _) => (sess eq s) && d == dir && f != fp }.toSeq
+      stale.foreach { k =>
+        try annExactMemo(k).unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+        annExactMemo.remove(k); ()
+      }
+      annExactMemo.getOrElseUpdate((s, dir, fp, metric), {
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val exact = metric match {
+          case "cosine" => Similarity.exactCosineTopK(e, queries,
+            "vec_id", "embedding", "query_id", "qv", 20)
+          case "l2" => Similarity.exactL2TopK(e, queries,
+            "vec_id", "embedding", "query_id", "qv", 20)
+          case other => throw new IllegalArgumentException(
+            s"unknown ANN exact metric '$other'")
+        }
+        exact.persist()
+      }) match {
+        // an external clearCache may have dropped the persist out from
+        // under the memoized handle — re-arm instead of silently
+        // recomputing per consumer (the persistedGateSig discipline)
+        case df =>
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.persist()
+          df
+      }
     }
   }
 
@@ -1923,16 +2009,20 @@ object QueriesPipeline {
       val store = root.resolve("sigs").toString
       val p = IncrementalDedup.LshParams(ngramN = 3, bands = 4, rowsPerBand = 3,
         hashFn = Dedup.md5Hex, maxBucket = 200)
-      // nBuckets sized to the FIXTURE (a few thousand signature rows):
-      // commit and probe fixed costs scale with bucket-file count, and a
-      // store this size in 32 buckets pays 4× the files for no pruning
-      // gain — at scale the bucket count grows with the store, the
-      // per-batch cost stays ∝ touched buckets either way
+      // nBuckets sized to the FIXTURE via [[scratchBuckets]] (round-16;
+      // was a fixed 8): commit and probe fixed costs scale with
+      // bucket-file count, so a fixture-sized store must not fan out to
+      // cluster width — the size rule yields exactly the historical 8 at
+      // sf0.1 and grows the commit/rewrite parallelism with the corpus
+      // (32 at the 100× rung, where the 8-way commits idled ¾ of the
+      // cores). Bucketing is result-invisible (probes span the buckets
+      // the keys hash into; reads are exact-key filtered either way).
+      val nb = scratchBuckets(s, dir, "documents")
       IncrementalDedup.appendBatch(accumulated, "doc_id", col("text"), store, 1L, p,
-        nBuckets = 8)
+        nBuckets = nb)
       val (cands, _) =
         IncrementalDedup.ingestBatch(batch, "doc_id", col("text"), store, 2L, p,
-          nBuckets = 8)
+          nBuckets = nb)
       // cands is already checkpointed (probeCandidates materializes before
       // releasing its persist) — the scratch store can go; repeated bench/
       // verify invocations must not accumulate orphaned stores in /tmp
@@ -1958,14 +2048,16 @@ object QueriesPipeline {
       // Round-5/6: updates run the DRIVER-LOCAL path (one fused
       // gate+collect job, two zero-shuffle pruned probes, then ONE
       // overlapped commit round — both stores stage concurrently,
-      // manifests publish byId-first — was ≈20 tiny jobs in round 4),
-      // and nBuckets=8 sizes the stores to the fixture (see
-      // q_incremental_dedup note); the per-batch cost curve stays flat
-      // (StoreGrowthBench), the property that matters at scale
+      // manifests publish byId-first — was ≈20 tiny jobs in round 4).
+      // nBuckets sized to the fixture via [[scratchBuckets]] (round-16;
+      // was a fixed 8 — at the 100× rung each ~1.5M-row commit rewrote
+      // through 8 buckets on 32 cores); the per-batch cost curve stays
+      // flat (StoreGrowthBench), the property that matters at scale.
+      val nb = scratchBuckets(s, dir, "documents")
       IncrementalCluster.update(edges.filter(col("id_a") % 2 === 0), byId, byRep, 1L,
-        nBuckets = 8)
+        nBuckets = nb)
       IncrementalCluster.update(edges.filter(col("id_a") % 2 =!= 0), byId, byRep, 2L,
-        nBuckets = 8)
+        nBuckets = nb)
       // materialize off the store, then reclaim the scratch dirs (see
       // q_incremental_dedup)
       val out = IncrementalCluster.assignments(s, byId).localCheckpoint(true)
@@ -1986,7 +2078,10 @@ object QueriesPipeline {
       val store = root.resolve("store").toString
       docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor"))
         .write.format("graft-store").option("pk", "doc_id")
-        .option("cursor", "cursor").option("buckets", "8")
+        .option("cursor", "cursor")
+        // size-derived (was a fixed 8): see [[scratchBuckets]] — 8 at
+        // sf0.1 (unchanged), commit parallelism grows with the fixture
+        .option("buckets", scratchBuckets(s, dir, "documents").toString)
         .mode("append").save(store)
       docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
@@ -2055,7 +2150,9 @@ object QueriesPipeline {
       val dst = root.resolve("dst").toString
       graft.sinks.BucketedMergeTarget.merge(
         docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor")),
-        src, Seq("doc_id"), "cursor", nBuckets = 8)
+        // size-derived (was a fixed 8): see [[scratchBuckets]]
+        src, Seq("doc_id"), "cursor",
+        nBuckets = scratchBuckets(s, dir, "documents"))
       var st = graft.streaming.StoreFollower.replicate(s, src, dst)
       graft.sinks.BucketedMergeTarget.applyBatch(
         docs.filter(col("doc_id") % 3 === 0)
@@ -2082,13 +2179,15 @@ object QueriesPipeline {
       val root = java.nio.file.Files.createTempDirectory("graft-streamsrc")
       val src = root.resolve("src").toString
       val dst = root.resolve("dst").toString
+      // size-derived on both ends (was a fixed 8): see [[scratchBuckets]]
+      val nb = scratchBuckets(s, dir, "documents")
       graft.sinks.BucketedMergeTarget.merge(
         docs.select(col("doc_id"), col("lang").as("v"), lit(1L).as("cursor")),
-        src, Seq("doc_id"), "cursor", nBuckets = 8)
+        src, Seq("doc_id"), "cursor", nBuckets = nb)
       val q = s.readStream.format("graft-store").load(src)
         .writeStream.format("graft-store")
         .option("pk", "doc_id").option("cursor", "cursor")
-        .option("buckets", "8")
+        .option("buckets", nb.toString)
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start(dst)
       try {
@@ -2097,7 +2196,7 @@ object QueriesPipeline {
           docs.filter(col("doc_id") % 3 === 0)
             .select(col("doc_id"), concat(col("lang"), lit("!")).as("v"),
               lit(2L).as("cursor")),
-          src, Seq("doc_id"), "cursor", nBuckets = 8)
+          src, Seq("doc_id"), "cursor", nBuckets = nb)
         q.processAllAvailable()
       } finally q.stop()
       val out = s.read.format("graft-store").load(dst)
@@ -2354,7 +2453,8 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.annRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, hPlanes = 3, portable = true)
+        "query_id", "qv", k = 20, hPlanes = 3, portable = true,
+        exactTopK = Some(annExactTopK(s, dir, "cosine")))
     }),
 
     // The same harness one knob over: Hamming-≤1 multi-probe. Read next
@@ -2365,7 +2465,8 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.annRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, hPlanes = 3, portable = true, probeRadius = 1)
+        "query_id", "qv", k = 20, hPlanes = 3, portable = true, probeRadius = 1,
+        exactTopK = Some(annExactTopK(s, dir, "cosine")))
     }),
 
     // The gated HIGH-RECALL operating point (round-7 "missing #1"): the
@@ -2379,7 +2480,8 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.annRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, hPlanes = 3, portable = true, probeRadius = 2)
+        "query_id", "qv", k = 20, hPlanes = 3, portable = true, probeRadius = 2,
+        exactTopK = Some(annExactTopK(s, dir, "cosine")))
     }),
 
     // IVF recall@20 at a PRODUCTION partial-probe setting — the second
@@ -2394,7 +2496,8 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.ivfRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, anchorCentroids(s, dir, 8), nProbe = 4)
+        "query_id", "qv", k = 20, anchorCentroids(s, dir, 8), nProbe = 4,
+        exactTopK = Some(annExactTopK(s, dir, "cosine")))
     }),
 
     // PQ recall@20 — the third harness family, over q_pq_ann's
@@ -2413,7 +2516,8 @@ object QueriesPipeline {
         anchors.map(a => java.util.Arrays.copyOfRange(a, sIdx * sub, (sIdx + 1) * sub))
       }.toArray
       Similarity.pqRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, books)
+        "query_id", "qv", k = 20, books,
+        exactTopK = Some(annExactTopK(s, dir, "l2")))
     }),
 
     // IVF-residual PQ + exact refine — the family's USABLE operating
@@ -2435,7 +2539,8 @@ object QueriesPipeline {
       val books = Similarity.ivfPqAnchorBooks(e, "vec_id", "embedding",
         cents, m = 8, nBooks = 16)
       Similarity.ivfPqRecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20, cents, books, nProbe = 4, refine = 200)
+        "query_id", "qv", k = 20, cents, books, nProbe = 4, refine = 200,
+        exactTopK = Some(annExactTopK(s, dir, "l2")))
     }),
 
     // The OPQ-lite twin: the identical anchor-regime IVFPQ chain run in
@@ -2450,9 +2555,15 @@ object QueriesPipeline {
     // cell/book/ADC/refine chain in rotated space.
     "q_ann_recall_opq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val eR = Similarity.withRotatedNative(e, "embedding", dim = 64,
+      // the ROTATED corpus is consumed by ~5 subtrees of this one plan
+      // (centroid collect, anchor books, the encode scan, the exact
+      // side, the refine re-rank join) and the rotation — dim² mults
+      // per row — re-executed for each (SCALE.md r12 measurement);
+      // compute-once caches the rotated sliver through the bounded
+      // SliverCache, same discipline as the web flagships' base
+      val eR = computeOnce(Similarity.withRotatedNative(e, "embedding", dim = 64,
           seed = 42L, outCol = "__rv")
-        .select(col("vec_id"), col("__rv").as("embedding"))
+        .select(col("vec_id"), col("__rv").as("embedding")))
       val queries = eR.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val cents = eR.filter(col("vec_id") < 8).orderBy("vec_id")
@@ -2474,7 +2585,8 @@ object QueriesPipeline {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.sq8RecallAtK(e, queries, "vec_id", "embedding",
-        "query_id", "qv", k = 20)
+        "query_id", "qv", k = 20,
+        exactTopK = Some(annExactTopK(s, dir, "cosine")))
     }),
 
     // IVF cell-balance diagnostic over the anchor-centroid regime

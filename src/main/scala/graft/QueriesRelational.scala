@@ -181,14 +181,20 @@ object QueriesRelational {
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
       s.sql("DROP TABLE IF EXISTS graft_co_orders")
       s.sql("DROP TABLE IF EXISTS graft_co_lineitem")
-      // 32 buckets = the session's core count: the whole point of the
-      // bucketed layout is that the join runs WITHOUT an exchange, so
-      // its parallelism IS the bucket count — 8 buckets left 3/4 of the
-      // cores idle for the join stage at the 100× fixture (and a real
-      // deployment sizes buckets to cluster parallelism, not fixtures)
-      graft.operators.Colocate.writeBucketed(o, "graft_co_orders", 32,
+      // Bucket count sized from the INPUT BYTES (round-15 verdict #1:
+      // this was a hardcoded 32 "= the session's core count" — a
+      // local[32] literal that quadrupled per-bucket file overhead at
+      // sf0.1, 1.53 → 3.44 s driver-measured, while the rung win came
+      // from parallelism, not from 32 specifically). Same rule as
+      // [[QueriesPipeline.scratchBuckets]]: ~4 MiB of the larger join
+      // side per bucket, floored at the historical 8, capped at session
+      // parallelism — sf0.1's ~10 MB lineitem stays at 8 (the r14
+      // shape), the 100× rung's ~1 GB reaches the cap and the
+      // exchange-free join stops idling ¾ of the cores.
+      val nb = QueriesPipeline.scratchBuckets(s, dir, "lineitem")
+      graft.operators.Colocate.writeBucketed(o, "graft_co_orders", nb,
         Seq("o_orderkey"))
-      graft.operators.Colocate.writeBucketed(l, "graft_co_lineitem", 32,
+      graft.operators.Colocate.writeBucketed(l, "graft_co_lineitem", nb,
         Seq("o_orderkey"))
       val out = s.table("graft_co_orders")
         .join(s.table("graft_co_lineitem"), "o_orderkey")

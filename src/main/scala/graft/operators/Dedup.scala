@@ -690,11 +690,21 @@ object Dedup {
   def detectionReport(planted: DataFrame,
                       stages: Seq[(String, DataFrame)]): DataFrame = {
     val nPlanted = planted.count()
+    // one broadcast LEFT join + ONE aggregate per stage (round-16): the
+    // previous two-aggregate form (count pairs; count pairs⋈planted)
+    // evaluated each stage's `flagged` subtree TWICE in the same plan —
+    // for q_dedup_recall's "verified" stage that was the whole
+    // ngramJaccard lineage re-executed. The left join tags each flagged
+    // pair with planted membership, so both counts fold in a single
+    // pass: count(*) = n_flagged exactly (planted pairs are distinct'd,
+    // so the join never multiplies rows), count(__p) = n_hit.
+    val plantedTag = broadcast(
+      planted.select(col("id_a"), col("id_b")).distinct()
+        .withColumn("__p", lit(1)))
     stages.map { case (name, flagged) =>
-      val pairs = flagged.select(col("id_a"), col("id_b"))
-      val hits = pairs.join(broadcast(planted), Seq("id_a", "id_b"))
-      pairs.agg(count(lit(1)).as("n_flagged"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      flagged.select(col("id_a"), col("id_b"))
+        .join(plantedTag, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_flagged"), count(col("__p")).as("n_hit"))
         .select(lit(name).as("stage"), lit(nPlanted).as("n_planted"),
           col("n_flagged"), col("n_hit"),
           round(col("n_hit").cast("double") /

@@ -268,10 +268,53 @@ object Similarity {
     * harness over a sampled slice, recall estimates converge fast), once
     * against the bucketed corpus for the LSH ranking (bucket-pruned).
     * Everything after the scans is ∝ |queries|·k. */
+  /** Exact brute-force cosine top-k per query — the recall harnesses'
+    * shared GROUND TRUTH (round-16: q_ann_recall/_probe/_target/_ivf/
+    * _sq8 each re-derived this identical frame; the derivation is one
+    * corpus × queries scan, the single most expensive stage of every
+    * cosine-metric harness). Per query: the k corpus ids ranked by
+    * 6-rounded cosine, id tiebreak — bit-identical to the inline exact
+    * side each harness previously built. Callers that run several
+    * harnesses over the SAME (corpus, queries, k) compute this once
+    * (persisted) and pass it via the harnesses' `exactTopK` parameter. */
+  def exactCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, qidCol: String, qVecCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    corpus.crossJoin(broadcast(queries.select(col(qidCol), col(qVecCol))))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
+      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+      .select(col(qidCol), col(idCol))
+  }
+
+  /** Exact squared-L2 top-k per query — the ground truth shared by the
+    * PQ-metric harnesses (q_ann_recall_pq / q_ann_recall_ivfpq rank
+    * exact by ADC's own metric). Same contract as [[exactCosineTopK]]. */
+  def exactL2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, qidCol: String, qVecCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = aggregate(
+      zip_with(col(vecCol), col(qVecCol),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val win = Window.partitionBy(col(qidCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    corpus.crossJoin(broadcast(queries.select(col(qidCol), col(qVecCol))))
+      .select(col(qidCol), col(idCol), round(d2, 6).as("__d"))
+      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
+      .select(col(qidCol), col(idCol))
+  }
+
   def annRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, qidCol: String, qVecCol: String,
                    k: Int, hPlanes: Int, portable: Boolean = false,
-                   probeRadius: Int = 0): DataFrame = {
+                   probeRadius: Int = 0,
+                   exactTopK: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = peekDim(corpus, vecCol)
     val qb = queries.select(col(qidCol), col(qVecCol),
@@ -281,11 +324,8 @@ object Similarity {
       else withSrpBucket(corpus, vecCol, hPlanes, portable)
     val win = Window.partitionBy(col(qidCol))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
-    val exact = corpus.crossJoin(broadcast(qb.select(col(qidCol), col(qVecCol))))
-      .select(col(qidCol), col(idCol),
-        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
-      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
-      .select(col(qidCol), col(idCol))
+    val exact = exactTopK.getOrElse(
+      exactCosineTopK(corpus, queries, idCol, vecCol, qidCol, qVecCol, k))
     // multi-probe: a bucket within Hamming ≤ radius of the query's is a
     // probe target — the xor/bit_count algebraic form of probeBuckets.
     // radius 0 keeps the plain equi-join (hash-joinable at scale).
@@ -324,7 +364,8 @@ object Similarity {
   def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, qidCol: String, qVecCol: String,
                    k: Int, centroids: Array[Array[Double]],
-                   nProbe: Int): DataFrame = {
+                   nProbe: Int,
+                   exactTopK: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dStructs = centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2ToLiteral(col(qVecCol), c).as("d"), lit(i).as("i"))
@@ -337,11 +378,8 @@ object Similarity {
       else withIvfCell(corpus, vecCol, centroids)
     val win = Window.partitionBy(col(qidCol))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
-    val exact = corpus.crossJoin(broadcast(qb.select(col(qidCol), col(qVecCol))))
-      .select(col(qidCol), col(idCol),
-        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
-      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
-      .select(col(qidCol), col(idCol))
+    val exact = exactTopK.getOrElse(
+      exactCosineTopK(corpus, queries, idCol, vecCol, qidCol, qVecCol, k))
     val cand = celled.join(broadcast(qb),
       array_contains(col("__probe"), col("ivf_cell")))
     val ivf = cand
@@ -396,23 +434,17 @@ object Similarity {
     * side-by-side with the bucket-pruned families' candidate counts. */
   def pqRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, qidCol: String, qVecCol: String,
-                  k: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+                  k: Int, codebooks: Array[Array[Array[Double]]],
+                  exactTopK: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qb = queries.select(col(qidCol), col(qVecCol))
     val encoded =
       if (corpus.columns.contains("pq_code")) corpus
       else pqEncode(corpus, vecCol, codebooks)
-    val d2 = aggregate(
-      zip_with(col(vecCol), col(qVecCol),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
     val exactWin = Window.partitionBy(col(qidCol))
       .orderBy(col("__d").asc, col(idCol).asc)
-    val exact = corpus.crossJoin(broadcast(qb))
-      .select(col(qidCol), col(idCol), round(d2, 6).as("__d"))
-      .withColumn("__r", row_number().over(exactWin)).filter(col("__r") <= k)
-      .select(col(qidCol), col(idCol))
+    val exact = exactTopK.getOrElse(
+      exactL2TopK(corpus, queries, idCol, vecCol, qidCol, qVecCol, k))
     val scored = encoded.crossJoin(broadcast(qb))
       .select(col(qidCol), col(idCol),
         round(pqAdcTo(col("pq_code"), col(qVecCol), codebooks), 6).as("__d"))
@@ -479,7 +511,7 @@ object Similarity {
     * composing with IVF/SRP row pruning rather than competing with it. */
   def sq8RecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, qidCol: String, qVecCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, exactTopK: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qb = queries.select(col(qidCol), col(qVecCol))
     val encoded =
@@ -487,11 +519,8 @@ object Similarity {
       else sq8Encode(corpus, vecCol)
     val win = Window.partitionBy(col(qidCol))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
-    val exact = corpus.crossJoin(broadcast(qb))
-      .select(col(qidCol), col(idCol),
-        round(cosine(col(vecCol), col(qVecCol)), 6).as("cos_sim"))
-      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
-      .select(col(qidCol), col(idCol))
+    val exact = exactTopK.getOrElse(
+      exactCosineTopK(corpus, queries, idCol, vecCol, qidCol, qVecCol, k))
     val scored = encoded.crossJoin(broadcast(qb))
       .select(col(qidCol), col(idCol),
         round(cosine(col("sq8_code"), col(qVecCol)), 6).as("cos_sim"))
@@ -1021,7 +1050,8 @@ object Similarity {
                      vecCol: String, qidCol: String, qVecCol: String,
                      k: Int, centroids: Array[Array[Double]],
                      codebooks: Array[Array[Array[Double]]],
-                     nProbe: Int, refine: Int = 0): DataFrame = {
+                     nProbe: Int, refine: Int = 0,
+                     exactTopK: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dStructs = centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2ToLiteral(col(qVecCol), c).as("d"), lit(i).as("i"))
@@ -1039,10 +1069,8 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val win = Window.partitionBy(col(qidCol))
       .orderBy(col("__d").asc, col(idCol).asc)
-    val exact = corpus.crossJoin(broadcast(qb.select(col(qidCol), col(qVecCol))))
-      .select(col(qidCol), col(idCol), round(d2, 6).as("__d"))
-      .withColumn("__r", row_number().over(win)).filter(col("__r") <= k)
-      .select(col(qidCol), col(idCol))
+    val exact = exactTopK.getOrElse(
+      exactL2TopK(corpus, queries, idCol, vecCol, qidCol, qVecCol, k))
     val cand = encoded.join(broadcast(qb),
       array_contains(col("__probe"), col("ivf_cell")))
     val adcRanked = cand

@@ -340,10 +340,43 @@ object BucketedMergeTarget {
                             dropFromOld: Set[Int], nBuckets: Int,
                             bucketCols: Seq[String] = Nil,
                             pkCols: Seq[String] = Nil,
-                            compactedFrom: Long = -1L): MergeStats =
+                            compactedFrom: Long = -1L,
+                            preBucketed: Boolean = false): MergeStats =
     publishVersion(spark,
       prepareVersion(spark, path, existing, data, dropFromOld, nBuckets,
-        bucketCols, pkCols, compactedFrom = compactedFrom))
+        bucketCols, pkCols, preBucketed = preBucketed,
+        compactedFrom = compactedFrom))
+
+  /** Latest-per-key computed BUCKET-LOCALLY after ONE exchange by the
+    * bucket column (round-16, guide §2.4 "remove shuffles outright"):
+    * the bucket is a pure function of a PK subset, so co-locating rows
+    * by bucket co-locates every version of a key, and a groupBy over
+    * (pk ∪ bucket) then needs NO further exchange (HashPartitioning on
+    * the bucket column satisfies the clustered distribution of any
+    * superset) — and the output is already laid out for the partitioned
+    * commit write, so [[prepareVersion]]'s own repartition is skipped
+    * (`preBucketed`). The merge commit previously paid THREE batch
+    * exchanges: latest-per-key over the batch (hash by pk), latest-per-
+    * key over stored ∪ batch (hash by pk again), then the repartition by
+    * bucket. Semantics are [[IncrementalSync.latestByKey]]'s exactly —
+    * max-cursor-per-key over whatever flows in; dropping the batch-side
+    * PRE-dedup is sound because latest(stored ∪ batch) ==
+    * latest(stored ∪ latest(batch)) — and the aggregate's parallelism is
+    * the bucket count, which the size-derived bucket rules grow with the
+    * store. Output columns ride in latestByKey's order (pk, then value
+    * columns in input order) so manifests and specs see no difference. */
+  private def latestPerBucket(df: DataFrame, pkCols: Seq[String],
+                              cursorCol: String): DataFrame = {
+    val valueCols = df.columns.filterNot(c => pkCols.contains(c) || c == BucketCol)
+    df.repartition(col(BucketCol))
+      .groupBy((pkCols :+ BucketCol).map(col): _*)
+      .agg(max_by(struct(valueCols.toIndexedSeq.map(col): _*), col(cursorCol))
+        .as("__latest"))
+      .select(pkCols.map(col) ++ df.columns.filterNot(pkCols.contains).map {
+        case BucketCol => col(BucketCol)
+        case c => col(s"__latest.$c").as(c)
+      }: _*)
+  }
 
   private def prepareVersion(spark: SparkSession, path: String,
                              existing: Option[Manifest], data: DataFrame,
@@ -591,9 +624,32 @@ object BucketedMergeTarget {
       .intersect(m.buckets.keySet)
     if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      readBuckets(spark, path, m, touched).drop(BucketCol)
-        .filter(col(probeCol).isInCollection(distinctKeys))
+    else {
+      val pruned = readBuckets(spark, path, m, touched).drop(BucketCol)
+      // Small probes keep the IN filter (pushes to the parquet scan, no
+      // join in the plan). LARGE probes must not: `isInCollection` builds
+      // an In expression with one Literal CHILD PER KEY, and every
+      // analyzer/optimizer pass walks that tree — measured at the 100×
+      // rung (q_incremental_cluster batch 2, ~1M touched ids against 8
+      // bucket files): 95 s byId + 56 s byRep, nearly all driver-side
+      // plan work. A broadcast LEFT SEMI join against a local relation
+      // of the keys is the same predicate (exact equality, null-free
+      // keys) with a constant-size plan: the same probe pair measured
+      // 3.7 + 11.9 s after the switch (IncProfile, same fixture/epoch).
+      // Threshold is deliberately far
+      // above any point-lookup use (store probes are ≤ a few thousand
+      // keys) and far below the edge-batch regime.
+      if (distinctKeys.size <= 10000)
+        pruned.filter(col(probeCol).isInCollection(distinctKeys))
+      else {
+        import scala.jdk.CollectionConverters._
+        val keyRel = spark.createDataFrame(
+          distinctKeys.map(k => Row(k)).asJava,
+          StructType(Seq(org.apache.spark.sql.types.StructField(
+            probeCol, keyType, nullable = false))))
+        pruned.join(broadcast(keyRel), Seq(probeCol), "left_semi")
+      }
+    }
   }
 
   /** The bucket [[withBucket]] assigns these key values, computed on the
@@ -757,15 +813,19 @@ object BucketedMergeTarget {
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
     val bc = resolveBucketCols(existing, pkCols, bucketCols)
-    val bucketed = withBucket(
-      IncrementalSync.latestByKey(batch, pkCols, cursorCol), bc, nb)
+    // the RAW batch, bucketed — no pre-dedup pass: the single
+    // latest-per-key in [[latestPerBucket]] below subsumes it
+    // (latest(stored ∪ batch) == latest(stored ∪ latest(batch))), and
+    // the batch previously paid that extra exchange+aggregate on every
+    // commit
+    val bucketed = withBucket(batch, bc, nb)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = bucketed.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.isEmpty)
         return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
-      val merged = existing match {
+      val unioned = existing match {
         case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
           // allowMissingColumns = additive schema evolution: a batch with
           // a NEW column merges (old rows null-fill it; the manifest
@@ -773,10 +833,8 @@ object BucketedMergeTarget {
           // null-fills its own rows — latest-wins applies per whole row.
           // Dropping columns is not supported (a column once present
           // persists; write a new target to truly remove one).
-          IncrementalSync.latestByKey(
-            readBuckets(spark, path, m, touched)
-              .unionByName(bucketed, allowMissingColumns = true),
-            pkCols, cursorCol)
+          readBuckets(spark, path, m, touched)
+            .unionByName(bucketed, allowMissingColumns = true)
         case Some(m) =>
           // no touched bucket currently holds rows, but the STORE schema
           // must still survive this commit: the manifest schema is derived
@@ -787,8 +845,9 @@ object BucketedMergeTarget {
           addMissingColumns(bucketed, m.schema)
         case None => bucketed
       }
-      commitVersion(spark, path, existing, merged, touched, nb,
-        bc, pkCols)
+      commitVersion(spark, path, existing,
+        latestPerBucket(unioned, pkCols, cursorCol), touched, nb,
+        bc, pkCols, preBucketed = true)
     } finally { bucketed.unpersist(); () }
   }
 
@@ -808,8 +867,9 @@ object BucketedMergeTarget {
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
     val bc = resolveBucketCols(existing, pkCols, bucketCols)
-    val bucketed = withBucket(
-      IncrementalSync.latestByKey(upserts, pkCols, cursorCol), bc, nb)
+    // raw upserts bucketed — the single latest-per-key in
+    // [[latestPerBucket]] subsumes the former batch-side pre-dedup
+    val bucketed = withBucket(upserts, bc, nb)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val delKeyed = withBucket(deletes.select(pkCols.map(col): _*).distinct(), bc, nb)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -821,17 +881,17 @@ object BucketedMergeTarget {
           .collect().map(_.getInt(0)).toSet.intersect(owned) // delete-only buckets must exist to matter
       if (touched.isEmpty)
         return MergeStats(existing.map(_.version).getOrElse(0L), 0, nb, 0L)
-      val merged = existing match {
+      val unioned = existing match {
         case Some(m) if m.buckets.keySet.intersect(touched).nonEmpty =>
-          val remaining = readBuckets(spark, path, m, touched)
+          readBuckets(spark, path, m, touched)
             .join(delKeyed.drop(BucketCol), pkCols, "left_anti")
-          IncrementalSync.latestByKey(
-            remaining.unionByName(bucketed, allowMissingColumns = true),
-            pkCols, cursorCol)
+            .unionByName(bucketed, allowMissingColumns = true)
         case Some(m) => addMissingColumns(bucketed, m.schema)
         case None => bucketed
       }
-      commitVersion(spark, path, existing, merged, touched, nb, bc, pkCols)
+      commitVersion(spark, path, existing,
+        latestPerBucket(unioned, pkCols, cursorCol), touched, nb, bc, pkCols,
+        preBucketed = true)
     } finally { bucketed.unpersist(); delKeyed.unpersist(); () }
   }
 
@@ -925,10 +985,11 @@ object BucketedMergeTarget {
     val existing = currentManifest(spark, path)
     val nb = existing.map(_.nBuckets).getOrElse(nBuckets)
     val bc = resolveBucketCols(existing, pkCols, bucketCols)
-    val bucketed = withBucket(
-      IncrementalSync.latestByKey(data, pkCols, cursorCol), bc, nb)
-    commitVersion(spark, path, existing, bucketed,
+    // one exchange (see [[latestPerBucket]]): dedup runs bucket-local
+    // after the bucket repartition the commit write needed anyway
+    commitVersion(spark, path, existing,
+      latestPerBucket(withBucket(data, bc, nb), pkCols, cursorCol),
       existing.map(_.buckets.keySet).getOrElse(Set.empty), nb,
-      bc, pkCols)
+      bc, pkCols, preBucketed = true)
   }
 }

@@ -23,22 +23,24 @@ object PlanDump {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
-    names.foreach { name =>
+    // NonFatal only (round-15 ADVICE #3): swallowing an OutOfMemoryError
+    // and looping on would write misleading FAILED files for every
+    // later query; and stop the session even when a dump throws.
+    try names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
         System.err.println(s"[plandump] $name ok (${plan.length} chars)")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"),
           s"PLAN DUMP FAILED: ${e.getMessage}\n")
       }
       // gates persist slivers and commit temp stores; clear between dumps
       QueriesToolSupport.clear(spark)
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }
 
@@ -46,6 +48,7 @@ object PlanDump {
 private[tools] object QueriesToolSupport {
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.QueriesPipeline.invalidateLshCache()
+    graft.QueriesPipeline.invalidateAnnExactCache()
     graft.core.SliverCache.clear()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

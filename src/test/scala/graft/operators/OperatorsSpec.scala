@@ -448,6 +448,52 @@ class OperatorsSpec extends AnyFunSuite {
       s"lossless PQ must reproduce the exact L2 top-k: $out")
   }
 
+  test("recall harnesses: shared precomputed exact top-k == inline derivation") {
+    // round-16 pin: the harnesses' exactTopK parameter (the shared
+    // ground-truth memo the ANN recall family feeds through) must be a
+    // pure compute-once of the inline exact side — row-identical output
+    // on every harness, cosine and L2 metric alike
+    val data = vecs((0L to 40L).map(i =>
+      i -> Seq(math.sin(i * 0.7 + 0.2).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 2.1).toFloat, math.cos(i * 0.4).toFloat)): _*)
+    val queries = data.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exactCos = Similarity.exactCosineTopK(data, queries, "vec_id",
+      "embedding", "qid", "qv", k = 7).persist()
+    val exactL2 = Similarity.exactL2TopK(data, queries, "vec_id",
+      "embedding", "qid", "qv", k = 7).persist()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    try {
+      assert(rows(Similarity.annRecallAtK(data, queries, "vec_id", "embedding",
+        "qid", "qv", k = 7, hPlanes = 3, portable = true,
+        exactTopK = Some(exactCos))) ==
+        rows(Similarity.annRecallAtK(data, queries, "vec_id", "embedding",
+          "qid", "qv", k = 7, hPlanes = 3, portable = true)))
+      val cents = Similarity.kmeansCentroids(data, "embedding", k = 3, iters = 3)
+      assert(rows(Similarity.ivfRecallAtK(data, queries, "vec_id", "embedding",
+        "qid", "qv", k = 7, cents, nProbe = 2, exactTopK = Some(exactCos))) ==
+        rows(Similarity.ivfRecallAtK(data, queries, "vec_id", "embedding",
+          "qid", "qv", k = 7, cents, nProbe = 2)))
+      assert(rows(Similarity.sq8RecallAtK(data, queries, "vec_id", "embedding",
+        "qid", "qv", k = 7, exactTopK = Some(exactCos))) ==
+        rows(Similarity.sq8RecallAtK(data, queries, "vec_id", "embedding",
+          "qid", "qv", k = 7)))
+      val books = Similarity.pqTrain(data, "embedding", m = 2, k = 4)
+      assert(rows(Similarity.pqRecallAtK(data, queries, "vec_id", "embedding",
+        "qid", "qv", k = 7, books, exactTopK = Some(exactL2))) ==
+        rows(Similarity.pqRecallAtK(data, queries, "vec_id", "embedding",
+          "qid", "qv", k = 7, books)))
+      val ivfBooks = Similarity.ivfPqAnchorBooks(data, "vec_id", "embedding",
+        cents, m = 2, nBooks = 4)
+      assert(rows(Similarity.ivfPqRecallAtK(data, queries, "vec_id", "embedding",
+        "qid", "qv", k = 7, cents, ivfBooks, nProbe = 2, refine = 10,
+        exactTopK = Some(exactL2))) ==
+        rows(Similarity.ivfPqRecallAtK(data, queries, "vec_id", "embedding",
+          "qid", "qv", k = 7, cents, ivfBooks, nProbe = 2, refine = 10)))
+    } finally { exactCos.unpersist(); exactL2.unpersist(); () }
+  }
+
   // ---- TextAnalysis ---------------------------------------------------
 
   test("bpePairCounts: frequency-weighted adjacent pairs, deterministic top") {
