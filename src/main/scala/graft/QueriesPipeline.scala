@@ -3400,26 +3400,38 @@ object QueriesPipeline {
       // matching maxFilesPerTrigger below. The per-slice file count
       // must be exact or trigger boundaries misalign — assert loudly.
       val filesPerArrival = 8
-      (0 until 3).foreach { b =>
-        val tmp = root.resolve(s"tmp$b")
-        docs.filter(col("doc_id") % 3 === b)
-          .repartition(filesPerArrival).write.parquet(tmp.toString)
-        val parts = tmp.toFile.listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).sortBy(_.getName)
-        assert(parts.length == filesPerArrival,
-          s"arrival $b wrote ${parts.length} files, need $filesPerArrival")
-        parts.zipWithIndex.foreach { case (part, i) =>
-          val dst = in.resolve(s"arrival$b-$i.parquet").toFile
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          // mtime IS the admission order; space the arrivals far past
-          // any filesystem timestamp granularity — and fail loudly if
-          // the filesystem refuses, or the only symptom is a
-          // downstream oracle mismatch
-          assert(dst.setLastModified(t0 + b * 60000L),
-            s"setLastModified failed for $dst — arrival order would break")
-        }
-        rmTree(tmp)
+      // the three dump writes are INDEPENDENT jobs over disjoint doc_id
+      // slices — submit them concurrently (guide §2.6 overlap
+      // independent jobs: each write's task tail leaves most cores idle;
+      // the next slice's tasks back-fill them). Admission order is
+      // carried entirely by the planted mtimes, not by write completion
+      // order, so concurrency cannot reorder arrivals.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = (0 until 3).map { b => Future {
+          val tmp = root.resolve(s"tmp$b")
+          docs.filter(col("doc_id") % 3 === b)
+            .repartition(filesPerArrival).write.parquet(tmp.toString)
+          val parts = tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).sortBy(_.getName)
+          assert(parts.length == filesPerArrival,
+            s"arrival $b wrote ${parts.length} files, need $filesPerArrival")
+          parts.zipWithIndex.foreach { case (part, i) =>
+            val dst = in.resolve(s"arrival$b-$i.parquet").toFile
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            // mtime IS the admission order; space the arrivals far past
+            // any filesystem timestamp granularity — and fail loudly if
+            // the filesystem refuses, or the only symptom is a
+            // downstream oracle mismatch
+            assert(dst.setLastModified(t0 + b * 60000L),
+              s"setLastModified failed for $dst — arrival order would break")
+          }
+          rmTree(tmp)
+        } }
+        writes.foreach(Await.result(_, 600.seconds))
       }
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", filesPerArrival).parquet(in.toString)

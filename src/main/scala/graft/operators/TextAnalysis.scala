@@ -657,7 +657,32 @@ object TextAnalysis {
             lit(0.5) * (col("__c_t").cast("double") / lit(nTokens.toDouble))))
           .cast("long"))
       .select(col("prev"), col("tok"), col("__micro_bi"))
-    val docBi = bigrams.join(biCost, Seq("prev", "tok"))
+    // Round-16 (#10 retest, guide §3.1/§3.2 "pick the strategy
+    // deliberately"): the cost join was the operator's dominant stage —
+    // the occurrence stream met the cost table in a shuffle join, and
+    // the cost table's lineage (explode + vocab agg + two uni joins)
+    // re-evaluated the corpus explode a second time. The cost table is
+    // the OBSERVED bigram vocabulary, which the planner cannot size from
+    // estimates but the operator can measure exactly: persist + count
+    // (one job; the count fills the cache, so the join side never
+    // re-derives the lineage), then BROADCAST it when it is provably
+    // small — measured at the 100× rung: vocabulary 93,100 rows ≈ 3 MB,
+    // end-to-end 22.5 → 12.4–15.9 s. Above the bound (a genuinely open
+    // vocabulary at corpus scale) the shuffle join stands, minus the
+    // duplicate lineage (the persisted table is computed once either
+    // way); 4M rows ≈ a ~160 MB broadcast, inside §3.1's comfort band.
+    // nTokens (an input the caller already computed) bounds the bigram
+    // vocabulary, so a small corpus broadcasts with NO extra job; only a
+    // corpus whose token count leaves the question open pays the
+    // persist+count probe.
+    val MaxBroadcastVocab = 4000000L
+    val costSide =
+      if (nTokens <= MaxBroadcastVocab) broadcast(biCost)
+      else {
+        val biCostP = biCost.persist()
+        if (biCostP.count() <= MaxBroadcastVocab) broadcast(biCostP) else biCostP
+      }
+    val docBi = bigrams.join(costSide, Seq("prev", "tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_bi"), sum(col("__micro_bi")).as("__sum_bi"))
     val docFirst = toks

@@ -72,6 +72,55 @@ object BigramProfile {
     stage("full bigramSurprise") {
       noop(TextAnalysis.bigramSurprise(docs, "doc_id", col("text"), nTokens))
     }
+
+    // ---- candidate variants (round-16 #10 retest) ----------------------
+    // (a) explicit broadcast of the cost side: if AQE was not already
+    // broadcasting, this removes the occurrence-stream exchange
+    stage("docBi variant: broadcast(biCost)") {
+      noop(bigrams.join(broadcast(biCost), Seq("prev", "tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n_bi"), sum(col("__micro_bi")).as("__sum_bi")))
+    }
+    // (b) one shared exchange: partition the occurrence stream by
+    // (prev,tok) once; the vocab agg runs exchange-free on it and the
+    // cost join reuses the same exchange (shuffled-hash, no 60M-row sort)
+    stage("docBi variant: shared exchange + SHJ") {
+      val bigramsP = bigrams.repartition(col("prev"), col("tok"))
+      val bcnt2 = bigramsP.groupBy(col("prev"), col("tok"))
+        .agg(count(lit(1)).as("__c_bt"))
+      val biCost2 = bcnt2
+        .join(uni.select(col("tok").as("prev"), col("__c_t").as("__c_prev")), Seq("prev"))
+        .join(uni, Seq("tok"))
+        .withColumn("__micro_bi",
+          round(lit(-1e6) * log(
+            lit(0.5) * (col("__c_bt").cast("double") / col("__c_prev")) +
+              lit(0.5) * (col("__c_t").cast("double") / lit(nTokens.toDouble))))
+            .cast("long"))
+        .select(col("prev"), col("tok"), col("__micro_bi"))
+      noop(bigramsP.join(biCost2.hint("shuffle_hash"), Seq("prev", "tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n_bi"), sum(col("__micro_bi")).as("__sum_bi")))
+    }
+    // (c) full operator with broadcast cost side, for the end-to-end delta
+    stage("full variant: broadcast cost side") {
+      val biCostB = broadcast(biCost)
+      val docBi = bigrams.join(biCostB, Seq("prev", "tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n_bi"), sum(col("__micro_bi")).as("__sum_bi"))
+      val uniCost = uni.withColumn("__micro_uni",
+        round(lit(1e6) * log(lit(nTokens.toDouble) / col("__c_t"))).cast("long"))
+      val docFirst = toks
+        .select(col("doc_id"), element_at(col("__w"), 1).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(uniCost.select(col("tok"), col("__micro_uni")), Seq("tok"))
+        .select(col("doc_id"), col("__micro_uni"))
+      noop(docFirst.join(docBi, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("__n_bi"), lit(0L)) + 1L).as("n_tokens"),
+          (col("__micro_uni") + coalesce(col("__sum_bi"), lit(0L))).as("surprise_micro"))
+        .withColumn("mean_surprise",
+          round(col("surprise_micro").cast("double") / col("n_tokens") / lit(1e6), 6)))
+    }
     spark.stop()
   }
 }
